@@ -1,0 +1,287 @@
+"""DuckDB oracle SQL for every declared contract query (SURVEY.md §2.6).
+
+Each statement is the ANSI-SQL twin of the same-named Spark query in
+``calaspark/queries/``; the driver runs both at sf0.01 and compares
+row count + schema + order-insensitive value hash. Dialect deltas
+(Spark ↔ DuckDB) are catalogued in SURVEY.md §7's watch list:
+``date_format``→``strftime``, ``split``→``string_split``,
+``get_json_object``→``json_extract_string``, ``pmod``→``%``,
+``percentile``→``quantile_cont``, pivot→``COUNT(*) FILTER``,
+``grouping_id()``→``2*grouping(a)+grouping(b)``, no ``initcap`` →
+emulated per word.
+
+Determinism rules (SURVEY.md §2.6): decimal-exact money aggregation,
+no raw timestamps in output, total orders before LIMIT, averages as
+decimal-sum/count divided in double.
+"""
+
+from __future__ import annotations
+
+# Shared fragments ----------------------------------------------------
+
+# exact decimal money sum → ROUND → DOUBLE  (rule 1)
+_MS = "CAST(ROUND(SUM(CAST({c} AS DECIMAL(12,2))), 2) AS DOUBLE)"
+# decimal-sum / count average, division in double  (rule 4)
+_MA = (
+    "CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE)"
+    " / CAST(COUNT({c}) AS DOUBLE)"
+)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01"] = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  {_MS.format(c='l_quantity')} AS sum_qty,
+  {_MA.format(c='l_quantity')} AS avg_qty,
+  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+  CAST(MAX(l_shipdate) AS DATE) AS max_ship
+FROM lineitem
+"""
+
+ORACLES["q02"] = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  l_returnflag AS returnflag,
+  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))), 2)
+       AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_returnflag <> 'N'
+"""
+
+ORACLES["q03"] = """
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+ORACLES["q04"] = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+ORDER BY c_custkey
+LIMIT 100 OFFSET 100
+"""
+
+ORACLES["q05"] = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_MS.format(c='l_quantity')} AS sum_qty,
+  {_MS.format(c='l_extendedprice')} AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+      AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2)
+      AS DOUBLE) AS sum_charge,
+  {_MA.format(c='l_quantity')} AS avg_qty,
+  {_MA.format(c='l_extendedprice')} AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)
+    / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q06"] = """
+SELECT
+  o_custkey,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 200000
+"""
+
+ORACLES["q07"] = """
+SELECT
+  r_name,
+  n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+      AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE year(o_orderdate) = 1995
+GROUP BY r_name, n_name
+"""
+
+ORACLES["q08"] = """
+SELECT
+  c_custkey,
+  c_name,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE),
+           0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+ORACLES["q09"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+ORACLES["q10"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+ORACLES["q11"] = f"""
+SELECT
+  r_name,
+  COUNT(*) AS n_suppliers,
+  {_MS.format(c='s_acctbal')} AS total_acctbal,
+  {_MA.format(c='s_acctbal')} AS avg_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["q12"] = f"""
+SELECT
+  p_brand,
+  COUNT(*) AS n_items,
+  {_MS.format(c='l_quantity')} AS sum_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+"""
+
+ORACLES["q13"] = """
+SELECT o_custkey, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+ORACLES["q13_latest"] = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date,
+       o_totalprice
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+ORACLES["q14"] = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  2 * grouping(l_returnflag) + grouping(l_linestatus) AS gid,
+  {_MS.format(c='l_quantity')} AS sum_qty,
+  {_MS.format(c='l_extendedprice')} AS sum_base_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["q15"] = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS gid,
+  COUNT(*) AS n,
+  {_MS.format(c='o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["q16"] = """
+SELECT
+  n_name,
+  min_by(c_name, _enc) AS poorest,
+  max_by(c_name, _enc) AS richest,
+  count_if(c_acctbal > 0) AS n_positive,
+  COUNT(*) AS n_customers
+FROM (
+  SELECT n_name, c_name, c_acctbal, c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 100000 + c_custkey AS _enc
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+"""
+
+ORACLES["q17"] = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+    AS running_total,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q18"] = """
+SELECT
+  o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_custs,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q18_distinct_rows"] = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+ORACLES["q19"] = """
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["q20"] = """
+WITH building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), open_orders AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT 'union_all' AS tag, custkey FROM (
+  SELECT custkey FROM building UNION ALL SELECT custkey FROM open_orders
+)
+UNION ALL
+SELECT 'intersect' AS tag, custkey FROM (
+  SELECT custkey FROM building INTERSECT SELECT custkey FROM open_orders
+)
+UNION ALL
+SELECT 'except' AS tag, custkey FROM (
+  SELECT custkey FROM building EXCEPT SELECT custkey FROM open_orders
+)
+"""

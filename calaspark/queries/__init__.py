@@ -1,0 +1,42 @@
+"""Declared-query registry (SURVEY.md §2.6 contract).
+
+``QUERIES`` maps query id → callable(spark, sf_dir) → DataFrame.
+``calaspark.oracles.ORACLES`` holds the DuckDB twin for every id that
+is SQL-expressible; ids absent there get the driver's weaker
+rows-only check (documented per id in SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    "q01": relational.q01_global_agg,
+    "q02": relational.q02_filter_project,
+    "q03": relational.q03_sort_multikey,
+    "q04": relational.q04_limit_offset,
+    "q05": relational.q05_groupby_agg,
+    "q06": relational.q06_groupby_having,
+    "q07": relational.q07_join_multiway,
+    "q08": relational.q08_join_left_nullfill,
+    "q09": relational.q09_join_semi,
+    "q10": relational.q10_join_anti,
+    "q11": relational.q11_join_broadcast_dim,
+    "q12": relational.q12_join_range_theta,
+    "q13": relational.q13_window_topk_per_group,
+    "q13_latest": relational.q13_latest,
+    "q14": relational.q14_rollup_agg,
+    "q15": relational.q15_cube_agg,
+    "q16": relational.q16_minby_maxby,
+    "q17": relational.q17_window_running_frame,
+    "q18": relational.q18_distinct_exact,
+    "q18_distinct_rows": relational.q18_distinct_rows,
+    "q19": relational.q19_percentile_exact,
+    "q20": relational.q20_set_ops,
+}

@@ -1,0 +1,69 @@
+"""SparkSession construction and per-session engine settings.
+
+Two entry points:
+
+- :func:`get_spark` builds a tuned local session (tests / bench).
+- :func:`prepare` applies the runtime-settable subset of the engine's
+  required confs to an EXISTING session (the correctness driver hands
+  us its own ``SparkSession``; every public query entry point calls
+  ``prepare(spark)`` first so behavior does not depend on who built
+  the session).
+
+Scale notes (100 TB design): the static confs below are the local
+defaults; on a real cluster the same knobs are sized per executor
+(``spark.sql.shuffle.partitions`` ≈ 2–3× total cores, AQE coalesces
+the rest; ``spark.sql.files.maxPartitionBytes`` keeps scan tasks ~128
+MiB). Nothing in the engine hard-codes partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe/necessary to set on ANY session at runtime.
+#: - nanosAsLong: the `events` table is parquet TIMESTAMP(NANOS),
+#:   which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL); we read
+#:   the raw int64 and truncate to µs ourselves (tables.load_table),
+#:   matching DuckDB's ns→µs truncation exactly.
+#: - timeZone UTC: all timestamps in the data are wall-clock (NTZ);
+#:   pinning the session zone makes every tz-dependent cast/func
+#:   engine-portable (SURVEY.md §2.6 determinism rule 2).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down — proceed with session defaults
+    return spark
+
+
+def get_spark(app_name: str = "calaspark") -> SparkSession:
+    """Build the tuned local session used by tests and bench."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Shuffle parallelism ~ cores; AQE coalesces small partitions
+        # at runtime so over-provisioning here is harmless at scale.
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("CALASPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())

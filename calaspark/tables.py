@@ -1,0 +1,50 @@
+"""Table loading — the engine's source layer (SURVEY.md §2.1 S7).
+
+The reference declares a fixed, code-declared schema per table
+(`calaccess_raw/models/base.py §CalAccessBaseModel`,
+`calaccess_raw/fields.py`); here the testdata tables come with
+parquet footers, so "fixed schema" means: we verify what we read and
+normalize the one parquet type Spark cannot ingest natively
+(TIMESTAMP(NANOS) → int64 ns → µs-truncated TIMESTAMP_NTZ, matching
+DuckDB's own ns→µs truncation bit for bit).
+
+100 TB notes: `spark.read.parquet` gives vectorized columnar scans
+with predicate pushdown and column pruning for free; the µs
+normalization is a single projection, stays inside whole-stage
+codegen, and does not break pushdown on the other columns.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import prepare
+
+#: tables whose parquet stores TIMESTAMP(NANOS) — read as int64 ns
+#: (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs NTZ.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nanosecond timestamps.
+
+    `ts div 1000` is integer division (truncation toward zero; all
+    epochs here are positive) — identical to DuckDB's ns→µs read
+    behavior, which the correctness oracle observes.
+    """
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from . import TABLES
+
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
