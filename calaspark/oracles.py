@@ -285,3 +285,134 @@ SELECT 'except' AS tag, custkey FROM (
   SELECT custkey FROM building EXCEPT SELECT custkey FROM open_orders
 )
 """
+
+# ---------------------------------------------------------------- ETL twins
+
+ORACLES["q21"] = """
+SELECT
+  p_partkey,
+  upper(p_name) AS up,
+  lower(p_type) AS lo,
+  substring(p_name, 1, 10) AS sub,
+  concat_ws('|', p_brand, p_type) AS cw,
+  lpad(p_brand, 12, '*') AS lp,
+  trim('  ' || p_name || '  ') AS tr,
+  translate(p_name, 'ae', '43') AS tl,
+  array_to_string(
+    list_transform(string_split(p_name, ' '),
+                   w -> upper(substring(w,1,1)) || lower(substring(w,2))),
+    ' ') AS ic,
+  CAST(length(p_name) AS BIGINT) AS ln,
+  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev
+FROM part
+WHERE contains(p_name, 'e') OR p_name LIKE 'red%'
+"""
+
+ORACLES["q22"] = """
+SELECT
+  doc_id,
+  regexp_extract(text, '^(\\w+)', 1) AS first_tok,
+  nullif(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+                             ' +', ' ', 'g')), '') AS cleaned,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+  CAST(length(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+ORACLES["q23"] = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS r1,
+  abs(l_extendedprice - 50000) AS abs_diff,
+  CAST(ceil(l_quantity) AS BIGINT) AS ce,
+  CAST(floor(l_quantity) AS BIGINT) AS fl,
+  l_orderkey % 7 AS md,
+  sqrt(l_quantity) AS sq,
+  l_quantity * l_quantity AS q2
+FROM lineitem
+"""
+
+ORACLES["q24"] = """
+SELECT
+  o_orderkey,
+  strftime(o_orderdate, '%-m/%-d/%Y') AS s1,
+  CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE)
+    AS parsed,
+  CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y') || ' 12:00:00 AM',
+                '%-m/%-d/%Y %-I:%M:%S %p') AS DATE) AS parsed_ts_date,
+  CAST(hour(strptime(strftime(o_orderdate, '%-m/%-d/%Y') || ' 12:00:00 AM',
+                     '%-m/%-d/%Y %-I:%M:%S %p')) AS BIGINT) AS parsed_hour,
+  CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE)
+    = CAST(o_orderdate AS DATE) AS roundtrip_ok
+FROM orders
+"""
+
+ORACLES["q25"] = """
+SELECT
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS d,
+  CAST(year(o_orderdate) AS BIGINT) AS y,
+  CAST(month(o_orderdate) AS BIGINT) AS m,
+  CAST(day(o_orderdate) AS BIGINT) AS dy,
+  date_trunc('month', CAST(o_orderdate AS DATE)) AS mstart,
+  CAST(o_orderdate AS DATE) + 7 AS d7,
+  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+    AS days_to_98,
+  last_day(CAST(o_orderdate AS DATE)) AS ld,
+  CAST(datediff('month', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+    AS months_to_98
+FROM orders
+"""
+
+ORACLES["q25_monthly"] = """
+SELECT
+  date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+ORACLES["q26"] = """
+SELECT
+  p_partkey,
+  nullif(CASE WHEN p_size % 3 = 0 THEN '' ELSE p_type END, '') AS cleaned,
+  CASE WHEN (CASE WHEN p_size % 2 = 0 THEN 'Y' ELSE 'N' END) = 'Y'
+       THEN 1 ELSE 0 END AS flag_int,
+  coalesce(nullif(CASE WHEN p_size % 3 = 0 THEN '' ELSE p_type END, ''),
+           'UNKNOWN') AS coal,
+  CAST(nullif(CASE WHEN p_size % 3 = 0 THEN '' ELSE p_type END, '') IS NULL
+       AS INT) AS is_null
+FROM part
+"""
+
+ORACLES["q27"] = """
+WITH mangled AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN substring(props, 2) ELSE props END AS m
+  FROM events
+)
+SELECT
+  CASE WHEN json_valid(m) AND json_extract_string(m, '$.k') IS NOT NULL
+       THEN 'good' ELSE 'quarantine' END AS cls,
+  COUNT(*) AS n,
+  MIN(event_id) AS min_id,
+  MAX(event_id) AS max_id
+FROM mangled
+GROUP BY 1
+"""
+
+ORACLES["q28"] = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+    / CAST(COUNT(json_extract_string(props, '$.k')) AS DOUBLE) AS avg_k
+FROM events
+GROUP BY event_type
+"""

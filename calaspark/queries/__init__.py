@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational
+from . import etl, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,4 +39,13 @@ QUERIES: dict[str, QueryFn] = {
     "q18_distinct_rows": relational.q18_distinct_rows,
     "q19": relational.q19_percentile_exact,
     "q20": relational.q20_set_ops,
+    "q21": etl.q21_string_funcs,
+    "q22": etl.q22_regex_clean_fingerprint,
+    "q23": etl.q23_math_funcs,
+    "q24": etl.q24_date_parse,
+    "q25": etl.q25_date_funcs,
+    "q25_monthly": etl.q25_monthly,
+    "q26": etl.q26_null_semantics,
+    "q27": etl.q27_quarantine_split,
+    "q28": etl.q28_json_extract,
 }
