@@ -115,7 +115,8 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE year(o_orderdate) = 1995
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
 GROUP BY r_name, n_name
 """
 
@@ -219,11 +220,12 @@ SELECT
   n_name,
   min_by(c_name, _enc) AS poorest,
   max_by(c_name, _enc) AS richest,
-  count_if(c_acctbal > 0) AS n_positive,
+  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
   COUNT(*) AS n_customers
 FROM (
   SELECT n_name, c_name, c_acctbal, c_custkey,
-         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 100000 + c_custkey AS _enc
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           * 10000000000 + c_custkey AS _enc
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
 GROUP BY n_name

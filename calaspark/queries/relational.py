@@ -167,6 +167,11 @@ def q07_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     region/nation are broadcast (tiny dims); customer⋈orders⋈lineitem
     shuffle on their keys. At 100 TB the fact-fact join dominates —
     AQE picks sort-merge with skew splitting; dims never shuffle.
+
+    The year filter is a half-open date range (not `year(col) == y`):
+    a plain range predicate reaches the parquet scan as PushedFilters
+    and prunes row groups via min/max stats; a function-of-column
+    predicate cannot, and at 100 TB would read the whole orders table.
     """
     r = F.broadcast(load_table(spark, sf_dir, "region"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
@@ -179,7 +184,10 @@ def q07_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
-        .filter(F.year("o_orderdate") == 1995)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
@@ -292,7 +300,7 @@ def q13_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         3,
-    ).select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    ).select("o_custkey", F.col("rn").cast("long").alias("rn"), "o_orderkey", "o_totalprice")
 
 
 def q13_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,11 +363,15 @@ def q16_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering argument is an integer encoding of (acctbal, custkey) so
     ties are impossible — min_by/max_by with non-unique orderings are
     nondeterministic in every engine (rule 3 applied to aggregates).
+    Cents are extracted via exact DECIMAL(12,2) arithmetic (no double
+    rounding), and the 1e10 multiplier keeps the encoding injective up
+    to 10 B customers — safe at the 100 TB target (|cents| < 1e8 →
+    |enc| < 1e18 < bigint max).
     """
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     enc = (
-        F.round(F.col("c_acctbal") * 100, 0).cast("long") * 100000
+        (dec("c_acctbal") * 100).cast("long") * F.lit(10_000_000_000)
         + F.col("c_custkey")
     ).alias("_enc")
     return (

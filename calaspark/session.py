@@ -38,12 +38,24 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def prepare(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    nanosAsLong and timeZone are load-bearing for the correctness
+    contract (events timestamps), so a failure to set them is logged
+    loudly instead of silently swallowed.
+    """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf locked down — proceed with session defaults
+        except Exception as e:  # conf locked down on this session
+            import warnings
+
+            warnings.warn(
+                f"calaspark: could not set {k}={v} ({e}); "
+                "timestamp semantics may differ from the declared contract",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 

@@ -1,9 +1,16 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs every ``queries()`` entry on Spark and, where an oracle exists,
-the DuckDB twin; compares row count, sorted column names, and
-order-insensitive exact values (floats must match bit-for-bit — the
-same bar as a value hash).
+the DuckDB twin; compares row count, sorted column names, **logical
+column types**, and order-insensitive exact values.
+
+Type fidelity matters: the driver's value hash is type-sensitive
+(round 1 shipped q16 red because DuckDB ``count_if`` returns HUGEINT
+while Spark returns BIGINT, and the old ``_norm`` collapsed both to
+Python int). Both results are therefore fetched as Arrow tables and
+compared at the Arrow type level, so any engine-level type leak
+(HUGEINT/DECIMAL/int32-vs-int64) fails locally exactly like it fails
+in the driver.
 
 Usage:  python tools/verify_local.py [--sf /root/testdata/sf0.01] [ids...]
 """
@@ -21,6 +28,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 from calaspark import TABLES  # noqa: E402
 from calaspark.oracles import ORACLES  # noqa: E402
@@ -28,13 +36,31 @@ from calaspark.queries import QUERIES  # noqa: E402
 from calaspark.session import get_spark  # noqa: E402
 
 
+def _canon_type(t: pa.DataType) -> str:
+    """Arrow type → canonical logical-type string.
+
+    Collapses representation-only differences (large_string vs string,
+    timestamp tz annotation) but keeps every semantic difference
+    (int32/int64/decimal/float64) that a typed hash would see.
+    """
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
 def _norm(v):
-    """Normalize a cell to a hashable, engine-neutral value."""
+    """Normalize a cell VALUE (types are compared separately)."""
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, datetime.date):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
@@ -43,13 +69,18 @@ def _norm(v):
     return v
 
 
-def _rowset(rows, cols):
-    """Rows → multiset of tuples with columns sorted by name."""
+def _table_info(tbl: pa.Table):
+    """Arrow table → (sorted col names, {col: canonical type}, row multiset)."""
+    cols = list(tbl.column_names)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    names = [cols[i] for i in order]
+    types = {f.name: _canon_type(f.type) for f in tbl.schema}
+    pylists = [tbl.column(i).to_pylist() for i in order]
+    rows = sorted(
+        (tuple(_norm(col[r]) for col in pylists) for r in range(tbl.num_rows)),
+        key=repr,
     )
-    return out, [cols[i] for i in order]
+    return names, types, rows
 
 
 def main() -> int:
@@ -71,43 +102,47 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = QUERIES[qid](spark, args.sf)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_tbl = sdf.toArrow()
         except Exception as e:
             failures.append(qid)
             print(f"{qid:18s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
             continue
         if qid not in ORACLES:
-            print(f"{qid:18s} rows-only    rows={len(s_rows):7d}  "
+            print(f"{qid:18s} rows-only    rows={s_tbl.num_rows:7d}  "
                   f"({time.time()-t0:5.1f}s)")
-            if not s_rows:
+            if not s_tbl.num_rows:
                 failures.append(qid)
             continue
         try:
-            res = con.execute(ORACLES[qid])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = con.execute(ORACLES[qid]).fetch_arrow_table()
         except Exception as e:
             failures.append(qid)
             print(f"{qid:18s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
             continue
 
-        s_set, s_names = _rowset(s_rows, s_cols)
-        d_set, d_names = _rowset(d_rows, d_cols)
+        s_names, s_types, s_rows = _table_info(s_tbl)
+        d_names, d_types, d_rows = _table_info(d_tbl)
         status, detail = "OK", ""
         if s_names != d_names:
             status, detail = "SCHEMA-MISMATCH", f"spark={s_names} duck={d_names}"
-        elif len(s_set) != len(d_set):
-            status, detail = "COUNT-MISMATCH", f"spark={len(s_set)} duck={len(d_set)}"
-        elif s_set != d_set:
+        elif s_types != d_types:
+            diff = {
+                k: (s_types[k], d_types[k])
+                for k in s_types
+                if s_types[k] != d_types.get(k)
+            }
+            status, detail = "TYPE-MISMATCH", f"spark vs duck: {diff}"
+        elif len(s_rows) != len(d_rows):
+            status, detail = "COUNT-MISMATCH", f"spark={len(s_rows)} duck={len(d_rows)}"
+        elif s_rows != d_rows:
             status = "VALUE-MISMATCH"
-            for a, b in zip(s_set, d_set):
+            for a, b in zip(s_rows, d_rows):
                 if a != b:
                     detail = f"first diff: spark={a} duck={b}"
                     break
         if status != "OK":
             failures.append(qid)
-        print(f"{qid:18s} {status:15s} rows={len(s_set):7d}  "
+        print(f"{qid:18s} {status:15s} rows={len(s_rows):7d}  "
               f"({time.time()-t0:5.1f}s) {detail}")
 
     print(f"\n{len(ids)-len(failures)}/{len(ids)} passed")
