@@ -418,3 +418,160 @@ SELECT
 FROM events
 GROUP BY event_type
 """
+
+# Extensions Q29–Q36 (SURVEY.md §2.6) ---------------------------------
+
+ORACLES["q29"] = """
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 20
+"""
+
+ORACLES["q29_doc_distinct"] = """
+SELECT
+  doc_id,
+  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                     x -> x <> ''))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+# q30: SUM(CASE) with the same fixed event-type list as the Spark pivot.
+_PIVOT_COLS = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in ("click", "error", "purchase", "signup", "view")
+)
+ORACLES["q30"] = f"""
+SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+"""
+
+# q31: each event explodes into its 2 candidate 5-min-aligned slots.
+# ep is floored epoch seconds; window bounds are integer seconds, so
+# flooring never moves an event across a boundary (SURVEY §7).
+ORACLES["q31"] = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events
+), s AS (
+  SELECT ((ep // 300) - g.k) * 300 AS wstart, ep, value
+  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+)
+SELECT
+  wstart,
+  COUNT(*) AS n,
+  {_MS.format(c='value')} AS sum_value
+FROM s
+WHERE ep >= wstart AND ep < wstart + 600
+GROUP BY wstart
+"""
+
+ORACLES["q32"] = """
+SELECT DISTINCT
+  event_id,
+  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+  user_id, event_type, value, props
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events) u
+"""
+
+ORACLES["q32_keyed"] = """
+WITH u AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+         value, props
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+  FROM u
+)
+SELECT
+  event_id,
+  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+  user_id, event_type, value, props
+FROM r WHERE rn = 1
+"""
+
+# q33: integer threshold test (3*inter >= inter+union  ⟺  J >= 0.5)
+# so membership is float-free; sim is reported rounded on top.
+ORACLES["q33"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+         CAST(len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4) AS sim
+FROM p
+WHERE 3 * n_inter >= n_union + n_inter
+"""
+
+# q34: float→double BEFORE arithmetic; sequential index-order dot
+# product in both engines (Spark zip_with+aggregate fold ↔ DuckDB
+# list_dot_product loop); ROUND(.,4) + vec_id tie-break totalize.
+ORACLES["q34"] = """
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT e AS qe FROM d WHERE vec_id = 0
+)
+SELECT
+  vec_id,
+  ROUND(list_dot_product(e, qe)
+        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+        4) AS sim
+FROM d CROSS JOIN q
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+ORACLES["q35"] = f"""
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+  COUNT(*) AS n,
+  {_MS.format(c='value')} AS sum_value,
+  CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchase
+FROM events
+GROUP BY 1
+"""
+
+# q36: all arithmetic on floored epoch-second BIGINTs under the total
+# order (ep, event_id); SUM window cast (DuckDB SUM(int)→HUGEINT).
+ORACLES["q36"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), f AS (
+  SELECT *,
+         CASE WHEN lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+), s AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       MIN(ep) AS sess_start, MAX(ep) AS sess_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import etl, relational
+from . import etl, extensions, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -48,4 +48,14 @@ QUERIES: dict[str, QueryFn] = {
     "q26": etl.q26_null_semantics,
     "q27": etl.q27_quarantine_split,
     "q28": etl.q28_json_extract,
+    "q29": extensions.q29_tokens_explode_count,
+    "q29_doc_distinct": extensions.q29_doc_distinct,
+    "q30": extensions.q30_pivot_events,
+    "q31": extensions.q31_sliding_window_batch,
+    "q32": extensions.q32_dedup_exact,
+    "q32_keyed": extensions.q32_keyed,
+    "q33": extensions.q33_jaccard_neardup_pairs,
+    "q34": extensions.q34_cosine_topk,
+    "q35": extensions.q35_tumbling_window_batch,
+    "q36": extensions.q36_session_window_batch,
 }

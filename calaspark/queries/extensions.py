@@ -1,0 +1,335 @@
+"""Declared contract queries Q29–Q36 — LLM-pipeline + time-window
+extensions (SURVEY.md §2.5 E11/E12/E15/E17/E18/E23, §2.6).
+
+These are the operators a large-scale training-data pipeline needs on
+top of the reference's relational surface: token analytics, exact and
+keyed dedup, exact Jaccard near-dup pairs, cosine top-k over
+embeddings, and the batch twins of the streaming window family
+(tumbling / sliding / session).
+
+Reference anchors (SURVEY.md §0 convention): the reference has no
+analytics of its own — it delegates querying to SQL consumers
+(`calaccess_raw/models/base.py §CalAccessBaseModel.objects`); these
+queries define the distributed equivalents a CAL-ACCESS-scale (or
+100 TB) consumer would run.
+
+Scale notes per query are inline. The general rules: everything is
+built-in `pyspark.sql.functions` (whole-stage codegen, no Python in
+the loop); aggregations do map-side partial aggregation; the only
+intentional quadratic operator is q33's exact pair join, whose
+at-scale replacement (banded MinHash LSH, no cartesian) lives in
+``calaspark/ops/lsh.py`` and is registered as a rows-only query.
+
+Determinism (SURVEY.md §2.6 rules): money/value aggregates go through
+exact decimal; raw timestamps are never emitted (formatted strings or
+floored epoch-second bigints); every LIMIT sits under a total order;
+similarity doubles are index-order folds rounded to 4 digits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..ops.windows import latest_per_key
+from ..tables import load_table
+from ._util import money_sum, ts_str
+
+#: Fixed pivot column set for q30 (the testdata's event_type domain,
+#: enumerated once — both engines use the identical ordered list, as
+#: SURVEY.md §2.6 Q30 requires).
+EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+def _clean_tokens(col: str = "text") -> Column:
+    """Space-split tokens with empties removed (array<string>)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _epoch_s(col: str = "ts") -> Column:
+    """Floored epoch seconds (bigint) of a TIMESTAMP_NTZ column.
+
+    Both engines floor: Spark `unix_timestamp` truncates sub-second,
+    DuckDB oracle uses `CAST(floor(epoch(ts)) AS BIGINT)`. Window
+    boundaries are integer seconds, so flooring never moves an event
+    across a boundary (SURVEY.md §7 watch list).
+    """
+    return F.unix_timestamp(F.col(col).cast("timestamp")).alias("ep")
+
+
+# ---------------------------------------------------------------- Q29
+
+
+def q29_tokens_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms: split → explode → count (E11/E19).
+
+    100 TB: explode is a streaming generator (no materialized blowup);
+    the groupBy does map-side partial aggregation so the shuffle
+    carries ≤ |vocab| rows per task, not per-token rows. Top-20 via
+    total order (n DESC, term ASC) lowers to TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q29_doc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token count per document — pure projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(_clean_tokens())).cast("long").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------- Q30
+
+
+def q30_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type count matrix via pivot (E12).
+
+    The pivot value list is EXPLICIT (EVENT_TYPES): with an explicit
+    list Spark skips the extra distinct-values job and the output
+    schema is static — the only sane form at 100 TB, where an
+    unbounded implicit pivot is a driver OOM. One shuffle (groupBy
+    day), pivot columns materialize as a single-pass pivot_first agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    p = e.groupBy(day).pivot("event_type", list(EVENT_TYPES)).count()
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------- Q31
+
+
+def q31_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min over events (E23 batch twin).
+
+    Spark's `window(ts, '10 minutes', '5 minutes')` expands each row
+    into its ⌈10/5⌉ = 2 candidate windows inline (an Expand node —
+    no join, no state), then a normal partial-agg shuffle on the
+    window struct. This is exactly how the streaming version
+    executes per micro-batch, so the batch twin is plan-faithful.
+    Output key is the window-start epoch bigint (rule 2: no raw ts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start").cast("timestamp"))
+            .alias("wstart"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q32
+
+
+def q32_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-row dedup: union-with-self → dropDuplicates (E15).
+
+    The training-data exact-dedup primitive. `dropDuplicates()` on
+    the full row is a hash aggregate on all columns — map-side
+    partial dedup first, so at 100 TB the shuffle carries one row
+    per distinct value per map task, not the duplicated volume.
+    Deterministic because duplicate rows are bit-identical (the
+    general keyed case with differing payloads is q32_keyed).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ts_str("ts", "ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return e.unionAll(e).dropDuplicates()
+
+
+def q32_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, earliest-version-wins (E15/E16).
+
+    Synthesizes a conflicting duplicate per key (ts shifted +1h) and
+    keeps the min-ts representative via the engine's latest_per_key
+    operator (row_number under a total order → WindowGroupLimit;
+    single shuffle on the key). This is the CDC mirror image of
+    q13_latest's latest-amendment-wins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    shifted = e.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    u = e.unionAll(shifted)
+    kept = latest_per_key(u, ["event_id"], [F.col("ts").asc()])
+    return kept.select(
+        "event_id", ts_str("ts", "ts_s"), "user_id", "event_type", "value", "props"
+    )
+
+
+# ---------------------------------------------------------------- Q33
+
+
+def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs, sim ≥ 0.5, a < b (E17/E19).
+
+    The deterministic exact twin of MinHash LSH. The threshold test
+    is INTEGER arithmetic (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ 0.5), so no pair
+    is admitted or dropped by float noise; `sim` is reported rounded
+    to 4 digits on top.
+
+    Plan: the token-set table is broadcast (docs-side dims are small
+    here) and the a<b predicate rides a BroadcastNestedLoopJoin —
+    deliberate for this declared exact-pairs contract at test SF.
+    This exact form is O(n²) BY DEFINITION (it must emit every
+    qualifying pair); the 100 TB near-dup answer is banded MinHash
+    LSH bucketing (ops/lsh.py, rows-only query `lsh_minhash_pairs`),
+    which prunes the pair space without a cartesian.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_clean_tokens())
+    t = d.select(F.col("doc_id"), toks.alias("toks"), F.size(toks).alias("nt"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_inter"),
+            (F.col("a.nt") + F.col("b.nt") - inter).cast("long").alias("n_union"),
+        )
+        .filter(F.lit(3) * F.col("n_inter") >= F.col("n_union") + F.col("n_inter"))
+    )
+    return pairs.withColumn(
+        "sim",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 4
+        ),
+    )
+
+
+# ---------------------------------------------------------------- Q34
+
+
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 vs the vec_id=0 probe vector (E18/E20).
+
+    Brute-force exact scan — the correct 100 TB plan for a SINGLE
+    probe: broadcast the 1-row query vector, scan + TopK
+    (TakeOrderedAndProject), no shuffle of the big side. k-NN JOINs
+    (many probes) need LSH bucketing instead — ops/lsh.py's
+    `ann_brp_topk` rows-only query.
+
+    FP determinism (rule 5): float elements are cast to double
+    BEFORE arithmetic; the dot product is an index-ordered
+    sequential fold (`zip_with` + `aggregate`), matching DuckDB's
+    sequential `list_dot_product` loop bit for bit; the score is
+    rounded to 4 digits and the order totalized by vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") == 0).select(to_d.alias("qe"))
+    d = emb.select("vec_id", to_d.alias("e"))
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = d.crossJoin(F.broadcast(q))
+    sim = F.round(
+        dot(F.col("e"), F.col("qe"))
+        / (F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        j.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- Q35
+
+
+def q35_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows over events (E23 batch twin).
+
+    Tumbling = non-overlapping: `window(ts, '1 hour')` assigns each
+    row exactly one window (pure projection + one partial-agg
+    shuffle, identical to a date_trunc groupBy). count_if is cast to
+    long explicitly (Spark BIGINT vs DuckDB HUGEINT — the q16
+    lesson, SURVEY.md §7 watch list).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("value", "sum_value"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("n_purchase"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "sum_value",
+            "n_purchase",
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q36
+
+
+def q36_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization per user via gaps-and-islands (E23/E3).
+
+    LAG(ep) → new-session flag (gap > 1800 s) → running SUM = session
+    id → per-session aggregates. All arithmetic is on floored
+    epoch-second BIGINTs under the total order (ep, event_id), so
+    both engines compute identical sessions (SURVEY.md §7 watch
+    list). Spark's native `session_window` alternative is asserted
+    equivalent in tests/test_extensions.py.
+
+    100 TB: two window passes + the final groupBy all share ONE
+    shuffle on user_id (same partition key), and sessionization is
+    the canonical per-key ordered scan — exactly what
+    Structured Streaming's session_window does incrementally.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_s("ts")
+    )
+    order = [F.col("ep").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ep").over(w)
+    is_new = F.when(prev.isNull() | (F.col("ep") - prev > 1800), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.withColumn("session_id", F.sum(is_new).over(run).cast("long"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ep").alias("sess_start"),
+        F.max("ep").alias("sess_end"),
+        F.count("*").alias("n_events"),
+    )
