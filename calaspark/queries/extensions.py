@@ -203,7 +203,12 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(_clean_tokens())
     t = d.select(F.col("doc_id"), toks.alias("toks"), F.size(toks).alias("nt"))
-    a, b = t.alias("a"), t.alias("b")
+    # The docs table is one parquet file → one scan partition; a BNLJ
+    # inherits the stream side's partitioning, so fan the stream side
+    # out to the cluster's parallelism or the O(n²) pair work runs on
+    # a single core.
+    a = t.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     pairs = (
         a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
