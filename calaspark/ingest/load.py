@@ -1,0 +1,54 @@
+"""Load + verify sinks (SURVEY.md §2.1 S4/S5/S6, §2.3 V1).
+
+The reference bulk-loads clean CSVs into PostgreSQL/MySQL
+(`calaccess_raw/management/commands/loadcalaccessrawfile.py
+§Command.handle`) and verifies the loaded row count against the
+cleaned file. The Spark-native sink is partitioned parquet in a lake
+layout; the clean-CSV sink is kept for byte-level parity with the
+reference's artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """S5 twin: columnar load. ``partition_by`` (E24) gives
+    partition-pruned reads downstream (e.g. by FORM_TYPE or load
+    date); at 100 TB choose low-cardinality columns only."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_clean_csv(df: DataFrame, path: str) -> None:
+    """S4 twin: the reference's cleaned-CSV artifact (RFC-4180
+    quoting, header). Distributed writer — one file per task."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "false")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_quarantine(df: DataFrame, path: str) -> None:
+    """The ``.errors.csv`` sidecar twin."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def verify_counts(
+    n_lines_body: int, n_good: int, n_quarantine: int
+) -> dict[str, int | bool]:
+    """V1: cleaned + quarantined must account for every body line."""
+    return {
+        "n_body_lines": n_lines_body,
+        "n_good": n_good,
+        "n_quarantine": n_quarantine,
+        "accounted": n_good + n_quarantine == n_lines_body,
+    }

@@ -1,0 +1,105 @@
+"""Structured Streaming operators (SURVEY.md §2.5 E23).
+
+The declared correctness contract covers the BATCH twins (q31/q35/q36
+— identical aggregation plans, oracle-checked); this module is the
+true streaming surface: the same windowed aggregations as incremental
+queries with watermarked state, plus stateful streaming dedup.
+
+Scale notes: streaming state lives in the state store partitioned by
+the grouping key — same shuffle key as the batch twin, so a plan that
+is right in batch stays right incrementally. Watermarks bound state
+(late rows beyond the watermark are dropped); `availableNow` gives
+batch-boundedness for backfills and tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession, src_dir: str, schema: StructType | str
+) -> DataFrame:
+    """File-source stream over a parquet directory (the lake layout
+    the ingest pipeline writes). Schema must be declared — streaming
+    sources never infer."""
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of q35: watermarked tumbling count/sum."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of q31."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of q36 via native session_window."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(key, F.col("w.start").alias("sess_start"), "n_events")
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming exact dedup (E15 streaming form):
+    `dropDuplicatesWithinWatermark` keeps per-key state only within
+    the watermark horizon — bounded state at any throughput."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_available_now(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drain all available input as one bounded run into an in-memory
+    table (tests / backfills), returning the finished query."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,106 @@
+"""Extension-query semantics tests: session-window parity (the
+SURVEY.md §7 watch-list item — Spark's native `session_window` must
+agree with the declared gaps-and-islands SQL shape), sliding-window
+slot arithmetic, and a full-registry smoke run at sf0.001."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from calaspark.queries import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _ts(minute: float) -> dt.datetime:
+    base = dt.datetime(2024, 1, 1)
+    return base + dt.timedelta(minutes=minute)
+
+
+def test_session_window_parity(spark):
+    """Gaps-and-islands (q36's declared shape) ≡ native session_window.
+
+    Data avoids gaps of exactly 30 min — the one point where the two
+    formulations legitimately differ (islands: > gap starts a new
+    session; session_window: >= gap does).
+    """
+    rows = [
+        # user 1: two sessions (gap of 45 min between minute 40 and 85)
+        (1, 100, _ts(0)), (1, 101, _ts(10)), (1, 102, _ts(40)),
+        (1, 103, _ts(85)), (1, 104, _ts(86)),
+        # user 2: one session, single event
+        (2, 200, _ts(5)),
+        # user 3: three sessions
+        (3, 300, _ts(0)), (3, 301, _ts(31)), (3, 302, _ts(62)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz"
+    )
+
+    # islands formulation (same shape as q36, gap > 30 min)
+    from pyspark.sql import Window
+
+    e = df.select("user_id", "event_id", F.col("ts").cast("timestamp").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = F.lag("t").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_timestamp("t") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        e.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("start"), F.count("*").alias("n"))
+    )
+    got_islands = {
+        (r["user_id"], r["start"], r["n"]) for r in islands.collect()
+    }
+
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id", F.col("w.start").cast("timestamp").alias("start"), "n"
+        )
+    )
+    got_native = {(r["user_id"], r["start"], r["n"]) for r in native.collect()}
+
+    assert got_islands == got_native
+    assert len(got_islands) == 2 + 1 + 3
+
+
+def test_sliding_window_slots(spark):
+    """Every event lands in exactly ⌈10/5⌉ = 2 windows; counts match
+    hand-computed slot assignment."""
+    rows = [(1, _ts(0)), (2, _ts(4)), (3, _ts(7)), (4, _ts(12))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = (
+        df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start").cast("timestamp")).alias("ws"),
+            "n",
+        )
+    )
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    got = {(r["ws"] - base) // 60: r["n"] for r in out.collect()}
+    # windows by start minute: -5:[0,4], 0:[0,4,7], 5:[7,12], 10:[12]
+    assert got == {-5: 2, 0: 3, 5: 2, 10: 1}
+    assert sum(got.values()) == 2 * len(rows)
+
+
+def test_registry_smoke_all_queries(spark):
+    """Every declared query runs end-to-end at sf0.001 and yields a
+    stable non-degenerate schema (the driver's smoke bar)."""
+    for qid, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        assert len(df.columns) > 0, qid
+        assert df.count() >= 0, qid
+
+
+def test_q33_threshold_is_integer_exact(spark):
+    """3·inter ≥ inter+union ⟺ Jaccard ≥ 0.5 on representative sets."""
+    for inter, union in [(1, 2), (1, 3), (2, 4), (3, 10), (5, 10), (0, 7)]:
+        assert (3 * inter >= union + inter) == (inter / union >= 0.5)

@@ -1,0 +1,126 @@
+"""Dirty-fixture pipeline tests (SURVEY.md §5.2): clean/quarantine
+accounting, typing semantics, coverage report, orchestrator
+resumability — the reference's end-to-end test strategy
+(`calaccess_raw/tests §test_commands`) re-expressed over the
+FIXTURES.md §2 pathologies."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+
+import pyspark.sql.functions as F
+
+from calaspark.ingest import (
+    Manifest,
+    coverage_stats,
+    split_clean,
+    type_table,
+    update,
+    verify_counts,
+)
+from calaspark.ingest.schemas import RCPT_CD
+
+
+def test_split_accounts_for_every_line(spark, dirty_tsv):
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    n_good, n_bad = res.good.count(), res.quarantine.count()
+    assert n_good == dirty_tsv["n_good"]
+    assert n_bad == dirty_tsv["n_bad"]
+    v = verify_counts(dirty_tsv["n_good"] + dirty_tsv["n_bad"], n_good, n_bad)
+    assert v["accounted"]
+
+
+def test_quarantine_diagnostics(spark, dirty_tsv):
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    rows = {r["n_fields"]: r for r in res.quarantine.collect()}
+    assert set(rows) == {3, len(RCPT_CD) + 1}
+    assert all(r["n_expected"] == len(RCPT_CD) for r in rows.values())
+    assert "field count 3 !=" in rows[3]["reason"]
+
+
+def test_cleaning_repairs_crlf_and_control_chars(spark, dirty_tsv):
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    good = {r["FILING_ID"]: r for r in res.good.collect()}
+    # CRLF row survived as good, with no trailing \r on the last field
+    assert good["1774446"]["CMTE_ID"] == "C00123"
+    # control chars stripped in place
+    assert good["1774447"]["CTRIB_EMP"] == "BADCTRLCO"
+
+
+def test_typing_semantics(spark, dirty_tsv):
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    typed = type_table(res.good, RCPT_CD)
+    rows = {r["FILING_ID"]: r for r in typed.collect()}
+
+    ok = rows[1774444]
+    assert ok["RCPT_DATE"] == datetime.date(2001, 3, 5)  # M/d/yyyy (T2)
+    assert ok["AMOUNT"] == decimal.Decimal("1234.56")  # decimal (T3)
+    assert ok["MEMO_CODE"] == 1  # Y → 1 (T3)
+    assert ok["MEMO_REFNO"] is None  # empty → NULL (T1)
+
+    assert rows[1774445]["MEMO_CODE"] == 0  # N → 0
+
+    empt = rows[1774448]
+    assert empt["RCPT_DATE"] is None and empt["AMOUNT"] is None
+    assert empt["MEMO_CODE"] is None
+
+    bad = rows[1774449]
+    assert bad["RCPT_DATE"] is None  # 13/45/20XX → NULL, not a crash
+    assert bad["AMOUNT"] is None  # '12,34' → NULL
+    assert bad["MEMO_CODE"] is None  # 'X' → NULL
+
+    # dtypes are the declared targets
+    dt = dict(typed.dtypes)
+    assert dt["FILING_ID"] == "bigint"
+    assert dt["RCPT_DATE"] == "date"
+    assert dt["AMOUNT"] == "decimal(14,2)"
+    assert dt["MEMO_CODE"] == "int"
+
+
+def test_coverage_report(spark, dirty_tsv):
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    typed = type_table(res.good, RCPT_CD)
+    rep = {r["metric"]: r for r in coverage_stats(res.good, typed, RCPT_CD).collect()}
+    raw, tn = rep["raw_non_empty"], rep["typed_non_null"]
+    # typing can only null values out, never invent them
+    for c in RCPT_CD:
+        assert tn[c] <= raw[c]
+    # exactly one row had an unparseable date; one had empty date
+    assert raw["RCPT_DATE"] == 5 and tn["RCPT_DATE"] == 4
+    assert raw["MEMO_CODE"] == 5 and tn["MEMO_CODE"] == 4
+
+
+def test_orchestrator_idempotent_and_resumable(spark, dirty_tsv, tmp_path):
+    out = tmp_path / "lake"
+    man = update(spark, dirty_tsv["raw_dir"], str(out))
+    rec = man.files["RCPT_CD"]
+    assert rec.status == "loaded"
+    assert rec.load_count == dirty_tsv["n_good"]
+    assert rec.error_count == dirty_tsv["n_bad"]
+    assert rec.extra["last_action"] == "processed"
+    assert rec.clean_start <= rec.clean_finish <= rec.load_finish
+
+    # loaded artifact is typed parquet
+    lk = spark.read.parquet(str(out / "RCPT_CD"))
+    assert dict(lk.dtypes)["AMOUNT"] == "decimal(14,2)"
+    assert lk.count() == dirty_tsv["n_good"]
+
+    # second run: skip-unchanged, no reprocessing
+    man2 = update(spark, dirty_tsv["raw_dir"], str(out))
+    assert man2.files["RCPT_CD"].extra["last_action"] == "skipped_unchanged"
+
+    # touching the source invalidates the skip
+    os.utime(dirty_tsv["path"])
+    man3 = update(spark, dirty_tsv["raw_dir"], str(out))
+    assert man3.files["RCPT_CD"].extra["last_action"] == "processed"
+
+    # manifest survives reload and feeds the V2 report
+    man4 = Manifest(out / "manifest.json")
+    rep = man4.report_df(spark)
+    row = rep.filter(F.col("file_name") == "RCPT_CD").collect()[0]
+    assert row["status"] == "loaded"
+    assert row["error_pct"] == dirty_tsv["n_bad"] / (
+        dirty_tsv["n_good"] + dirty_tsv["n_bad"]
+    )

@@ -1,0 +1,76 @@
+"""Structured Streaming smoke tests (E23): the streaming window
+aggregations and stateful dedup run for real (availableNow bounded
+drain) and agree with their batch twins on the same input."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from calaspark.streaming import (
+    dedup_stream,
+    read_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+# Watermarks require TIMESTAMP (not NTZ); the session is pinned UTC
+# so wall-clock values are identical either way.
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Small events table as a parquet dir (µs timestamps — the lake
+    layout ingest writes; the raw testdata's TIMESTAMP(NANOS) quirk is
+    a batch-source concern handled in tables.load_table)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3, float(i)) for i in range(100)
+    ]
+    # duplicate a few event_ids for the dedup test
+    rows += [rows[0], rows[1], rows[2]]
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = read_stream(spark, events_dir, SCHEMA)
+    assert stream.isStreaming
+    q = run_available_now(
+        tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+        "t_tumbling",
+    )
+    got = {
+        (r["wstart"], r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("wstart"), "n", "s")
+    )
+    want = {(r["wstart"], r["n"], r["s"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    q.stop()
+
+
+def test_streaming_stateful_dedup(spark, events_dir):
+    stream = read_stream(spark, events_dir, SCHEMA)
+    q = run_available_now(
+        dedup_stream(stream, ["event_id"], watermark="24 hours"),
+        "t_dedup",
+        output_mode="append",
+    )
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
+    n_src = spark.read.parquet(events_dir).count()
+    n_distinct = (
+        spark.read.parquet(events_dir).select("event_id").distinct().count()
+    )
+    assert n_src == n_distinct + 3  # fixture added 3 dupes
+    assert n == n_distinct
+    q.stop()
