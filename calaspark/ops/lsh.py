@@ -1,0 +1,266 @@
+"""LSH operators — the 100 TB-scale near-dup and ANN paths
+(SURVEY.md §2.5 E17/E18; round-1 verdict's top LLM-pipeline gap).
+
+The declared exact queries (q33 Jaccard pairs, q34 cosine top-k) are
+O(n²) / full-scan by definition. These operators are the scale
+substitutes:
+
+- :func:`minhash_signatures` + :func:`minhash_candidate_pairs`:
+  banded MinHash LSH. Docs land in buckets keyed by (band_id,
+  band_hash); only within-bucket pairs are compared, so the pair
+  space is pruned from O(n²) to the collision volume. The shuffle is
+  a plain hash partition on the band key — no cartesian, no
+  broadcast of the corpus, skew bounded by bucket size.
+- :func:`neardup_pairs_lsh`: candidates verified with EXACT Jaccard
+  (join back to token sets) — LSH only prunes, the emitted pairs are
+  exact, so output ⊆ q33's output with recall < 1 (tunable via
+  bands/rows).
+- :func:`hyperplane_buckets` + :func:`ann_topk_lsh`: random-
+  hyperplane (SimHash) buckets for cosine ANN. Sign-bit signatures
+  from FIXED seeded planes (driver-side literals — a few KB broadcast
+  with the plan), candidates from the probe's bucket, exact cosine
+  re-rank on the candidates only.
+
+Everything is built-in `pyspark.sql.functions` expressions —
+signatures are higher-order-function folds over the token/embedding
+arrays inside whole-stage codegen; determinism comes from xxhash64
+and the fixed seed, so results are stable across partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_I64_MAX = (1 << 63) - 1
+
+
+def _dot_lit(e: Column, plane: list[float]) -> Column:
+    """Index-ordered double dot product of an array column with a
+    literal plane vector."""
+    lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(e, lit_plane, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Exact cosine; both sides already double arrays."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# ----------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """id → MinHash signature (array<long> of length ``num_hashes``).
+
+    Hash family: ``xxhash64(i, token)`` — seeding by prepending the
+    hash index as a column, so one JVM hash function yields
+    ``num_hashes`` independent permutation surrogates. Each signature
+    lane is a fold (min) over the token array: pure projection,
+    no explode, no shuffle.
+    """
+    def lane(i: int) -> Column:
+        # closure-bind i: PySpark derives the JVM lambda's arity from
+        # the Python signature, so the fold fn must take exactly 2 args
+        return F.aggregate(
+            F.col(tokens_col),
+            F.lit(_I64_MAX),
+            lambda acc, t: F.least(acc, F.xxhash64(F.lit(i), t)),
+        )
+
+    sig = F.array(*[lane(i) for i in range(num_hashes)])
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff some band of their
+    signatures collides. Returns distinct (id_a < id_b) pairs.
+
+    Plan shape: explode to (band_id, band_hash, id) — ``bands`` rows
+    per doc — then a self-equi-join on the band key. At 100 TB this
+    is the standard shuffle-on-bucket join; skewed buckets (near-
+    identical boilerplate docs) are exactly the pairs we want, and
+    AQE skew-join splits them.
+    """
+    assert bands * rows_per_band <= 64  # keep within a demo signature
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.xxhash64(
+                        F.lit(j),
+                        *[
+                            F.col("sig").getItem(j * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("band_hash"),
+                )
+                for j in range(bands)
+            ]
+        )
+    )
+    b = sigs.select(F.col(id_col), band.alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def neardup_pairs_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded-MinHash candidates, then EXACT Jaccard verification.
+
+    Output: (id_a, id_b, n_inter, n_union, sim) with sim ≥ threshold
+    — a subset of the exact q33 result (LSH recall), produced without
+    ever forming the full pair space. The threshold test is integer
+    arithmetic (no float admission), mirroring q33.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, tokens_col, num_hashes)
+    cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    t = docs.select(
+        F.col(id_col), F.col(tokens_col), F.size(tokens_col).alias("nt")
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col(tokens_col).alias("toks_a"),
+        F.col("nt").alias("nt_a"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(tokens_col).alias("toks_b"),
+        F.col("nt").alias("nt_b"),
+    )
+    j = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    un = F.col("nt_a") + F.col("nt_b") - inter
+    # integer admission: inter/un >= t  ⟺  inter >= t*un (t rational)
+    num, den = int(round(threshold * 10000)), 10000
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_inter"),
+            un.cast("long").alias("n_union"),
+        )
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------- SimHash ANN
+
+
+def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes WITHOUT numpy's global
+    state: xorshift-free LCG on (seed, i, j) folded to [-1, 1).
+    Literal-sized: nbits × dim floats ship inside the plan."""
+    out = []
+    for i in range(nbits):
+        row = []
+        for j in range(dim):
+            h = (seed * 1_000_003 + i * 8191 + j) * 2_654_435_761 % (1 << 32)
+            row.append(h / (1 << 31) - 1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    dim: int = 64,
+    nbits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """id → SimHash bucket (long): sign bits of ``nbits`` fixed
+    hyperplane projections. Cosine-similar vectors collide with high
+    probability; bucket cardinality ≈ n / 2^nbits controls candidate
+    volume. Pure projection — the planes are plan literals."""
+    planes = _planes(dim, nbits, seed)
+    bucket = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(F.col(vec_col), p) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    probe_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 10,
+    dim: int = 64,
+    nbits: int = 12,
+) -> DataFrame:
+    """Approximate top-k neighbors of one probe vector.
+
+    Plan: bucket everything (projection), broadcast the probe's
+    1-row bucket, equi-join on bucket (only the colliding fraction
+    of the corpus is scanned for exact cosine), TopK. At 100 TB with
+    nbits sized so buckets hold ~10⁴ vectors, the exact re-rank
+    touches 10⁻⁵ of the corpus. Recall < 1 (single-probe LSH);
+    multi-probe = union over neighboring buckets.
+    """
+    all_b = hyperplane_buckets(emb, id_col, vec_col, dim, nbits)
+    probe = all_b.filter(F.col(id_col) == probe_id).select(
+        F.col("bucket").alias("bucket"),
+        F.col(vec_col).alias("qe"),
+    )
+    cand = all_b.join(F.broadcast(probe), "bucket")
+    sim = F.round(_cosine(F.col(vec_col), F.col("qe")), 4)
+    return (
+        cand.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,73 @@
+"""Python-boundary demos (SURVEY.md §2.5 E22) — and when NOT to use them.
+
+Rule of thumb at 100 TB: every operator in this engine's hot paths is
+a built-in JVM expression; Python appears ONLY when the semantics are
+genuinely inexpressible with built-ins (custom model scoring, exotic
+tokenizers, binary decoders). Then:
+
+- Arrow-batched ``pandas_udf`` (vectorized, ~10–100× over row-at-a-
+  time Python UDFs) for scalar transforms;
+- Python UDTF for one-row→many-rows expansion with per-row logic;
+- ``mapInPandas`` for whole-partition batch transforms (see
+  :mod:`calaspark.ops.multimodal`).
+
+The functions below are deliberately simple so the demo overhead is
+the measurable thing: the same logic as a built-in expression sits
+next to each, and the built-in wins — that comparison is the point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Type OBJECTS, not DDL strings: string schemas are parsed through the
+# active SparkContext at decoration time, which would make importing
+# this module require a running session.
+_TOKEN_ROW = StructType(
+    [StructField("token", StringType()), StructField("pos", IntegerType())]
+)
+
+
+@pandas_udf(DoubleType())
+def sigmoid_quality_pandas(n_chars: pd.Series) -> pd.Series:
+    """Arrow-vectorized logistic quality score of document length.
+
+    Executes as whole Arrow batches in one Python worker call per
+    batch — the right shape when Python is unavoidable. For THIS
+    formula it is avoidable: see :func:`sigmoid_quality_builtin`,
+    which stays in codegen and should be preferred in real plans.
+    """
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-(n_chars.astype("float64") - 500.0) / 200.0))
+
+
+def sigmoid_quality_builtin(n_chars: str | Column) -> Column:
+    """The same score as a built-in expression (no Python boundary)."""
+    c = F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    return 1.0 / (1.0 + F.exp(-(c.cast("double") - 500.0) / 200.0))
+
+
+@udtf(returnType=_TOKEN_ROW)
+class TokenizeUDTF:
+    """UDTF demo: text → (token, position) rows.
+
+    One-row→many-rows with per-row Python. The built-in equivalent
+    (``posexplode(split(...))``) is what production plans should use;
+    the UDTF form exists for logic explode can't express (stateful
+    tokenizers, model-based segmentation).
+    """
+
+    def eval(self, text: str):  # noqa: D102
+        for i, tok in enumerate((text or "").split()):
+            yield tok, i

@@ -575,3 +575,64 @@ SELECT user_id, session_id,
 FROM s
 GROUP BY user_id, session_id
 """
+
+# Breadth Q37–Q38 (E3 window family, E1 outer/cross joins) ------------
+
+ORACLES["q37"] = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(rank() OVER wp AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+  CAST(ntile(4) OVER wt AS BIGINT) AS quartile,
+  percent_rank() OVER wp AS prnk,
+  cume_dist() OVER wp AS cdist,
+  first_value(o_orderkey) OVER wt AS first_key,
+  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS last_key,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr, 2) AS DOUBLE)
+    AS range_sum
+FROM orders
+WINDOW
+  wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+  wt AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+  wr AS (PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q38"] = """
+WITH hi AS (
+  SELECT o_custkey, COUNT(*) AS n_hi FROM orders
+  WHERE o_totalprice > 250000 GROUP BY o_custkey
+), lo AS (
+  SELECT o_custkey, COUNT(*) AS n_lo FROM orders
+  WHERE o_totalprice < 50000 GROUP BY o_custkey
+)
+SELECT
+  COALESCE(hi.o_custkey, lo.o_custkey) AS o_custkey,
+  COALESCE(n_hi, 0) AS n_hi,
+  COALESCE(n_lo, 0) AS n_lo
+FROM hi FULL OUTER JOIN lo ON hi.o_custkey = lo.o_custkey
+"""
+
+ORACLES["q38_right"] = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(c_custkey) AS n_building,
+  CAST(count_if(c_custkey IS NULL) AS BIGINT) AS n_other
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY o_orderstatus
+"""
+
+ORACLES["q38_cross"] = f"""
+SELECT r_name, o_orderstatus, revenue
+FROM (SELECT r_name FROM region) r
+CROSS JOIN (
+  SELECT o_orderstatus, {_MS.format(c='o_totalprice')} AS revenue
+  FROM orders GROUP BY o_orderstatus
+) s
+"""

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import etl, extensions, relational
+from . import demos, etl, extensions, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -58,4 +58,17 @@ QUERIES: dict[str, QueryFn] = {
     "q34": extensions.q34_cosine_topk,
     "q35": extensions.q35_tumbling_window_batch,
     "q36": extensions.q36_session_window_batch,
+    "q37": extensions.q37_window_battery,
+    "q38": extensions.q38_join_full_outer,
+    "q38_right": extensions.q38_join_right,
+    "q38_cross": extensions.q38_join_cross,
+    # Rows-only demos (no oracle; driver records the weaker check —
+    # SURVEY.md §2.6 rows-only list).
+    "lsh_minhash_pairs": demos.lsh_minhash_pairs,
+    "ann_lsh_topk": demos.ann_lsh_topk,
+    "pandas_udf_quality": demos.pandas_udf_quality,
+    "udtf_tokens": demos.udtf_tokens,
+    "sampling_stratified": demos.sampling_stratified,
+    "approx_sketches": demos.approx_sketches,
+    "multimodal_features": demos.multimodal_features,
 }

@@ -1,0 +1,119 @@
+"""Rows-only demo queries (SURVEY.md §2.6 "rows-only" list: E13, E14,
+E17/E18 at scale, E20, E22, E23 true streaming).
+
+No DuckDB oracle exists for these (hash functions, sketches, Python
+boundaries, streaming runtime) — the driver records the weaker
+rows-only check. Each returns a small, stable-schema DataFrame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ops.lsh import ann_topk_lsh, neardup_pairs_lsh
+from ..ops.multimodal import as_media_table, extract_features
+from ..ops.text import tokens
+from ..ops.udf_demos import TokenizeUDTF, sigmoid_quality_builtin, sigmoid_quality_pandas
+from ..tables import load_table
+
+
+def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 at scale: banded-MinHash near-dup candidates, exact-Jaccard
+    verified (sim ≥ 0.5). Subset of q33's exact output with LSH
+    recall; the plan has NO cartesian — candidates come from a
+    shuffle join on (band_id, band_hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
+    )
+    return neardup_pairs_lsh(docs, threshold=0.5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 at scale: SimHash-bucketed approximate top-10 neighbors of
+    vec_id=0. Only the probe's bucket is exact-cosine ranked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return ann_topk_lsh(e, probe_id=0, k=10)
+
+
+def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: Arrow-vectorized pandas UDF next to its built-in twin —
+    the output shows they agree; the plan shows why the built-in wins
+    (no ArrowEvalPython stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(sigmoid_quality_pandas("n_chars"), 6).alias("score_udf"),
+        F.round(sigmoid_quality_builtin("n_chars"), 6).alias("score_builtin"),
+    )
+
+
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: Python UDTF via SQL lateral join (text → token rows),
+    restricted to 10 docs — the built-in posexplode twin is q29."""
+    d = load_table(spark, sf_dir, "documents")
+    d.orderBy("doc_id").limit(10).createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("calaspark_tokenize", TokenizeUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM _udtf_docs d, LATERAL calaspark_tokenize(d.text) t
+        """
+    )
+
+
+def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: seeded Bernoulli sample + stratified sampleBy, summarized
+    per segment (sample membership is partition-dependent → rows-only)."""
+    c = load_table(spark, sf_dir, "customer")
+    plain = c.sample(fraction=0.1, seed=42)
+    strat = c.sampleBy(
+        "c_mktsegment",
+        {s: f for s, f in zip(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+            [0.05, 0.10, 0.15, 0.20, 0.25],
+        )},
+        seed=42,
+    )
+    a = plain.groupBy("c_mktsegment").agg(F.count("*").alias("n_plain"))
+    b = strat.groupBy("c_mktsegment").agg(F.count("*").alias("n_strat"))
+    return a.join(b, "c_mktsegment", "full_outer").na.fill(0)
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: HLL approx_count_distinct and percentile_approx next to
+    their exact counterparts (error visible in one row)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").alias("nd_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("nd_hll"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: binary-payload media table (document text bytes as the
+    payload stand-in) → mapInPandas feature extraction. The decode
+    plug point is stubbed (no codec libs in container); the Spark
+    plumbing — binary column, meta struct, Arrow batching, output
+    schema — is the real thing."""
+    d = load_table(spark, sf_dir, "documents")
+    media = as_media_table(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_l1"
+        ),
+        F.size("features").alias("feat_dim"),
+    )

@@ -338,3 +338,108 @@ def q36_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ep").alias("sess_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------- Q37
+
+
+def q37_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (E3): rank/dense_rank/ntile/
+    percent_rank/cume_dist/first_value/last_value + a RANGE frame.
+
+    Two windows, ONE shuffle: both partition on o_custkey, so Spark
+    plans a single exchange and two in-partition sorts. The ranked
+    window orders by (o_orderpriority) — real ties, exercising the
+    rank/dense_rank distinction deterministically (tie functions
+    depend only on sort-key values); the frame window orders by
+    o_totalprice with RANGE UNBOUNDED..CURRENT, so ties aggregate
+    together (order-independent → hash-stable).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(wp).cast("long").alias("rnk"),
+        F.dense_rank().over(wp).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+        F.percent_rank().over(wp).alias("prnk"),
+        F.cume_dist().over(wp).alias("cdist"),
+        F.first_value("o_orderkey").over(wt).alias("first_key"),
+        F.last_value("o_orderkey").over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("last_key"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(wr), 2)
+        .cast("double")
+        .alias("range_sum"),
+    )
+
+
+# ---------------------------------------------------------------- Q38
+
+
+def q38_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (E1 breadth): high-value vs low-value order
+    counts per customer — each side misses customers the other has,
+    so null-fill happens in BOTH directions. Shuffle join on the key
+    with partial aggs pushed below — at scale both sides pre-shrink
+    to ≤ one row per customer before the join."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hi"))
+    )
+    lo = (
+        o.filter(F.col("o_totalprice") < 50000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_lo"))
+    )
+    return (
+        hi.join(lo, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_hi", F.lit(0)).alias("n_hi"),
+            F.coalesce("n_lo", F.lit(0)).alias("n_lo"),
+        )
+    )
+
+
+def q38_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (E1 breadth): BUILDING-segment customers
+    right-joined to all orders — non-BUILDING orders keep a NULL
+    customer side; aggregated per orderstatus. Catalyst rewrites
+    right to left with sides swapped; broadcast still applies to the
+    small build side."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "right")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count("c_custkey").alias("n_building"),
+        F.count_if(F.col("c_custkey").isNull()).cast("long").alias("n_other"),
+    )
+
+
+def q38_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (E1 breadth): region × order-status grid with
+    per-region revenue — the legitimate cross-join use (tiny dim ×
+    tiny dim scaffold, BroadcastNestedLoop over 5×3 rows; NEVER a
+    fact×fact shape)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(money_sum("o_totalprice", "revenue"))
+    )
+    return r.crossJoin(F.broadcast(s)).select("r_name", "o_orderstatus", "revenue")

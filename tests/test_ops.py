@@ -82,3 +82,58 @@ def test_topk_latest_running(spark):
     )
     got = {r["id"]: r["rsum"] for r in run.collect()}
     assert got == {1: 10.0, 2: 40.0, 3: 60.0, 4: 5.0}
+
+
+def test_minhash_lsh_subset_property(spark):
+    """LSH candidates verified-exact ⊆ true near-dup pairs; identical
+    docs always collide (every band equal)."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.lsh import neardup_pairs_lsh
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b", "c", "d"]),        # identical to 1
+            (3, ["a", "b", "c", "e"]),        # J=0.6 vs 1
+            (4, ["x", "y", "z", "w"]),        # disjoint
+        ],
+        "doc_id long, toks array<string>",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in neardup_pairs_lsh(docs, threshold=0.5).collect()
+    }
+    assert out.get((1, 2)) == 1.0  # identical pair always found
+    assert all(s >= 0.5 for s in out.values())
+    assert not any(4 in p for p in out)  # disjoint doc never pairs
+
+
+def test_multimodal_feature_plumbing(spark):
+    from calaspark.ops.multimodal import as_media_table, extract_features
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b""), (3, None)],
+        "id long, payload binary",
+    )
+    media = as_media_table(df, "id", "payload")
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert meta[1]["n_bytes"] == 11 and meta[1]["format"] == "raw"
+
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert len(feats[1]["features"]) == 8
+    assert abs(sum(feats[1]["features"]) - 1.0) < 1e-6  # L1-normalized
+    assert feats[2]["features"] == [0.0] * 8
+    assert feats[3]["n_bytes"] == 0
+
+
+def test_decode_stub_raises():
+    import pytest as _pytest
+
+    from calaspark.ops.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
