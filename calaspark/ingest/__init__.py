@@ -8,12 +8,14 @@ The distributed twin of the reference's management commands:
 """
 
 from .clean import CleanResult, clean_line, split_clean, type_table, coverage_stats
+from .download import acquire, download, extract
 from .load import write_clean_csv, write_parquet, write_quarantine, verify_counts
 from .manifest import FileRecord, Manifest
 from .orchestrator import discover, update
 from .schemas import SCHEMAS
 
 __all__ = [
+    "acquire", "download", "extract",
     "CleanResult", "clean_line", "split_clean", "type_table",
     "coverage_stats", "write_clean_csv", "write_parquet",
     "write_quarantine", "verify_counts", "FileRecord", "Manifest",

@@ -636,3 +636,37 @@ CROSS JOIN (
   FROM orders GROUP BY o_orderstatus
 ) s
 """
+
+# Breadth Q39–Q41 (E21 hashing, E10 JSON, E5 multiset ops) ------------
+
+ORACLES["q39"] = """
+SELECT
+  p_partkey,
+  md5(lower(trim(p_name))) AS h_md5,
+  sha256(lower(trim(p_name))) AS h_sha256,
+  CAST(length(lower(trim(p_name))) AS BIGINT) AS n
+FROM part
+"""
+
+ORACLES["q40"] = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_tuple,
+  '{"k":' || json_extract_string(props, '$.k') || '}' AS round_trip
+FROM events
+"""
+
+ORACLES["q41"] = """
+SELECT 'intersect_all' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+)
+UNION ALL
+SELECT 'except_all' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+)
+"""

@@ -62,6 +62,9 @@ QUERIES: dict[str, QueryFn] = {
     "q38": extensions.q38_join_full_outer,
     "q38_right": extensions.q38_join_right,
     "q38_cross": extensions.q38_join_cross,
+    "q39": extensions.q39_hashing,
+    "q40": extensions.q40_json_breadth,
+    "q41": extensions.q41_set_ops_all,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

@@ -443,3 +443,64 @@ def q38_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money_sum("o_totalprice", "revenue"))
     )
     return r.crossJoin(F.broadcast(s)).select("r_name", "o_orderstatus", "revenue")
+
+
+# ---------------------------------------------------------------- Q39
+
+
+def q39_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/fingerprint breadth (E21): md5 + sha2-256 content hashes
+    over normalized part names — the content-addressing primitives of
+    dedup and manifest verification. Pure projection; xxhash64 (no
+    DuckDB twin) is exercised by the LSH rows-only queries."""
+    p = load_table(spark, sf_dir, "part")
+    norm = F.lower(F.trim("p_name"))
+    return p.select(
+        "p_partkey",
+        F.md5(norm).alias("h_md5"),
+        F.sha2(norm, 256).alias("h_sha256"),
+        F.length(norm).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- Q40
+
+
+def q40_json_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON breadth (E10): schema-declared from_json (the scale path —
+    typed once at the scan edge, no repeated string probing),
+    json_tuple (multi-field single-pass extractor), and a to_json
+    round-trip. get_json_object is q28's territory."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    # json_tuple is a generator expression — it must be a top-level
+    # projection item, so extract first and cast in the next select.
+    t = e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.json_tuple("props", "k").alias("k_raw"),
+    )
+    return t.select(
+        "event_id",
+        "k_typed",
+        F.col("k_raw").cast("int").alias("k_tuple"),
+        F.to_json(F.struct(F.col("k_typed").alias("k"))).alias("round_trip"),
+    )
+
+
+# ---------------------------------------------------------------- Q41
+
+
+def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (E5 breadth): intersectAll / exceptAll keep
+    duplicate multiplicity (both lower to aggregate+generate — one
+    shuffle each side, no join explosion); unionByName realigns the
+    differently-ordered branches by column name."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority").startswith("1")).select("o_custkey")
+    ia = a.intersectAll(b).withColumn("tag", F.lit("intersect_all"))
+    ea = a.exceptAll(b).withColumn("tag", F.lit("except_all"))
+    return ia.select("tag", "o_custkey").unionByName(
+        ea.select("o_custkey", "tag")  # reversed order — ByName realigns
+    )

@@ -124,3 +124,53 @@ def test_orchestrator_idempotent_and_resumable(spark, dirty_tsv, tmp_path):
     assert row["error_pct"] == dirty_tsv["n_bad"] / (
         dirty_tsv["n_good"] + dirty_tsv["n_bad"]
     )
+
+
+def test_acquire_zip_end_to_end(spark, dirty_tsv, tmp_path):
+    """S1+S2+full pipeline: zip of dirty TSVs via file:// URL →
+    download (size-verified, idempotent) → extract → clean/type/load."""
+    import zipfile
+
+    from calaspark.ingest import acquire, update
+    from calaspark.ingest.download import download
+
+    src_zip = tmp_path / "src" / "dbwebexport.zip"
+    src_zip.parent.mkdir()
+    with zipfile.ZipFile(src_zip, "w") as zf:
+        # nested path: extract must flatten (and defeat traversal)
+        zf.write(dirty_tsv["path"], "CalAccess/DATA/RCPT_CD.TSV")
+    url = src_zip.as_uri()
+
+    work = tmp_path / "work"
+    info = acquire(url, work)
+    assert info["downloaded"] and len(info["extracted"]) == 1
+    assert info["extracted"][0].endswith("/raw/RCPT_CD.TSV")
+
+    # second download of the same archive is skipped (size match)
+    again = download(url, work / "download.zip")
+    assert again["downloaded"] is False
+
+    man = update(spark, info["raw_dir"], str(work / "lake"))
+    rec = man.files["RCPT_CD"]
+    assert rec.status == "loaded"
+    assert rec.load_count == dirty_tsv["n_good"]
+    assert rec.error_count == dirty_tsv["n_bad"]
+
+
+def test_partitioned_write_prunes(spark, dirty_tsv, tmp_path):
+    """E24: partitionBy write → a FORM_TYPE filter becomes partition
+    pruning (PartitionFilters), not a data filter."""
+    from calaspark.ingest import split_clean, type_table, write_parquet
+    from calaspark.ingest.schemas import RCPT_CD
+
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    typed = type_table(res.good, RCPT_CD)
+    dest = str(tmp_path / "rcpt_part")
+    write_parquet(typed, dest, partition_by=["FORM_TYPE"])
+
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet(dest).filter(F.col("FORM_TYPE") == "A")
+    assert back.count() == dirty_tsv["n_good"]  # fixture is all FORM_TYPE=A
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(FORM_TYPE" in plan
