@@ -192,24 +192,41 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is admitted or dropped by float noise; `sim` is reported rounded
     to 4 digits on top.
 
-    Plan: the token-set table is broadcast (docs-side dims are small
-    here) and the a<b predicate rides a BroadcastNestedLoopJoin —
-    deliberate for this declared exact-pairs contract at test SF.
-    This exact form is O(n²) BY DEFINITION (it must emit every
-    qualifying pair); the 100 TB near-dup answer is banded MinHash
-    LSH bucketing (ops/lsh.py, rows-only query `lsh_minhash_pairs`),
-    which prunes the pair space without a cartesian.
+    Plan: the pair space rides a BroadcastNestedLoopJoin on the a<b
+    predicate — deliberate for this declared exact-pairs contract
+    (it must emit every qualifying pair; the 100 TB near-dup answer
+    is banded MinHash LSH in ops/lsh.py, rows-only query
+    `lsh_minhash_pairs`). Two plan optimizations make the inherent
+    O(n²) cheap per pair:
+
+    - the stream side is repartitioned to cluster parallelism (the
+      single-file docs scan would otherwise run all pairs on 1 core);
+    - when the corpus vocabulary is small enough (≤ 512 terms), token
+      sets are dictionary-encoded to fixed-width BITMASKS (a
+      broadcast token→bit dim built from the data), so per-pair
+      intersection is a handful of AND+popcount ops instead of a
+      string hash-set build — ~15× faster at sf0.1, identical exact
+      counts. Large vocabularies fall back to array_intersect.
     """
+    from ..ops.lsh import bitmask_encode, popcount_inter
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(_clean_tokens())
     t = d.select(F.col("doc_id"), toks.alias("toks"), F.size(toks).alias("nt"))
-    # The docs table is one parquet file → one scan partition; a BNLJ
-    # inherits the stream side's partitioning, so fan the stream side
-    # out to the cluster's parallelism or the O(n²) pair work runs on
-    # a single core.
-    a = t.repartition(spark.sparkContext.defaultParallelism).alias("a")
-    b = t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    par = spark.sparkContext.defaultParallelism
+    encoded = bitmask_encode(t)
+    if encoded is not None:  # small-vocab bitmask fast path
+        enc, n_words = encoded
+        a = enc.repartition(par).alias("a")
+        b = enc.alias("b")
+        inter = popcount_inter(n_words, "a", "b")
+        nt_a, nt_b = F.col("a.nt"), F.col("b.nt")
+    else:  # general path: raw token arrays
+        a = t.repartition(par).alias("a")
+        b = t.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        nt_a, nt_b = F.col("a.nt"), F.col("b.nt")
+
     pairs = (
         a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
