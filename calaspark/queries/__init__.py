@@ -74,4 +74,6 @@ QUERIES: dict[str, QueryFn] = {
     "sampling_stratified": demos.sampling_stratified,
     "approx_sketches": demos.approx_sketches,
     "multimodal_features": demos.multimodal_features,
+    "text_quality": demos.text_quality,
+    "text_langid": demos.text_langid,
 }

@@ -117,3 +117,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("features").alias("feat_dim"),
     )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: per-document quality features (length/punct/digit/stopword
+    ratios + BPE-ish token count) — the cheap pre-filters of a
+    training-data pipeline, all codegen expressions."""
+    from ..ops.text import bpe_ish_count, quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_features(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        bpe_ish_count("text").alias("n_bpe_ish"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        F.round("stopword_ratio_en", 4).alias("stopword_ratio_en"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: stopword-ratio language ID per document, summarized as a
+    (pred_lang × labeled lang) confusion grid."""
+    from ..ops.text import langid_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = langid_scores(d.select("doc_id", "lang", "text"))
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -74,3 +74,28 @@ def test_streaming_stateful_dedup(spark, events_dir):
     assert n_src == n_distinct + 3  # fixture added 3 dupes
     assert n == n_distinct
     q.stop()
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState running totals == batch groupBy on the
+    same bounded input (one availableNow micro-batch)."""
+    from calaspark.streaming import running_totals_stream
+
+    stream = read_stream(spark, events_dir, SCHEMA)
+    q = run_available_now(
+        running_totals_stream(stream), "t_state", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()
+    }
+    assert got == want and len(got) == 3
+    q.stop()
