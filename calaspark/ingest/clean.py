@@ -38,6 +38,14 @@ from ..session import prepare
 #: the text reader). A stray mid-line ``\r`` (split CRLF) is included.
 _CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
 
+#: C2 — encoding normalization: the reference decodes mixed-encoding
+#: state files to clean UTF-8 (csvkit's in2csv step). Spark's text
+#: scan is UTF-8; what survives of other encodings is BOMs and
+#: Windows-1252 punctuation mapped into Unicode — normalize to ASCII
+#: equivalents so downstream string semantics are stable.
+_ENC_FROM = "‘’“”–— ﻿"
+_ENC_TO = "''\"\"-- "  # positional map; BOM past the end → deleted
+
 
 @dataclass(frozen=True)
 class CleanResult:
@@ -53,8 +61,11 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
 
 
 def clean_line(col: str | Column = "value") -> Column:
-    """C3 + C4: trailing-``\\r`` repair, control-char strip."""
+    """C2 + C3 + C4: encoding normalization (BOM strip, Win-1252
+    punctuation → ASCII), trailing-``\\r`` repair, control-char
+    strip. Three codegen string ops, no Python."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, _ENC_FROM, _ENC_TO)
     return F.regexp_replace(F.regexp_replace(c, r"\r$", ""), _CTRL_RE, "")
 
 

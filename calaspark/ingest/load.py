@@ -52,3 +52,20 @@ def verify_counts(
         "n_quarantine": n_quarantine,
         "accounted": n_good + n_quarantine == n_lines_body,
     }
+
+
+def archive_raw(src_path: str, out_dir: str) -> str:
+    """S6 twin: gzip the original raw file into ``out_dir`` (the
+    reference's --keep-files archive of state-published TSVs).
+    Streaming driver-side I/O — one archive per input file, bounded
+    memory."""
+    import gzip
+    import shutil
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    dest = out / (Path(src_path).name + ".gz")
+    with open(src_path, "rb") as fin, gzip.open(dest, "wb") as fout:
+        shutil.copyfileobj(fin, fout, 1 << 20)
+    return str(dest)

@@ -22,7 +22,7 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 from .clean import split_clean, type_table
-from .load import verify_counts, write_parquet, write_quarantine
+from .load import archive_raw, verify_counts, write_parquet, write_quarantine
 from .manifest import Manifest, now
 from .schemas import SCHEMAS
 
@@ -43,12 +43,14 @@ def update(
     out_dir: str,
     manifest_path: str | None = None,
     force: bool = False,
+    keep_files: bool = False,
 ) -> Manifest:
     """Run the full pipeline over every known TSV in ``raw_dir``.
 
     Idempotent: files whose size+mtime match a previously *loaded*
-    manifest entry are skipped (``force=True`` overrides). Returns
-    the saved manifest.
+    manifest entry are skipped (``force=True`` overrides).
+    ``keep_files`` archives each raw TSV as gzip (the reference's
+    --keep-files flag, S6). Returns the saved manifest.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -70,6 +72,8 @@ def update(
             rec.error_count = res.quarantine.count()
             if rec.error_count:
                 write_quarantine(res.quarantine, str(out / f"{name}.errors"))
+            if keep_files:
+                rec.extra["archive"] = archive_raw(src, str(out / "archive"))
             rec.clean_finish = now()
             rec.status = "cleaned"
 

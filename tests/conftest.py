@@ -90,6 +90,8 @@ def dirty_tsv(tmp_path_factory) -> dict:
             AMOUNT="12,34",
             MEMO_CODE="X",
         ),
+        # C2: BOM + Windows-1252 curly quotes / en-dash / NBSP
+        "﻿" + _row(FILING_ID="1774450", CTRIB_NAML="“O’HARA–SMITH” JR"),
     ]
     bad = [
         "ONLY\tTHREE\tFIELDS",  # short row

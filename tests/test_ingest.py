@@ -87,9 +87,10 @@ def test_coverage_report(spark, dirty_tsv):
     # typing can only null values out, never invent them
     for c in RCPT_CD:
         assert tn[c] <= raw[c]
-    # exactly one row had an unparseable date; one had empty date
-    assert raw["RCPT_DATE"] == 5 and tn["RCPT_DATE"] == 4
-    assert raw["MEMO_CODE"] == 5 and tn["MEMO_CODE"] == 4
+    # of 7 good rows: one empty date (raw 6) and one unparseable
+    # (typed nulls one more → 5); same shape for the Y/N flag
+    assert raw["RCPT_DATE"] == 6 and tn["RCPT_DATE"] == 5
+    assert raw["MEMO_CODE"] == 6 and tn["MEMO_CODE"] == 5
 
 
 def test_orchestrator_idempotent_and_resumable(spark, dirty_tsv, tmp_path):
@@ -174,3 +175,26 @@ def test_partitioned_write_prunes(spark, dirty_tsv, tmp_path):
     assert back.count() == dirty_tsv["n_good"]  # fixture is all FORM_TYPE=A
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(FORM_TYPE" in plan
+
+
+def test_encoding_normalization(spark, dirty_tsv):
+    """C2: BOM stripped, curly quotes / en-dash / NBSP → ASCII."""
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    good = {r["FILING_ID"]: r for r in res.good.collect()}
+    # BOM prefixed the line: if not stripped, FILING_ID would be
+    # '﻿1774450' and the row would miss this key.
+    assert good["1774450"]["CTRIB_NAML"] == "\"O'HARA-SMITH\" JR"
+
+
+def test_archive_sink(spark, dirty_tsv, tmp_path):
+    """S6: keep_files gzips the raw source next to the lake output."""
+    import gzip
+
+    from calaspark.ingest import update
+
+    out = tmp_path / "lake"
+    man = update(spark, dirty_tsv["raw_dir"], str(out), keep_files=True)
+    arch = man.files["RCPT_CD"].extra["archive"]
+    assert arch.endswith("RCPT_CD.TSV.gz")
+    with gzip.open(arch, "rt") as f:
+        assert f.read() == open(dirty_tsv["path"]).read()
