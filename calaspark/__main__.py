@@ -1,0 +1,102 @@
+"""CLI — the `manage.py <command>` surface of the reference
+(SURVEY.md §3.1), one subcommand per pipeline phase:
+
+    python -m calaspark update  RAW_DIR OUT_DIR [--force] [--keep-files]
+    python -m calaspark acquire URL WORK_DIR
+    python -m calaspark clean   TSV TABLE OUT_DIR
+    python -m calaspark report  OUT_DIR
+    python -m calaspark query   QID [--sf DIR] [-n N]
+
+`update` is the flagship (`updatecalaccessrawdata` twin): acquire →
+clean → type → load → verify, manifest-resumable. `report` prints the
+V2 coverage DataFrame from the manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="calaspark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    up = sub.add_parser("update", help="full pipeline over a raw dir")
+    up.add_argument("raw_dir")
+    up.add_argument("out_dir")
+    up.add_argument("--force", action="store_true")
+    up.add_argument("--keep-files", action="store_true")
+
+    ac = sub.add_parser("acquire", help="download + extract a zip")
+    ac.add_argument("url")
+    ac.add_argument("work_dir")
+
+    cl = sub.add_parser("clean", help="clean/quarantine one TSV")
+    cl.add_argument("tsv")
+    cl.add_argument("table", help="schema name, e.g. RCPT_CD")
+    cl.add_argument("out_dir")
+
+    rp = sub.add_parser("report", help="coverage report from manifest")
+    rp.add_argument("out_dir")
+
+    qr = sub.add_parser("query", help="run a declared query")
+    qr.add_argument("qid")
+    qr.add_argument("--sf", default="/root/testdata/sf0.01")
+    qr.add_argument("-n", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    # Ownership: getOrCreate may hand us an embedding caller's live
+    # session (tests, notebooks) — only stop what we created.
+    pre_existing = SparkSession.getActiveSession()
+    spark = get_spark(f"calaspark-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "update":
+            from .ingest import update
+
+            man = update(
+                spark,
+                args.raw_dir,
+                args.out_dir,
+                force=args.force,
+                keep_files=args.keep_files,
+            )
+            man.report_df(spark).show(truncate=False)
+        elif args.cmd == "acquire":
+            from .ingest import acquire
+
+            info = acquire(args.url, args.work_dir)
+            print(f"{len(info['extracted'])} files → {info['raw_dir']}")
+        elif args.cmd == "clean":
+            from .ingest import split_clean, write_quarantine
+            from .ingest.load import write_clean_csv
+            from .ingest.schemas import SCHEMAS
+
+            res = split_clean(spark, args.tsv, list(SCHEMAS[args.table]))
+            write_clean_csv(res.good, f"{args.out_dir}/{args.table}.clean")
+            write_quarantine(res.quarantine, f"{args.out_dir}/{args.table}.errors")
+            print(f"good={res.good.count()} quarantined={res.quarantine.count()}")
+        elif args.cmd == "report":
+            from .ingest import Manifest
+
+            Manifest(f"{args.out_dir}/manifest.json").report_df(spark).show(
+                truncate=False
+            )
+        elif args.cmd == "query":
+            from .queries import QUERIES
+
+            QUERIES[args.qid](spark, args.sf).show(args.n, truncate=False)
+        return 0
+    finally:
+        if pre_existing is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

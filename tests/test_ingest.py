@@ -198,3 +198,14 @@ def test_archive_sink(spark, dirty_tsv, tmp_path):
     assert arch.endswith("RCPT_CD.TSV.gz")
     with gzip.open(arch, "rt") as f:
         assert f.read() == open(dirty_tsv["path"]).read()
+
+
+def test_cli_update_and_report(dirty_tsv, tmp_path, capsys):
+    """CLI twin of `manage.py updatecalaccessrawdata` end-to-end."""
+    from calaspark.__main__ import main
+
+    out = tmp_path / "cli_lake"
+    assert main(["update", dirty_tsv["raw_dir"], str(out)]) == 0
+    assert main(["report", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "RCPT_CD" in text and "loaded" in text
