@@ -1,0 +1,105 @@
+"""Connected components over a pair graph — the dedup endgame
+(SURVEY.md §2.5 E15/E17 composition).
+
+Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
+one canonical doc per group of mutual near-dups). That is connected
+components on the similarity graph. Spark has no built-in; the
+distributed classic is iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one shuffle (groupBy on
+vertex); convergence takes O(diameter) iterations — near-dup cluster
+graphs are dense and shallow, so a handful. ``localCheckpoint``
+breaks lineage each round or the plan tree grows exponentially (the
+classic iterative-DataFrame trap at scale).
+
+This is an honest iterative-algorithm demo: driver-side loop, but
+each step is fully distributed and the loop count is bounded by
+graph diameter, not data size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    ``edges`` is undirected input (each pair once, either order).
+    Deterministic: min-label is order-independent.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # candidate label per vertex: min of own and neighbors' labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"), "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster near-dup pairs and elect the canonical survivor
+    (min id) per cluster; singletons survive as themselves.
+
+    Output: (id, cluster, is_canonical) — filter is_canonical for
+    the deduplicated corpus.
+    """
+    comp = connected_components(pairs, src, dst)
+    out = (
+        all_ids.select(F.col(id_col).alias("vertex"))
+        .join(comp, "vertex", "left")
+        .select(
+            F.col("vertex").alias(id_col),
+            F.coalesce("comp", F.col("vertex")).alias("cluster"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster")).cast("int")
+    )

@@ -670,3 +670,18 @@ SELECT 'except_all' AS tag, o_custkey FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
 )
 """
+
+# Q42 — as-of join (DuckDB has native ASOF; exact twin of the
+# union-sentinel operator in ops/asof.py) ----------------------------
+
+ORACLES["q42"] = """
+SELECT
+  l.event_id,
+  l.user_id,
+  CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ep,
+  r.event_id AS click_id,
+  CAST(floor(epoch(r.ts)) AS BIGINT) AS click_ep
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "q39": extensions.q39_hashing,
     "q40": extensions.q40_json_breadth,
     "q41": extensions.q41_set_ops_all,
+    "q42": extensions.q42_asof_join,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,
@@ -76,4 +77,5 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": demos.multimodal_features,
     "text_quality": demos.text_quality,
     "text_langid": demos.text_langid,
+    "dedup_clusters_lsh": demos.dedup_clusters_lsh,
 }

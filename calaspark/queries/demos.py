@@ -151,3 +151,34 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+E17 composition — the full dedup pipeline: banded-MinHash
+    near-dup pairs → connected components (iterative min-label
+    propagation, localCheckpoint per round) → canonical-survivor
+    election. Returns per-cluster sizes; iterative → rows-only."""
+    from ..ops.components import dedup_clusters
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
+    )
+    from ..ops.lsh import neardup_pairs_lsh
+
+    # tighter bands (4×8 vs the default 8×4): at this demo's higher
+    # threshold (0.8) collision probability stays ~90% for true dups
+    # while candidate volume drops sharply — band geometry follows
+    # the threshold, the standard LSH tuning move.
+    pairs = neardup_pairs_lsh(docs, threshold=0.8, num_hashes=32, bands=4)
+    clusters = dedup_clusters(pairs, d, "doc_id")
+    return (
+        clusters.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_canonical").cast("long").alias("n_kept"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("cluster").asc())
+        .limit(20)
+    )

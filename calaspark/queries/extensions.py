@@ -521,3 +521,40 @@ def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ia.select("tag", "o_custkey").unionByName(
         ea.select("o_custkey", "tag")  # reversed order — ByName realigns
     )
+
+
+# ---------------------------------------------------------------- Q42
+
+
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks it, DuckDB has it
+    natively, which makes the oracle exact): each purchase event
+    attaches the user's most recent click at-or-before it.
+
+    Plan (ops/asof.py union-sentinel): one shuffle on user_id + one
+    in-partition sort — linear, no range-join explosion. Output
+    timestamps as floored epoch seconds (rule 2).
+    """
+    from ..ops.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("click_ep"),
+    )
+    j = asof_join(
+        purchases, clicks, key="user_id",
+        payload=["click_id", "click_ep"], tiebreak="click_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("purchase_ep"),
+        "click_id",
+        "click_ep",
+    )

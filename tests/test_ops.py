@@ -137,3 +137,54 @@ def test_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ≤ left.ts; equal-ts matches; no
+    prior right → NULL."""
+    import datetime as dt
+
+    from calaspark.ops.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (1, 11, t(30)), (2, 20, t(5)), (3, 30, t(1))],
+        "user_id long, event_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(20)), (2, 200, t(9))],
+        "user_id long, click_id long, ts timestamp_ntz",
+    )
+    out = {
+        r["event_id"]: r["click_id"]
+        for r in asof_join(
+            left, right, "user_id", payload=["click_id"], tiebreak="click_id"
+        ).collect()
+    }
+    assert out == {
+        10: 100,  # equal ts matches (>= semantics)
+        11: 101,  # latest of the two priors
+        20: None,  # right row is AFTER left → no match
+        30: None,  # key with no right rows at all
+    }
+
+
+def test_connected_components(spark):
+    from calaspark.ops.components import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)],  # {1,2,3}, {5,6}, {9}
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["vertex"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[9] == 9
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9, 42]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in dedup_clusters(edges, ids, "doc_id").collect()}
+    assert out[42] == (42, 1)  # singleton never seen in pairs survives
+    assert out[2] == (1, 0) and out[1] == (1, 1)
