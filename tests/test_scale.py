@@ -63,3 +63,48 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
     # column pruning: the scan reads only the 2 referenced columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join: a hot key's shuffle partition is split at
+    runtime (SortMergeJoin(skew=true) + 'AQEShuffleRead … skewed').
+
+    Two conditions the test documents because they bite in practice:
+    the thresholds must be below the hot partition's size (defaults
+    are 256 MB — tuned down here for local data), and NO downstream
+    operator may require the join's hash partitioning (a groupBy on
+    the join key pins the distribution and disables the split — in
+    that shape, use ops.skew.salted_join instead).
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = (
+            spark.range(2_000_000)
+            .select(F.lit(1).alias("k"), F.col("id").alias("payload"))
+            .unionAll(
+                spark.range(9_900).select(
+                    (F.col("id") % 99 + 2).alias("k"), F.col("id")
+                )
+            )
+        )
+        small = spark.range(1, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        # non-pushable cross-side filter keeps the join unconstrained
+        j = big.join(small, "k").filter((F.col("payload") * F.col("v")) < 0)
+        assert j.collect() == []
+        plan = _plan(j)
+        assert "skew=true" in plan
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
