@@ -335,3 +335,39 @@ def ann_topk_lsh(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    threshold: float = 0.95,
+    dim: int = 64,
+    nbits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SimHash bucketing (E18×E17).
+
+    The vector twin of MinHash near-dup: bucket on sign-bit
+    signatures, exact-cosine only within buckets (id_a < id_b), keep
+    pairs ≥ threshold. Recall < 1 by construction (cosine-similar
+    pairs collide with probability (1 - θ/π)^nbits); the pair space
+    never materializes across buckets — the same
+    shuffle-on-bucket-key plan as the text LSH.
+    """
+    b = hyperplane_buckets(emb, id_col, vec_col, dim, nbits)
+    l = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("ea"),
+    )
+    r = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+    )
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

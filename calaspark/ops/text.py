@@ -116,3 +116,23 @@ def fingerprint(text: str | Column) -> Column:
     (lowercase, collapsed whitespace) — the exact-dedup key."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) — the standard dedup unit
+    (word tokens alone under-segment; character/word shingles catch
+    local rewrites). Pure higher-order expression: for token count T
+    produces T-n+1 shingles via sequence+transform, no explode.
+
+    Feed `array_distinct(shingles(...))` to MinHash/Jaccard exactly
+    like token sets (`calaspark.ops.lsh`).
+    """
+    toks = tokens(text)
+    # sequence(1, 0) errors — guard the too-short case to empty array
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -78,4 +78,5 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": demos.text_quality,
     "text_langid": demos.text_langid,
     "dedup_clusters_lsh": demos.dedup_clusters_lsh,
+    "embedding_neardup": demos.embedding_neardup,
 }

@@ -182,3 +182,29 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("cluster").asc())
         .limit(20)
     )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17×E18: embedding-cosine near-dup pairs (sim ≥ 0.95) via
+    SimHash buckets — exact cosine only within buckets.
+
+    The testdata embeddings are near-random (max pairwise cosine
+    ≈ 0.51 — no natural near-dups), so like q32 this synthesizes the
+    duplicates: each vector is unioned with a deterministically
+    perturbed copy (2% rotated-component bleed, cosine ≈ 0.999).
+    The operator then finds those pairs without any cartesian —
+    candidates come only from SimHash bucket collisions (recall < 1:
+    a perturbed twin whose sign bit flips lands elsewhere)."""
+    from ..ops.lsh import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
+    pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
+    dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
+    return (
+        embedding_neardup_pairs(e.unionAll(dup), threshold=0.95)
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+    )

@@ -188,3 +188,31 @@ def test_connected_components(spark):
            for r in dedup_clusters(edges, ids, "doc_id").collect()}
     assert out[42] == (42, 1)  # singleton never seen in pairs survives
     assert out[2] == (1, 0) and out[1] == (1, 1)
+
+
+def test_shingles(spark):
+    from calaspark.ops.text import shingles
+
+    df = spark.range(1).select(F.lit("a b c d").alias("t"))
+    got = df.select(shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]
+    # short text → no shingles, not an error
+    short = spark.range(1).select(F.lit("a b").alias("t"))
+    assert short.select(shingles("t", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_embedding_neardup_pairs(spark):
+    from calaspark.ops.lsh import embedding_neardup_pairs
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # ~identical to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in embedding_neardup_pairs(df, threshold=0.95, dim=4, nbits=4).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 0.999
+    assert not any(3 in p for p in out)
