@@ -79,4 +79,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_langid": demos.text_langid,
     "dedup_clusters_lsh": demos.dedup_clusters_lsh,
     "embedding_neardup": demos.embedding_neardup,
+    "ngram_neardup": demos.ngram_neardup,
+    "tfidf_topterms": demos.tfidf_topterms,
 }

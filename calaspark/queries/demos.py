@@ -208,3 +208,47 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_pairs(e.unionAll(dup), threshold=0.95)
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
     )
+
+
+def ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17/E19: n-gram (3-shingle) Jaccard near-dup pairs via banded
+    MinHash — the standard dedup unit (word shingles catch local
+    rewrites that bag-of-words misses). Same LSH plan as
+    lsh_minhash_pairs, over shingle sets."""
+    from ..ops.lsh import neardup_pairs_lsh
+    from ..ops.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("toks")
+    )
+    return neardup_pairs_lsh(docs, threshold=0.5)
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: TF-IDF — tf (term count in doc), df (docs containing
+    term), tfidf = tf·ln(N/df); global top-20 (doc, term) pairs.
+    ln() is libm-dependent across engines → rows-only; everything
+    else is integer-exact. Two aggregations, one self-join on term
+    (broadcast: |vocab| rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    out = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    return out.orderBy(
+        F.col("tfidf").desc(), "doc_id", "term"
+    ).limit(20)
