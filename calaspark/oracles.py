@@ -685,3 +685,56 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+# Q43 — unpivot keeps zero-count cells, so the oracle builds the same
+# dense day×event_type grid the melted pivot matrix has ------------
+
+ORACLES["q43"] = """
+WITH days AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+), types(event_type) AS (
+  VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+), counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM days d
+CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+ORACLES["q44"] = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+    AS gid,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# Q45 — list_sum folds to HUGEINT and of [] to NULL in DuckDB; both
+# normalized (CAST AS BIGINT, COALESCE 0) to match Spark's fold ----
+
+ORACLES["q45"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS BIGINT) AS n_toks,
+  array_to_string(list_sort(list_distinct(toks))[1:3], '-') AS first3,
+  list_contains(toks, 'the') AS has_the,
+  (len(list_intersect(toks, ['the', 'a', 'of'])) > 0) AS has_stop,
+  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+       AS BIGINT) AS total_chars
+FROM t
+"""

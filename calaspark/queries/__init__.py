@@ -66,6 +66,9 @@ QUERIES: dict[str, QueryFn] = {
     "q40": extensions.q40_json_breadth,
     "q41": extensions.q41_set_ops_all,
     "q42": extensions.q42_asof_join,
+    "q43": extensions.q43_unpivot_events,
+    "q44": extensions.q44_grouping_sets,
+    "q45": extensions.q45_array_funcs,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

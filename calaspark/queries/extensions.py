@@ -558,3 +558,92 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_ep",
     )
+
+
+# ---------------------------------------------------------------- Q43
+
+
+def q43_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (E12's second half): the q30 wide day×event_type
+    count matrix melted back to long form with `DataFrame.unpivot`
+    (SQL `UNPIVOT` / melt). Zero-count cells survive the round-trip —
+    that is the semantic difference vs a plain groupBy, and the
+    oracle builds the same dense day×type grid to match.
+
+    100 TB: unpivot is a generator projection (each input row emits
+    |value columns| output rows, no shuffle); the only shuffle is the
+    upstream pivot groupBy. Wide→long at scale beats re-reading the
+    fact table when the wide matrix is already materialized.
+    """
+    wide = q30_pivot_events(spark, sf_dir).select(
+        "day", *[F.col(f"n_{t}").alias(t) for t in EVENT_TYPES]
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+# ---------------------------------------------------------------- Q44
+
+
+def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (E2 breadth beyond rollup/cube): exactly the
+    three aggregation levels ((status), (priority), ()) — the shape
+    rollup/cube can't express — plus `grouping()` flags to tag which
+    level each row belongs to.
+
+    100 TB: Spark plans grouping sets as a single Expand + one
+    hash-aggregate pass (one shuffle), not one job per set — the
+    Expand multiplies rows by |sets| before partial aggregation, so
+    partial aggs still collapse per-level on the map side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            # grouping() is only legal inside the grouping-sets agg
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q45
+
+
+def q45_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function breadth (E11): sort/distinct/
+    slice/join, `array_contains`, `arrays_overlap`, and a
+    higher-order `aggregate` fold with a `transform` inside — all
+    JVM-side codegen'd expressions over the documents token arrays.
+
+    100 TB: pure projection — no shuffle, no explode blowup (the
+    fold aggregates in-row), predicate-pushdown-friendly scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _clean_tokens()
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of")])
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "-"
+        ).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.arrays_overlap(toks, stop).alias("has_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
