@@ -55,6 +55,9 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the changed flag INSIDE the checkpointed frame: the
+        # convergence probe then reads materialized rows instead of
+        # paying a labels⋈new_labels comparison job every round
         new_labels = (
             labels.join(nbr, "v", "left")
             .select(
@@ -62,17 +65,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                F.coalesce(
+                    F.col("nbr_comp") < F.col("comp"), F.lit(False)
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("v", "comp")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), "comp")

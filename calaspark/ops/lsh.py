@@ -210,6 +210,7 @@ def neardup_pairs_lsh(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    use_bitmask: bool = True,
 ) -> DataFrame:
     """Banded-MinHash candidates, then EXACT Jaccard verification.
 
@@ -217,11 +218,16 @@ def neardup_pairs_lsh(
     — a subset of the exact q33 result (LSH recall), produced without
     ever forming the full pair space. The threshold test is integer
     arithmetic (no float admission), mirroring q33.
+
+    ``use_bitmask=False`` skips the bitmask-dictionary probe — callers
+    whose token space is known to dwarf the 512-term cap (e.g. n-gram
+    shingles: |vocab| ≈ corpus-unique shingles) avoid paying a full
+    explode+distinct vocabulary job just to learn "too big".
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, tokens_col, num_hashes)
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    encoded = bitmask_encode(docs, id_col, tokens_col)
+    encoded = bitmask_encode(docs, id_col, tokens_col) if use_bitmask else None
     if encoded is not None:  # small-vocab fast path for verification
         enc, n_words = encoded
         a = enc.withColumnRenamed(id_col, "id_a").alias("va")
@@ -355,18 +361,34 @@ def embedding_neardup_pairs(
     shuffle-on-bucket-key plan as the text LSH.
     """
     b = hyperplane_buckets(emb, id_col, vec_col, dim, nbits)
+    # Precompute each vector's norm ONCE (n folds) instead of folding
+    # both self-dots inside every pair (3 folds/pair → 1 fold/pair —
+    # the pair volume dwarfs n, so this is the dominant-term fix).
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    b = b.withColumn("nrm", nrm)
     l = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("na"),
     )
     r = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = _cosine(F.col("ea"), F.col("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= threshold)

@@ -15,7 +15,7 @@ from ..ops.lsh import ann_topk_lsh, neardup_pairs_lsh
 from ..ops.multimodal import as_media_table, extract_features
 from ..ops.text import tokens
 from ..ops.udf_demos import TokenizeUDTF, sigmoid_quality_builtin, sigmoid_quality_pandas
-from ..tables import load_table
+from ..tables import load_table, spread
 
 
 def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,7 +23,7 @@ def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified (sim ≥ 0.5). Subset of q33's exact output with LSH
     recall; the plan has NO cartesian — candidates come from a
     shuffle join on (band_id, band_hash)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
     )
@@ -33,7 +33,7 @@ def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18 at scale: SimHash-bucketed approximate top-10 neighbors of
     vec_id=0. Only the probe's bucket is exact-cosine ranked."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -158,21 +158,49 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs → connected components (iterative min-label
     propagation, localCheckpoint per round) → canonical-survivor
     election. Returns per-cluster sizes; iterative → rows-only."""
-    from ..ops.components import dedup_clusters
+    from ..ops.components import connected_components
     from ..ops.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
+    docs = spread(d).select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text", " "))).alias("toks")
     )
     from ..ops.lsh import neardup_pairs_lsh
 
-    # tighter bands (4×8 vs the default 8×4): at this demo's higher
-    # threshold (0.8) collision probability stays ~90% for true dups
-    # while candidate volume drops sharply — band geometry follows
-    # the threshold, the standard LSH tuning move.
-    pairs = neardup_pairs_lsh(docs, threshold=0.8, num_hashes=32, bands=4)
-    clusters = dedup_clusters(pairs, d, "doc_id")
+    # Stage 1 — EXACT collapse before near-dup (the textbook pipeline
+    # order): identical token sets form Jaccard-1 cliques, so feeding
+    # them to LSH inflates the pair graph quadratically in clique
+    # size. One linear groupBy elects a representative per distinct
+    # set instead. Components are provably unchanged: identical sets
+    # share every band hash, so their edges were guaranteed anyway.
+    # (At 100 TB, group on a set fingerprint — xxhash64 of the sorted
+    # tokens — so the shuffle carries 8 bytes, not the array.)
+    groups = docs.groupBy("toks").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "toks")
+    rep_map = docs.join(groups, "toks").select("doc_id", "rep_id")
+
+    # Stage 2 — banded MinHash over representatives only. Tighter
+    # bands (4×8 vs the default 8×4): at this demo's higher threshold
+    # (0.8) collision probability stays ~90% for true dups while
+    # candidate volume drops sharply — band geometry follows the
+    # threshold, the standard LSH tuning move.
+    pairs = neardup_pairs_lsh(rep_docs, threshold=0.8, num_hashes=32, bands=4)
+
+    # Stage 3 — connected components on the representative graph,
+    # then broadcast labels back through the doc→rep map. Cluster id
+    # = min doc id reachable (reps are per-set minima, so the global
+    # cluster minimum is always a representative).
+    comp = connected_components(pairs)
+    clusters = (
+        rep_map.join(
+            comp, rep_map["rep_id"] == comp["vertex"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("rep_id")).alias("cluster"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster")).cast("int"))
+    )
     return (
         clusters.groupBy("cluster")
         .agg(
@@ -197,7 +225,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a perturbed twin whose sign bit flips lands elsewhere)."""
     from ..ops.lsh import embedding_neardup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -218,11 +246,13 @@ def ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.lsh import neardup_pairs_lsh
     from ..ops.text import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("toks")
     )
-    return neardup_pairs_lsh(docs, threshold=0.5)
+    # shingle vocab ≈ unique 3-grams of the corpus — far past the
+    # bitmask cap; skip the dictionary probe job outright
+    return neardup_pairs_lsh(docs, threshold=0.5, use_bitmask=False)
 
 
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,3 +48,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from . import TABLES
 
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance to full parallelism BEFORE a CPU-heavy
+    per-row projection (tokenize/shingle/hash-fold).
+
+    Why: a single parquet file scans as ONE input split, so every
+    expression above it runs on one core. At cluster scale the same
+    hazard appears whenever upstream produced few/large files. The
+    fix is one cheap shuffle of the *raw* rows (narrow columns, no
+    computed state) so the expensive projection — which costs orders
+    of magnitude more CPU than the row transfer — runs on every core.
+    Downstream lineage branches (LSH builds signatures AND verify
+    sides from the same input) each recompute through this exchange,
+    staying parallel without caching the corpus.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
