@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..ops.windows import latest_per_key
 from ..tables import load_table
-from ._util import money_sum, ts_str
+from ._util import dec, money_sum, ts_str
 
 #: Fixed pivot column set for q30 (the testdata's event_type domain,
 #: enumerated once — both engines use the identical ordered list, as
@@ -596,13 +596,19 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     level each row belongs to.
 
     100 TB: Spark plans grouping sets as a single Expand + one
-    hash-aggregate pass (one shuffle), not one job per set — the
-    Expand multiplies rows by |sets| before partial aggregation, so
-    partial aggs still collapse per-level on the map side.
+    hash-aggregate pass (one shuffle) — but the Expand multiplies
+    input rows by |sets|, so (as in q14/q15) the fact table is
+    pre-aggregated to the base grain first and the Expand runs over
+    ≤|groups| partial rows. Decimal partials stay unrounded so the
+    re-aggregation is exact.
     """
     o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("o_totalprice")).alias("pt"),
+    )
     return (
-        o.groupingSets(
+        base.groupingSets(
             [["o_orderstatus"], ["o_orderpriority"], []],
             "o_orderstatus",
             "o_orderpriority",
@@ -612,8 +618,8 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
             ).cast("long").alias("gid"),
-            F.count("*").alias("n"),
-            money_sum("o_totalprice", "revenue"),
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pt"), 2).cast("double").alias("revenue"),
         )
     )
 

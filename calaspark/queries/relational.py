@@ -323,15 +323,29 @@ def q13_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with GROUPING_ID subtotal tags (E2)."""
+    """ROLLUP with GROUPING_ID subtotal tags (E2).
+
+    Two-phase: pre-aggregate to the base (flag, status) level FIRST,
+    then rollup the ≤|groups| partials. A direct rollup Expands every
+    fact row ×3 before partial aggregation; pre-aggregation makes the
+    Expand run on the tiny grouped frame instead — the rewrite
+    Catalyst does not do itself, and the difference at 100 TB is the
+    whole fact table shuffled 3× vs once. Decimal partials stay
+    unrounded so re-aggregation is exact (sums are associative).
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("pq"),
+        F.sum(dec("l_extendedprice")).alias("pb"),
+        F.count(F.lit(1)).alias("pn"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            money_sum("l_quantity", "sum_qty"),
-            money_sum("l_extendedprice", "sum_base_price"),
-            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("pq"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("pb"), 2).cast("double").alias("sum_base_price"),
+            F.sum("pn").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "sum_base_price", "n")
     )
@@ -341,14 +355,20 @@ def q14_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over status × priority (E2)."""
+    """CUBE over status × priority (E2) — same two-phase shape as
+    q14: base-level pre-aggregation, then the ×4 Expand runs over
+    ≤|groups| partial rows instead of the whole fact table."""
     o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec("o_totalprice")).alias("pt"),
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        base.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            money_sum("o_totalprice", "total"),
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pt"), 2).cast("double").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )

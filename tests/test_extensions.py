@@ -104,3 +104,70 @@ def test_q33_threshold_is_integer_exact(spark):
     """3·inter ≥ inter+union ⟺ Jaccard ≥ 0.5 on representative sets."""
     for inter, union in [(1, 2), (1, 3), (2, 4), (3, 10), (5, 10), (0, 7)]:
         assert (3 * inter >= union + inter) == (inter / union >= 0.5)
+
+
+def test_q43_unpivot_roundtrip(spark):
+    """Unpivot of the pivot matrix must agree with a direct groupBy
+    wherever counts are nonzero, and pad zeros elsewhere."""
+    from calaspark.queries.extensions import q43_unpivot_events
+    from calaspark.tables import load_table
+
+    long = q43_unpivot_events(spark, SF_SMOKE)
+    direct = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .count()
+    )
+    got = {(r["day"], r["event_type"]): r["n"] for r in long.collect()}
+    want = {(r["day"], r["event_type"]): r["count"] for r in direct.collect()}
+    for k, v in want.items():
+        assert got[k] == v
+    zeros = set(got) - set(want)
+    assert all(got[k] == 0 for k in zeros)
+    n_days = len({d for d, _ in got})
+    assert len(got) == n_days * 5  # dense day×type grid
+
+
+def test_q44_grouping_sets_levels(spark):
+    """Each grouping-sets level must reproduce its standalone twin,
+    and the () row must equal the global aggregate."""
+    from calaspark.queries.extensions import q44_grouping_sets
+    from calaspark.tables import load_table
+
+    rows = q44_grouping_sets(spark, SF_SMOKE).collect()
+    o = load_table(spark, SF_SMOKE, "orders")
+    by_status = {
+        r["o_orderstatus"]: r["count"]
+        for r in o.groupBy("o_orderstatus").count().collect()
+    }
+    got_status = {
+        r["o_orderstatus"]: r["n"] for r in rows if r["gid"] == 1
+    }
+    assert got_status == by_status
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["n"] == o.count()
+
+
+def test_q45_array_funcs_spot(spark):
+    """Spot-check the higher-order fold against Python on one doc."""
+    from calaspark.queries.extensions import q45_array_funcs
+    from calaspark.tables import load_table
+
+    row = (
+        q45_array_funcs(spark, SF_SMOKE)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    text = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]["text"]
+    )
+    toks = [t for t in text.split(" ") if t]
+    assert row["n_toks"] == len(toks)
+    assert row["total_chars"] == sum(len(t) for t in toks)
+    assert row["first3"] == "-".join(sorted(set(toks))[:3])
+    assert row["has_the"] == ("the" in toks)
