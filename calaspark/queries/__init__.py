@@ -83,5 +83,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters_lsh": demos.dedup_clusters_lsh,
     "embedding_neardup": demos.embedding_neardup,
     "ngram_neardup": demos.ngram_neardup,
+    "simhash_neardup": demos.simhash_neardup,
     "tfidf_topterms": demos.tfidf_topterms,
 }

@@ -244,11 +244,21 @@ def ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites that bag-of-words misses). Same LSH plan as
     lsh_minhash_pairs, over shingle sets."""
     from ..ops.lsh import neardup_pairs_lsh
-    from ..ops.text import shingles
+    from ..ops.text import with_shingle_hashes
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    docs = d.select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("toks")
+    # hashed shingles (array<long>): set-equivalent to the string
+    # form for Jaccard/MinHash, with no per-shingle string allocation
+    # materialize the hashed-shingle corpus ONCE (array<long> — the
+    # compact form a 100 TB pipeline persists before multi-pass LSH):
+    # signature build + both verify sides then read it instead of
+    # re-tokenizing 3×, and no giant interpreted expression is left
+    # under the downstream explode/aggregate for the optimizer to
+    # clone into constraints
+    docs = (
+        with_shingle_hashes(d.select("doc_id", "text"), n=3)
+        .select("doc_id", F.array_distinct("toks").alias("toks"))
+        .localCheckpoint()
     )
     # shingle vocab ≈ unique 3-grams of the corpus — far past the
     # bitmask cap; skip the dictionary probe job outright
@@ -282,3 +292,29 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("tfidf").desc(), "doc_id", "term"
     ).limit(20)
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 breadth: classic TEXT SimHash near-dup (Charikar) — the
+    third dedup family next to MinHash-Jaccard and embedding-cosine.
+    64-bit fingerprints from per-bit token votes; banded into 4×16-bit
+    exact-match keys, so recall for Hamming ≤ 3 is EXACT (pigeonhole),
+    unlike MinHash's probabilistic recall. Verification is one
+    bit_count(xor) per candidate — no token arrays cross the shuffle.
+    """
+    from ..ops.lsh import simhash_neardup_pairs
+    from ..ops.text import with_shingle_hashes
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # 3-gram shingles, not bag-of-words: SimHash needs enough features
+    # that unrelated docs disagree on most bits (small word vocabs
+    # make everything collide); hashed form — SimHash only rehashes
+    docs = (
+        with_shingle_hashes(d.select("doc_id", "text"), n=3)
+        .select("doc_id", F.array_distinct("toks").alias("toks"))
+        .localCheckpoint()  # same materialize-once rationale as ngram_neardup
+    )
+    return (
+        simhash_neardup_pairs(docs, max_hamming=3)
+        .orderBy("hamming", "id_a", "id_b")
+    )
