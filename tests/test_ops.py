@@ -216,3 +216,53 @@ def test_embedding_neardup_pairs(spark):
            for r in embedding_neardup_pairs(df, threshold=0.95, dim=4, nbits=4).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 0.999
     assert not any(3 in p for p in out)
+
+
+def test_simhash_neardup(spark):
+    """Identical sets → Hamming 0; one-token deltas on a large set →
+    small Hamming, found by the banded pairs; disjoint sets → absent."""
+    from calaspark.ops.lsh import simhash64, simhash_neardup_pairs
+
+    base = [f"tok{i}" for i in range(200)]
+    rows = [
+        (1, base),
+        (2, list(base)),                    # exact dup of 1
+        (3, base[:-1] + ["novel"]),         # 1-token swap vs 1
+        (4, [f"other{i}" for i in range(200)]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    ham14 = bin((sh[1] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert all(ham <= 3 for ham in pairs.values())
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_with_shingle_hashes_set_equivalence(spark):
+    """Hashed shingles must induce the same distinct-set SIZES and the
+    same equality relation as string shingles."""
+    from calaspark.ops.text import shingles, with_shingle_hashes
+
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = {
+        r["doc_id"]: tuple(r["toks"])
+        for r in with_shingle_hashes(df, n=3).collect()
+    }
+    strs = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()
+    }
+    assert hashed[1] == hashed[2]
+    assert hashed[1] != hashed[3]
+    for k in hashed:
+        assert len(hashed[k]) == len(strs[k])
