@@ -738,3 +738,18 @@ SELECT
        AS BIGINT) AS total_chars
 FROM t
 """
+
+# Q46 — the map stays inside the Spark row; the oracle recomputes
+# each lookup from the source columns, so map build+lookup round-trip
+# is what is actually verified -------------------------------------
+
+ORACLES["q46"] = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  event_type AS type_val,
+  CAST(2 AS BIGINT) AS n_keys,
+  TRUE AS has_type,
+  'k,type' AS keys_sorted
+FROM events
+"""

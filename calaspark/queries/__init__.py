@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     "q43": extensions.q43_unpivot_events,
     "q44": extensions.q44_grouping_sets,
     "q45": extensions.q45_array_funcs,
+    "q46": extensions.q46_map_funcs,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

@@ -653,3 +653,36 @@ def q45_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------- Q46
+
+
+def q46_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function breadth (E11 companion): build a map from a
+    delimited string (`str_to_map` — the classic log/KV parse), then
+    exercise `element_at` lookup, `map_keys`, `size`, and
+    `map_contains_key`. The map never leaves the row (scalar
+    outputs), so the oracle verifies every lookup against the same
+    values derived from the source columns directly.
+
+    100 TB: all map construction/lookup is per-row codegen'd
+    expression work — no shuffle, no UDF; exactly how ad-hoc KV
+    payloads should be cracked before a columnar rewrite.
+    """
+    e = load_table(spark, sf_dir, "events")
+    kv = F.concat(
+        F.lit("k="),
+        F.get_json_object("props", "$.k"),
+        F.lit(",type="),
+        F.col("event_type"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.map_contains_key(m, "type").alias("has_type"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
