@@ -49,10 +49,17 @@ _ENC_TO = "''\"\"-- "  # positional map; BOM past the end → deleted
 
 @dataclass(frozen=True)
 class CleanResult:
-    """Outcome of one clean pass (the reference's per-file log row)."""
+    """Outcome of one clean pass (the reference's per-file log row).
+
+    ``body`` is the cleaned non-header line frame BEFORE the
+    good/quarantine split — the V1 verifier counts it independently,
+    so ``|good| + |quarantine| == |body|`` is a real accounting check
+    (not derivable from the other two counts).
+    """
 
     good: DataFrame
     quarantine: DataFrame
+    body: DataFrame
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -101,7 +108,9 @@ def split_clean(
             F.lit("field count "), F.col("_nf"), F.lit(" != "), F.lit(n)
         ).alias("reason"),
     )
-    return CleanResult(good=good, quarantine=quarantine)
+    return CleanResult(
+        good=good, quarantine=quarantine, body=body.select("line")
+    )
 
 
 # ---------------------------------------------------------------- typing

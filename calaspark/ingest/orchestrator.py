@@ -67,8 +67,12 @@ def update(
             rec.clean_start, rec.status = now(), "pending"
             res = split_clean(spark, src, list(schema))
             good = type_table(res.good, schema)
-            # One pass per side; counts are the reference's per-phase
-            # row accounting (V1).
+            # V1 accounting inputs, each measured INDEPENDENTLY:
+            # body lines from the pre-split cleaned frame, quarantine
+            # from its own side, load count from the parquet read-back
+            # — so good + quarantine == body is a real gate, not an
+            # identity of derived numbers.
+            rec.n_body_lines = res.body.count()
             rec.error_count = res.quarantine.count()
             if rec.error_count:
                 write_quarantine(res.quarantine, str(out / f"{name}.errors"))
@@ -82,7 +86,6 @@ def update(
             write_parquet(good, dest)
             rec.load_count = spark.read.parquet(dest).count()
             rec.clean_count = rec.load_count
-            rec.n_body_lines = rec.clean_count + rec.error_count
             rec.load_finish = now()
             v = verify_counts(rec.n_body_lines, rec.clean_count, rec.error_count)
             if not v["accounted"]:

@@ -9,11 +9,13 @@ is the UNION-SENTINEL pattern:
 
 1. tag and union both sides (right rows carry their payload, left
    rows carry NULL payload),
-2. one window per key ordered by (ts, tag) with
-   ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING..
-   CURRENT ROW — each left row picks up the latest right payload at
-   or before it,
-3. filter back to left rows.
+2. one window per key ordered by (ts, tag) with a single
+   ``last(struct(payload...), ignorenulls=True)`` over UNBOUNDED
+   PRECEDING..CURRENT ROW — each left row picks up the latest right
+   row's payload ATOMICALLY (the whole struct comes from one right
+   row, so a NULL payload column in the matched right row stays NULL
+   instead of being back-filled from an older right row),
+3. filter back to left rows and unpack the struct.
 
 Cost: ONE shuffle on the key + an in-partition sort — the same as
 any window, linear in |left|+|right|, no join explosion, AQE-safe.
@@ -50,31 +52,45 @@ def asof_join(
     if payload is None:
         payload = [c for c in right.columns if c not in (key, right_ts)]
 
+    # Pack the whole right payload into ONE struct column so the window's
+    # single last(ignorenulls=True) attaches the matched right row
+    # atomically. Per-column last() would skip a legitimately-NULL payload
+    # column in the most recent right row and stitch values from DIFFERENT
+    # right rows — wrong for nullable payloads.
     lhs = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rhs = right.withColumn("_tag", F.lit(0)).withColumn("_ats", F.col(right_ts))
-    rhs_cols = [key, "_ats", "_tag"] + payload
-    lhs_all = lhs.select(
-        *left.columns, "_ats", "_tag", *[F.lit(None).alias(c) for c in payload]
+    tb = [F.col(tiebreak).alias("_tb")] if tiebreak is not None else []
+    rhs_pack = rhs.select(
+        key,
+        "_ats",
+        "_tag",
+        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+        *tb,
     )
-    u = lhs_all.unionByName(rhs.select(*rhs_cols), allowMissingColumns=True)
+    lhs_all = lhs.select(
+        *left.columns,
+        "_ats",
+        "_tag",
+        F.lit(None).cast(rhs_pack.schema["_payload"].dataType).alias("_payload"),
+        *([F.lit(None).alias("_tb")] if tiebreak is not None else []),
+    )
+    u = lhs_all.unionByName(rhs_pack, allowMissingColumns=True)
 
     order = [F.col("_ats").asc(), F.col("_tag").asc()]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        # only orders right rows among themselves at equal ts (left
+        # rows all carry NULL and already sort after right via _tag)
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+        "*", F.last("_payload", ignorenulls=True).over(w).alias("_asof")
     )
     out = filled.filter(F.col("_tag") == 1).select(
         *left.columns,
-        *[F.col(f"_asof_{c}").alias(c) for c in payload],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload],
     )
     return out

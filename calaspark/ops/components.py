@@ -10,8 +10,10 @@ distributed classic is iterative min-label propagation:
 
 repeated until fixpoint. Each iteration is one shuffle (groupBy on
 vertex); convergence takes O(diameter) iterations — near-dup cluster
-graphs are dense and shallow, so a handful. ``localCheckpoint``
-breaks lineage each round or the plan tree grows exponentially (the
+graphs are dense and shallow, so a handful. Lineage is cut each
+round via :func:`calaspark.ops.materialize.materialize` (reliable
+``checkpoint()`` when the session has a checkpoint dir, else
+``localCheckpoint``) or the plan tree grows exponentially (the
 classic iterative-DataFrame trap at scale).
 
 This is an honest iterative-algorithm demo: driver-side loop, but
@@ -21,8 +23,12 @@ graph diameter, not data size.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from .materialize import materialize
 
 
 def connected_components(
@@ -35,19 +41,24 @@ def connected_components(
 
     ``edges`` is undirected input (each pair once, either order).
     Deterministic: min-label is order-independent.
+
+    Warns (without truncating the partial result) if labels have not
+    converged after ``max_iter`` rounds — a graph with diameter >
+    ``max_iter`` (e.g. a long near-dup chain) would otherwise return
+    silently-wrong components with no signal to the caller.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = materialize(sym.distinct())
 
-    labels = (
+    labels = materialize(
         sym.select(F.col("u").alias("v"))
         .distinct()
         .withColumn("comp", F.col("v"))
-        .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iter):
         # candidate label per vertex: min of own and neighbors' labels
         nbr = (
@@ -58,7 +69,7 @@ def connected_components(
         # carry the changed flag INSIDE the checkpointed frame: the
         # convergence probe then reads materialized rows instead of
         # paying a labels⋈new_labels comparison job every round
-        new_labels = (
+        new_labels = materialize(
             labels.join(nbr, "v", "left")
             .select(
                 "v",
@@ -69,12 +80,19 @@ def connected_components(
                     F.col("nbr_comp") < F.col("comp"), F.lit(False)
                 ).alias("chg"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.select("v", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; labels are a partial fixpoint (graph diameter exceeds "
+            "max_iter) — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("v").alias("vertex"), "comp")
 
 

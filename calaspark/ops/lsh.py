@@ -32,6 +32,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .materialize import materialize
+
 _I64_MAX = (1 << 63) - 1
 
 
@@ -275,16 +277,34 @@ def neardup_pairs_lsh(
 # ------------------------------------------------------- SimHash ANN
 
 
+_SM64_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (public-domain constants): full-avalanche
+    64-bit mix, so nearby inputs give statistically independent
+    outputs."""
+    z = (x + 0x9E3779B97F4A7C15) & _SM64_MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _SM64_MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _SM64_MASK
+    return z ^ (z >> 31)
+
+
 def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes WITHOUT numpy's global
-    state: xorshift-free LCG on (seed, i, j) folded to [-1, 1).
+    state. Each component derives INDEPENDENTLY from splitmix64 of a
+    distinct (seed, i, j) index — full avalanche, so plane i+1 is not
+    a shift of plane i and within-plane components are not a Weyl
+    sequence (a linear congruence here correlates the planes and
+    degrades bucket balance / the (1-θ/π)^nbits recall model).
     Literal-sized: nbits × dim floats ship inside the plan."""
     out = []
     for i in range(nbits):
         row = []
         for j in range(dim):
-            h = (seed * 1_000_003 + i * 8191 + j) * 2_654_435_761 % (1 << 32)
-            row.append(h / (1 << 31) - 1.0)
+            h = _splitmix64(_splitmix64(seed * 0x51_7CC1B7 + i) ^ j)
+            # top 32 bits → [-1, 1)
+            row.append((h >> 32) / (1 << 31) - 1.0)
         out.append(row)
     return out
 
@@ -455,7 +475,7 @@ def simhash_neardup_pairs(
     # would otherwise recompute the whole tokenize+vote lineage. At
     # 16 bytes/doc this is the table a 100 TB pipeline would persist
     # to storage anyway (fingerprints are reused across runs).
-    sh = simhash64(docs, id_col, tokens_col).localCheckpoint()
+    sh = materialize(simhash64(docs, id_col, tokens_col))
     band = F.explode(
         F.array(
             *[

@@ -42,7 +42,19 @@ def salted_join(
     small is exploded N× so every (key, salt) pair exists. Join key
     becomes (key, salt): one shuffle, hot keys now occupy N
     partitions instead of one.
+
+    ``how`` is restricted to join types where the exploded small side
+    cannot leak duplicates: for right/full outer joins every UNMATCHED
+    small-side row would be emitted once per salt replica (N copies).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows n_salts times (small side is exploded {n_salts}x); "
+            f"allowed: {sorted(allowed)}. For right/full outer, swap sides "
+            "or de-dup after an unsalted join."
+        )
     salt_col = F.pmod(
         F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts)
     ).cast("int")

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..ops.lsh import ann_topk_lsh, neardup_pairs_lsh
+from ..ops.materialize import materialize
 from ..ops.multimodal import as_media_table, extract_features
 from ..ops.text import tokens
 from ..ops.udf_demos import TokenizeUDTF, sigmoid_quality_builtin, sigmoid_quality_pandas
@@ -156,7 +157,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15+E17 composition — the full dedup pipeline: banded-MinHash
     near-dup pairs → connected components (iterative min-label
-    propagation, localCheckpoint per round) → canonical-survivor
+    propagation, lineage cut per round) → canonical-survivor
     election. Returns per-cluster sizes; iterative → rows-only."""
     from ..ops.components import connected_components
     from ..ops.text import tokens
@@ -255,10 +256,9 @@ def ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenizing 3×, and no giant interpreted expression is left
     # under the downstream explode/aggregate for the optimizer to
     # clone into constraints
-    docs = (
+    docs = materialize(
         with_shingle_hashes(d.select("doc_id", "text"), n=3)
         .select("doc_id", F.array_distinct("toks").alias("toks"))
-        .localCheckpoint()
     )
     # shingle vocab ≈ unique 3-grams of the corpus — far past the
     # bitmask cap; skip the dictionary probe job outright
@@ -270,9 +270,11 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term), tfidf = tf·ln(N/df); global top-20 (doc, term) pairs.
     ln() is libm-dependent across engines → rows-only; everything
     else is integer-exact. Two aggregations, one self-join on term
-    (broadcast: |vocab| rows)."""
+    (broadcast: |vocab| rows). N arrives as a broadcast 1-row
+    crossJoin (scalar-subquery shape), so the whole query is ONE lazy
+    plan — no eager driver-side count()."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.agg(F.count("*").cast("double").alias("_n_docs"))
     terms = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -280,14 +282,18 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    out = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    out = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     return out.orderBy(
         F.col("tfidf").desc(), "doc_id", "term"
@@ -309,10 +315,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram shingles, not bag-of-words: SimHash needs enough features
     # that unrelated docs disagree on most bits (small word vocabs
     # make everything collide); hashed form — SimHash only rehashes
-    docs = (
+    docs = materialize(  # same materialize-once rationale as ngram_neardup
         with_shingle_hashes(d.select("doc_id", "text"), n=3)
         .select("doc_id", F.array_distinct("toks").alias("toks"))
-        .localCheckpoint()  # same materialize-once rationale as ngram_neardup
     )
     return (
         simhash_neardup_pairs(docs, max_hamming=3)

@@ -266,3 +266,84 @@ def test_with_shingle_hashes_set_equivalence(spark):
     assert hashed[1] != hashed[3]
     for k in hashed:
         assert len(hashed[k]) == len(strs[k])
+
+
+def test_asof_join_nullable_payload_atomic(spark):
+    """Round-2 advice: a NULL payload column in the MATCHED right row
+    must stay NULL (not be back-filled from an older right row), and
+    all payload columns must come from the same right row."""
+    import datetime as dt
+
+    from calaspark.ops.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, 10, t(30))], "user_id long, event_id long, ts timestamp_ntz"
+    )
+    # older right row has a value; the MOST RECENT right row carries
+    # NULL in col_a — the join must attach (NULL, 201), atomically.
+    right = spark.createDataFrame(
+        [(1, 100, 200, t(10)), (1, None, 201, t(20))],
+        "user_id long, col_a long, col_b long, ts timestamp_ntz",
+    )
+    row = asof_join(
+        left, right, "user_id", payload=["col_a", "col_b"], tiebreak="col_b"
+    ).collect()[0]
+    assert row["col_a"] is None  # NOT 100 (no back-fill across rows)
+    assert row["col_b"] == 201
+
+
+def test_connected_components_warns_unconverged(spark):
+    """A chain longer than max_iter must WARN, not return silently."""
+    import warnings as _warnings
+
+    from calaspark.ops.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        connected_components(chain, max_iter=1).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    # and with enough rounds: converges, no warning, one component
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        comp = {
+            r["vertex"]: r["comp"]
+            for r in connected_components(chain, max_iter=20).collect()
+        }
+        assert not any("did not converge" in str(x.message) for x in w)
+    assert set(comp.values()) == {0}
+
+
+def test_materialize_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir set, materialize() upgrades to reliable
+    checkpoint() and iterative results are identical."""
+    from calaspark.ops.components import connected_components
+    from calaspark.ops.materialize import materialize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    base = {r["vertex"]: r["comp"] for r in connected_components(edges).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert sc.getCheckpointDir() is not None
+        ck = materialize(edges)
+        assert ck.count() == 3
+        # reliable path taken: blocks landed in the checkpoint dir
+        ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+        assert any(f.is_file() for f in ckpt_files)
+        got = {
+            r["vertex"]: r["comp"] for r in connected_components(edges).collect()
+        }
+        assert got == base
+    finally:
+        # Scala's setCheckpointDir wraps in Option(...) — null clears
+        # it, restoring the shared session for later tests.
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None

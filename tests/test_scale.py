@@ -108,3 +108,18 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_outer_small_side(spark):
+    """Round-2 advice: right/full outer would emit every unmatched
+    small-side row once per salt replica — must raise, not corrupt."""
+    import pytest as _pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)
+    # left outer stays allowed: big side carries exactly one salt/row
+    n = salted_join(big, small, "k", how="left").count()
+    assert n == 10

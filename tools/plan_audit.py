@@ -44,6 +44,9 @@ ALLOWED = {
     "q03": {"single_part_exchange"},
     # token→bit dictionary window (≤512 rows), as in q33
     "lsh_minhash_pairs": {"single_part_exchange"},
+    # scalar-subquery shape: 1-row broadcast N crossJoin (BNLJ over a
+    # single broadcast row) + the global count's 1-row final merge
+    "tfidf_topterms": {"bnlj", "single_part_exchange"},
     "pandas_udf_quality": {"py_arrow"},
     "multimodal_features": {"py_arrow"},
     "udtf_tokens": {"py_row_udf", "py_arrow"},  # UDTF demo is per-row by design
