@@ -83,11 +83,18 @@ def main(argv: list[str] | None = None) -> int:
             write_quarantine(res.quarantine, f"{args.out_dir}/{args.table}.errors")
             print(f"good={res.good.count()} quarantined={res.quarantine.count()}")
         elif args.cmd == "report":
+            import os
+
             from .ingest import Manifest
 
-            Manifest(f"{args.out_dir}/manifest.json").report_df(spark).show(
-                truncate=False
-            )
+            # prefer the lake-table form (multi-writer source of
+            # truth); fall back to the JSON manifest
+            table = f"{args.out_dir}/_manifest"
+            if os.path.isdir(table):
+                rep = Manifest.report_from_table(spark, table)
+            else:
+                rep = Manifest(f"{args.out_dir}/manifest.json").report_df(spark)
+            rep.orderBy("file_name").show(truncate=False)
         elif args.cmd == "query":
             from .queries import QUERIES
 

@@ -138,14 +138,36 @@ def _typed(col: str, kind: str) -> Column:
     raise ValueError(f"unknown schema kind {kind!r} for column {col!r}")
 
 
-def type_table(df: DataFrame, schema: dict[str, str]) -> DataFrame:
+def type_table(
+    df: DataFrame, schema: dict[str, str], table: str | None = None
+) -> DataFrame:
     """Apply the schema's typing templates to an all-string table.
 
     Invalid values become NULL (``try_`` semantics) — load never
     fails mid-100-TB; data-quality accounting happens in
     :func:`coverage_stats`.
+
+    If ``table`` names a registered table, every output column also
+    carries its documentation metadata (help_text / kind / group —
+    the reference's field help_text twin, SURVEY §1.1) in
+    ``StructField.metadata``; parquet persists it, so downstream
+    readers see the docs in ``df.schema``.
     """
-    return df.select(*[_typed(c, k).alias(c) for c, k in schema.items()])
+    from .schemas import REGISTRY
+
+    meta: dict[str, dict[str, str]] = {}
+    if table is not None and table in REGISTRY:
+        t = REGISTRY[table]
+        meta = {
+            c: {"help_text": cd.help, "kind": cd.kind, "group": t.group}
+            for c, cd in t.columns.items()
+        }
+    return df.select(
+        *[
+            _typed(c, k).alias(c, metadata=meta.get(c))
+            for c, k in schema.items()
+        ]
+    )
 
 
 def coverage_stats(raw: DataFrame, typed: DataFrame, schema: dict[str, str]) -> DataFrame:

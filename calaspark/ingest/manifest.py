@@ -7,11 +7,19 @@ timestamps, and error counts — this is what makes its update command
 resumable and idempotent (`updatecalaccessrawdata.py §Command.handle`
 skips work already done).
 
-Storage: one JSON file. Manifest rows are per-INPUT-FILE metadata
-(thousands of entries even at 100 TB of data), so this is driver-side
-bookkeeping by design — the heavy lifting stays in Spark; analytics
-over the manifest (the coverage report) lifts it into a DataFrame.
-Writes are atomic (tmp + rename) so a killed run never corrupts it.
+Storage: one JSON file (atomic tmp+rename; a killed run never
+corrupts it) PLUS a parquet lake table (:meth:`Manifest.write_table`)
+— the SURVEY §1.1 mapping of RawDataVersion/RawDataFile to "a small
+manifest Delta/Parquet table". The table is written per-file-
+partitioned with DYNAMIC partition overwrite, so each write is an
+idempotent upsert of exactly the file keys present in this run:
+multi-writer runs over disjoint inputs do not clobber each other,
+and re-processing one input replaces only its own partition. The V2
+coverage report reads from either form.
+
+Manifest rows are per-INPUT-FILE metadata (thousands of entries even
+at 100 TB of data), so the driver-side JSON stays cheap; the lake
+table is the multi-writer / SQL-queryable source of truth.
 """
 
 from __future__ import annotations
@@ -91,33 +99,84 @@ class Manifest:
         rec.size_bytes, rec.mtime_ns = st.st_size, st.st_mtime_ns
         return rec
 
-    # -------------------------------------------------- reporting (V2)
+    # ---------------------------------------------- lake table form
 
-    def report_df(self, spark: SparkSession) -> DataFrame:
-        """Coverage report as a DataFrame (groupBy-able at any size)."""
+    #: row schema of the manifest lake table (RawDataFile columns)
+    TABLE_SCHEMA = (
+        "file_name string, status string, size_bytes long, mtime_ns long, "
+        "n_body_lines long, clean_count long, error_count long, "
+        "load_count long, clean_start double, clean_finish double, "
+        "load_start double, load_finish double"
+    )
+
+    def rows_df(self, spark: SparkSession) -> DataFrame:
+        """Current FileRecords as a DataFrame in TABLE_SCHEMA shape."""
         rows = [
             (
                 r.file_name,
                 r.status,
                 r.size_bytes,
+                r.mtime_ns,
                 r.n_body_lines,
                 r.clean_count,
                 r.error_count,
                 r.load_count,
-                (
-                    float(r.error_count) / r.n_body_lines
-                    if r.n_body_lines
-                    else 0.0
-                ),
+                r.clean_start,
+                r.clean_finish,
+                r.load_start,
+                r.load_finish,
             )
             for r in self.files.values()
         ]
-        return spark.createDataFrame(
-            rows,
-            "file_name string, status string, size_bytes long, "
-            "n_body_lines long, clean_count long, error_count long, "
-            "load_count long, error_pct double",
+        return spark.createDataFrame(rows, self.TABLE_SCHEMA)
+
+    def write_table(self, spark: SparkSession, path: str) -> None:
+        """Upsert this manifest's rows into the parquet manifest table.
+
+        partitionBy(file_name) + dynamic partition overwrite = an
+        idempotent MERGE-by-key: only the file partitions present in
+        ``self.files`` are replaced; rows written by other runs for
+        other files survive. (file_name is per-input-file cardinality
+        — thousands of partitions at most, the documented sweet spot
+        for key-partitioned small tables.)
+        """
+        (
+            self.rows_df(spark)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("file_name")
+            .parquet(path)
         )
+
+    # -------------------------------------------------- reporting (V2)
+
+    @staticmethod
+    def _with_report_cols(df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        return df.select(
+            "file_name",
+            "status",
+            "size_bytes",
+            "n_body_lines",
+            "clean_count",
+            "error_count",
+            "load_count",
+            F.when(F.col("n_body_lines") > 0,
+                   F.col("error_count").cast("double") / F.col("n_body_lines"))
+            .otherwise(F.lit(0.0))
+            .alias("error_pct"),
+        )
+
+    def report_df(self, spark: SparkSession) -> DataFrame:
+        """Coverage report as a DataFrame (groupBy-able at any size)."""
+        return self._with_report_cols(self.rows_df(spark))
+
+    @classmethod
+    def report_from_table(cls, spark: SparkSession, path: str) -> DataFrame:
+        """V2 report read from the parquet manifest table — the form a
+        multi-writer deployment queries (no JSON file needed)."""
+        return cls._with_report_cols(spark.read.parquet(path))
 
 
 def now() -> float:

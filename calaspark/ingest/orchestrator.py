@@ -66,7 +66,7 @@ def update(
         try:
             rec.clean_start, rec.status = now(), "pending"
             res = split_clean(spark, src, list(schema))
-            good = type_table(res.good, schema)
+            good = type_table(res.good, schema, table=name)
             # V1 accounting inputs, each measured INDEPENDENTLY:
             # body lines from the pre-split cleaned frame, quarantine
             # from its own side, load count from the parquet read-back
@@ -101,4 +101,8 @@ def update(
     man.version_meta["last_update_finish"] = now()
     man.version_meta["raw_dir"] = os.fspath(raw_dir)
     man.save()
+    # lake-table twin of the JSON manifest (SURVEY §1.1): idempotent
+    # upsert-by-file_name so concurrent runs over disjoint inputs
+    # coexist; the V2 report reads from here in table deployments
+    man.write_table(spark, str(out / "_manifest"))
     return man

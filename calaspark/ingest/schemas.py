@@ -1,13 +1,31 @@
-"""Declarative raw-table schemas (FIXTURES.md §2; SURVEY.md §2.1 S3, §2.2 T1–T3).
+"""Declarative raw-table schema REGISTRY with documentation metadata
+(FIXTURES.md §2; SURVEY.md §1.1/§1.2, §2.1 S3, §2.2 T1–T3, §5.1).
 
 The reference declares ~80 fixed table schemas as Django models
-(`calaccess_raw/models/*.py`) whose fields carry their own typing
-templates (`calaccess_raw/fields.py §DateField.copy_template` etc.).
-Here a schema is a plain ordered mapping column → logical kind; the
-kinds drive the distributed typing transforms in
-:mod:`calaspark.ingest.clean`.
+(`calaccess_raw/models/{campaign,lobbying,common,other,inactive}.py`)
+whose fields carry their own typing templates
+(`calaccess_raw/fields.py §DateField.copy_template` etc.) AND their
+own documentation: every field has ``help_text``, every model carries
+``DOCUMENTCLOUD_PAGES`` (pointers into scanned state docs) and
+``FILING_FORMS`` (which official forms feed the table), and the test
+suite enforces completeness (`models/base.py`, SURVEY §5.1).
 
-Kinds:
+The Spark twin here:
+
+- each table is a :class:`Table` — ordered ``column → Col(kind,
+  help)`` plus group (source module), ``unique_key`` (the reference's
+  ``UNIQUE_KEY`` class attr; ``None`` = CAL-ACCESS itself has dupes),
+  ``forms`` (FILING_FORMS twin) and ``docs`` (documentation pointer
+  twin);
+- :func:`to_struct_type` projects a table into a typed
+  ``StructType`` whose ``StructField.metadata`` carries the help
+  text — the idiomatic Spark home for column docs (survives writes
+  to parquet field metadata, readable via ``df.schema``);
+- ``tests/test_ingest.py`` enforces the same completeness golden
+  rule: every registered table documented, every column annotated.
+
+Kinds (each maps to ONE whole-stage-codegen expression in
+:mod:`calaspark.ingest.clean` — no Python in the loop at any scale):
 
 - ``string``          — trimmed, empty→NULL (T1)
 - ``int`` / ``long``  — try_cast, invalid→NULL (T3)
@@ -16,89 +34,583 @@ Kinds:
 - ``ts_mdy12``        — ``M/d/yyyy h:mm:ss a`` → TIMESTAMP_NTZ (T2)
 - ``yn``              — ``'Y'/'N'/''`` → nullable INT 1/0 (T3)
 
-All raw columns arrive as strings from the TSV (the reference's COPY
-semantics); every kind maps to a single whole-stage-codegen
-expression — no Python in the loop at any scale.
+Schemas are representative column subsets of the public CAL-ACCESS
+layout (enough to exercise every kind per table family); the typing
+machinery is fully general, so extending a table is one dict entry.
 """
 
 from __future__ import annotations
 
-#: Representative subset of `calaccess_raw/models/campaign.py §RcptCd`
-#: (receipts — the big fact table).
-RCPT_CD: dict[str, str] = {
-    "FILING_ID": "long",
-    "AMEND_ID": "int",
-    "LINE_ITEM": "int",
-    "REC_TYPE": "string",
-    "FORM_TYPE": "string",
-    "TRAN_ID": "string",
-    "ENTITY_CD": "string",
-    "CTRIB_NAML": "string",
-    "CTRIB_NAMF": "string",
-    "CTRIB_CITY": "string",
-    "CTRIB_ST": "string",
-    "CTRIB_ZIP4": "string",
-    "CTRIB_EMP": "string",
-    "CTRIB_OCC": "string",
-    "RCPT_DATE": "date_mdy",
-    "AMOUNT": "decimal(14,2)",
-    "CUM_YTD": "decimal(14,2)",
-    "MEMO_CODE": "yn",
-    "MEMO_REFNO": "string",
-    "CMTE_ID": "string",
+from dataclasses import dataclass
+
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+@dataclass(frozen=True)
+class Col:
+    """One declared column: logical typing kind + help_text twin."""
+
+    kind: str
+    help: str
+
+
+@dataclass(frozen=True)
+class Table:
+    """One declared table: the model-class twin.
+
+    ``group``      — source module in the reference (campaign /
+                     lobbying / common / other / inactive).
+    ``unique_key`` — the reference's UNIQUE_KEY class attr; ``None``
+                     means CAL-ACCESS publishes duplicate rows for
+                     this table (the reference uses ``False``).
+    ``forms``      — FILING_FORMS twin: official form IDs feeding it.
+    ``docs``       — one-line DOCUMENTCLOUD_PAGES twin (what the
+                     table holds, per the state's documentation).
+    """
+
+    group: str
+    unique_key: tuple[str, ...] | None
+    forms: tuple[str, ...]
+    docs: str
+    columns: dict[str, Col]
+
+
+# Shared column stubs — the filing-identity prefix nearly every
+# transactional CAL-ACCESS table starts with.
+def _filing_cols(line_item: bool = True) -> dict[str, Col]:
+    out = {
+        "FILING_ID": Col("long", "Unique filing identification number"),
+        "AMEND_ID": Col("int", "Amendment number; 0 is the original filing"),
+    }
+    if line_item:
+        out["LINE_ITEM"] = Col("int", "Line item number of this record")
+    out["REC_TYPE"] = Col("string", "Record type of the transaction")
+    out["FORM_TYPE"] = Col("string", "Schedule or form on which reported")
+    return out
+
+
+REGISTRY: dict[str, Table] = {
+    # ------------------------------------------------ campaign.py
+    "RCPT_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460", "F401", "F496"),
+        docs="Itemized campaign contributions received (Schedule A receipts)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Contributor entity type code"),
+            "CTRIB_NAML": Col("string", "Contributor last name or business name"),
+            "CTRIB_NAMF": Col("string", "Contributor first name"),
+            "CTRIB_CITY": Col("string", "Contributor city"),
+            "CTRIB_ST": Col("string", "Contributor state"),
+            "CTRIB_ZIP4": Col("string", "Contributor ZIP+4"),
+            "CTRIB_EMP": Col("string", "Contributor employer"),
+            "CTRIB_OCC": Col("string", "Contributor occupation"),
+            "RCPT_DATE": Col("date_mdy", "Date the contribution was received"),
+            "AMOUNT": Col("decimal(14,2)", "Amount received in the period"),
+            "CUM_YTD": Col("decimal(14,2)", "Cumulative year-to-date amount"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "CMTE_ID": Col("string", "Committee ID of recipient committee"),
+        },
+    ),
+    "EXPN_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460", "F450", "F461"),
+        docs="Itemized campaign expenditures made (Schedule E payments)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Payee entity type code"),
+            "PAYEE_NAML": Col("string", "Payee last name or business name"),
+            "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_CITY": Col("string", "Payee city"),
+            "PAYEE_ST": Col("string", "Payee state"),
+            "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
+            "EXPN_DATE": Col("date_mdy", "Date of the expenditure"),
+            "AMOUNT": Col("decimal(14,2)", "Amount paid in the period"),
+            "CUM_YTD": Col("decimal(14,2)", "Cumulative year-to-date amount"),
+            "EXPN_CHKNO": Col("string", "Check number of the payment"),
+            "EXPN_CODE": Col("string", "Expense classification code"),
+            "EXPN_DSCR": Col("string", "Description of the expenditure"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "CVR_CAMPAIGN_DISCLOSURE_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("F460", "F450", "F425", "F461", "F465", "F496", "F497", "F498"),
+        docs="Cover page of campaign disclosure statements",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer identification number"),
+            "FILER_NAML": Col("string", "Filer last name or committee name"),
+            "FILER_NAMF": Col("string", "Filer first name"),
+            "RPT_DATE": Col("date_mdy", "Date the report was filed"),
+            "FROM_DATE": Col("date_mdy", "Reporting period start date"),
+            "THRU_DATE": Col("date_mdy", "Reporting period end date"),
+            "ELECT_DATE": Col("date_mdy", "Date of the related election"),
+            "RPT_DATE_TS": Col("ts_mdy12", "Filing timestamp of the report"),
+            "STMT_TYPE": Col("string", "Statement type code"),
+            "AMENDEXP_1": Col("string", "Amendment explanation text"),
+            "CONTROL_YN": Col("yn", "Controlled-committee flag"),
+            "SPONSOR_YN": Col("yn", "Sponsored-committee flag"),
+            "FILER_CITY": Col("string", "Filer city"),
+            "FILER_ST": Col("string", "Filer state"),
+            "FILER_ZIP4": Col("string", "Filer ZIP+4"),
+        },
+    ),
+    "CVR_SO_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("F400", "F402", "F410"),
+        docs="Cover page of statements of organization (committee registration)",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer identification number"),
+            "FILER_NAML": Col("string", "Committee name or filer last name"),
+            "COM82013ID": Col("string", "Committee ID under section 82013"),
+            "CITY": Col("string", "Committee street address city"),
+            "ST": Col("string", "Committee street address state"),
+            "ZIP4": Col("string", "Committee street address ZIP+4"),
+            "PHONE": Col("string", "Committee phone number"),
+            "QUALFY_DT": Col("date_mdy", "Date the committee qualified"),
+            "EFFECT_DT": Col("date_mdy", "Effective date of the statement"),
+            "ACTIVITY_LVL": Col("string", "Level of activity code"),
+        },
+    ),
+    "LOAN_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460",),
+        docs="Itemized campaign loans received and made (Schedule B)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "LOAN_TYPE": Col("string", "Loan transaction type code"),
+            "ENTITY_CD": Col("string", "Lender entity type code"),
+            "LNDR_NAML": Col("string", "Lender last name or business name"),
+            "LNDR_NAMF": Col("string", "Lender first name"),
+            "LOAN_CITY": Col("string", "Lender city"),
+            "LOAN_ST": Col("string", "Lender state"),
+            "LOAN_ZIP4": Col("string", "Lender ZIP+4"),
+            "LOAN_DATE1": Col("date_mdy", "Date the loan was received or made"),
+            "LOAN_DATE2": Col("date_mdy", "Date the loan is due"),
+            "LOAN_AMT1": Col("decimal(14,2)", "Amount of loan this period"),
+            "LOAN_AMT2": Col("decimal(14,2)", "Outstanding balance"),
+            "LOAN_AMT3": Col("decimal(14,2)", "Cumulative amount to date"),
+            "LOAN_AMT4": Col("decimal(14,2)", "Interest paid this period"),
+            "LOAN_RATE": Col("string", "Interest rate of the loan"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "DEBT_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460",),
+        docs="Accrued expenses / unpaid bills (Schedule F debts)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Creditor entity type code"),
+            "PAYEE_NAML": Col("string", "Creditor last name or business name"),
+            "PAYEE_NAMF": Col("string", "Creditor first name"),
+            "PAYEE_CITY": Col("string", "Creditor city"),
+            "PAYEE_ST": Col("string", "Creditor state"),
+            "PAYEE_ZIP4": Col("string", "Creditor ZIP+4"),
+            "BEG_BAL": Col("decimal(14,2)", "Outstanding balance at period start"),
+            "AMT_INCUR": Col("decimal(14,2)", "Amount incurred this period"),
+            "AMT_PAID": Col("decimal(14,2)", "Amount paid this period"),
+            "END_BAL": Col("decimal(14,2)", "Outstanding balance at period end"),
+            "EXPN_CODE": Col("string", "Expense classification code"),
+            "EXPN_DSCR": Col("string", "Description of the obligation"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "S496_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F496",),
+        docs="Late independent expenditure reports (Form 496)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the late expenditure"),
+            "EXP_DATE": Col("date_mdy", "Date of the expenditure"),
+            "DATE_THRU": Col("date_mdy", "End of period the amount covers"),
+            "EXPN_DSCR": Col("string", "Description of the expenditure"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    "S497_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F497",),
+        docs="Late contribution reports (Form 497, 24-hour reports)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Contributor or recipient entity type"),
+            "ENTY_NAML": Col("string", "Entity last name or business name"),
+            "ENTY_NAMF": Col("string", "Entity first name"),
+            "ENTY_CITY": Col("string", "Entity city"),
+            "ENTY_ST": Col("string", "Entity state"),
+            "ENTY_ZIP4": Col("string", "Entity ZIP+4"),
+            "CTRIB_DATE": Col("date_mdy", "Date the contribution was made"),
+            "DATE_THRU": Col("date_mdy", "End of period the amount covers"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the late contribution"),
+            "CMTE_ID": Col("string", "Committee ID of the recipient"),
+            "CAND_NAML": Col("string", "Candidate last name, if candidate-linked"),
+            "OFFICE_CD": Col("string", "Office sought code"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "ELEC_DATE": Col("date_mdy", "Date of the related election"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    # ------------------------------------------------ lobbying.py
+    "CVR_REGISTRATION_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("F601", "F602", "F603", "F604", "F606", "F607"),
+        docs="Cover page of lobbying registration statements",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer identification number"),
+            "FILER_NAML": Col("string", "Registrant last name or firm name"),
+            "FILER_NAMF": Col("string", "Registrant first name"),
+            "BUS_CITY": Col("string", "Business address city"),
+            "BUS_ST": Col("string", "Business address state"),
+            "BUS_ZIP4": Col("string", "Business address ZIP+4"),
+            "RPT_DATE": Col("date_mdy", "Date the registration was filed"),
+            "EFF_DATE": Col("date_mdy", "Effective date of the registration"),
+            "QUAL_DATE": Col("date_mdy", "Date the registrant qualified"),
+            "LS_BEG_YR": Col("int", "Legislative session beginning year"),
+            "LS_END_YR": Col("int", "Legislative session ending year"),
+        },
+    ),
+    "CVR_LOBBY_DISCLOSURE_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("F615", "F625", "F635", "F645"),
+        docs="Cover page of quarterly lobbying disclosure reports",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer identification number"),
+            "FILER_NAML": Col("string", "Filer last name or firm name"),
+            "FILER_NAMF": Col("string", "Filer first name"),
+            "FROM_DATE": Col("date_mdy", "Reporting period start date"),
+            "THRU_DATE": Col("date_mdy", "Reporting period end date"),
+            "RPT_DATE": Col("date_mdy", "Date the report was filed"),
+            "CUM_BEG_DT": Col("date_mdy", "Cumulative-period beginning date"),
+            "FIRM_CITY": Col("string", "Firm address city"),
+            "FIRM_ST": Col("string", "Firm address state"),
+            "FIRM_ZIP4": Col("string", "Firm address ZIP+4"),
+            "MAJOR_NAML": Col("string", "Major donor last name, if applicable"),
+        },
+    ),
+    "LEXP_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F615", "F625", "F635", "F645"),
+        docs="Itemized lobbying activity expenses",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Payee entity type code"),
+            "PAYEE_NAML": Col("string", "Payee last name or business name"),
+            "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_CITY": Col("string", "Payee city"),
+            "PAYEE_ST": Col("string", "Payee state"),
+            "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
+            "EXPN_DATE": Col("date_mdy", "Date of the expense"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the expense"),
+            "EXPN_DSCR": Col("string", "Description of the expense"),
+            "RECSUBTYPE": Col("string", "Record subtype code"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "LCCM_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F615", "F625", "F635", "F645"),
+        docs="Campaign contributions reported on lobbying disclosures",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Contributor entity type code"),
+            "CTRIB_NAML": Col("string", "Contributor last name or business name"),
+            "CTRIB_NAMF": Col("string", "Contributor first name"),
+            "CTRIB_DATE": Col("date_mdy", "Date the contribution was made"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the contribution"),
+            "RECIP_NAML": Col("string", "Recipient last name or committee name"),
+            "RECIP_CITY": Col("string", "Recipient city"),
+            "RECIP_ST": Col("string", "Recipient state"),
+            "RECIP_ZIP4": Col("string", "Recipient ZIP+4"),
+            "CMTE_ID": Col("string", "Committee ID of the recipient"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "LPAY_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F625", "F635"),
+        docs="Payments made to lobbying firms / received from employers",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Employer entity type code"),
+            "EMPLR_NAML": Col("string", "Employer last name or business name"),
+            "EMPLR_NAMF": Col("string", "Employer first name"),
+            "EMPLR_CITY": Col("string", "Employer city"),
+            "EMPLR_ST": Col("string", "Employer state"),
+            "EMPLR_ZIP4": Col("string", "Employer ZIP+4"),
+            "FEES_AMT": Col("decimal(14,2)", "Fees and retainers this period"),
+            "REIMB_AMT": Col("decimal(14,2)", "Reimbursed expenses this period"),
+            "ADVAN_AMT": Col("decimal(14,2)", "Advances and other payments"),
+            "PER_TOTAL": Col("decimal(14,2)", "Total payments this period"),
+            "CUM_TOTAL": Col("decimal(14,2)", "Cumulative total to date"),
+            "ADVAN_DSCR": Col("string", "Description of advances"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+        },
+    ),
+    "LEMP_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F601", "F603"),
+        docs="Lobbyist employers and clients listed on registrations",
+        columns={
+            **_filing_cols(),
+            "CLI_NAML": Col("string", "Client last name or business name"),
+            "CLI_NAMF": Col("string", "Client first name"),
+            "CLI_CITY": Col("string", "Client city"),
+            "CLI_ST": Col("string", "Client state"),
+            "CLI_ZIP4": Col("string", "Client ZIP+4"),
+            "EFF_DATE": Col("date_mdy", "Effective date of the engagement"),
+            "CON_PERIOD": Col("string", "Contract period description"),
+            "DESCRIP": Col("string", "Description of lobbying interests"),
+        },
+    ),
+    # -------------------------------------------------- common.py
+    "FILER_FILINGS_CD": Table(
+        group="common",
+        unique_key=None,  # CAL-ACCESS publishes duplicate rows here
+        forms=(),
+        docs="Link table connecting filers to their filings",
+        columns={
+            "FILER_ID": Col("long", "Filer identification number"),
+            "FILING_ID": Col("long", "Unique filing identification number"),
+            "PERIOD_ID": Col("int", "Identifies the period the filing covers"),
+            "FORM_ID": Col("string", "Form type of the filing"),
+            "FILING_SEQUENCE": Col("int", "Amendment sequence; 0 is original"),
+            "FILING_DATE": Col("date_mdy", "Date the filing was received"),
+            "STMNT_TYPE": Col("int", "Statement type code"),
+            "STMNT_STATUS": Col("int", "Statement status code"),
+            "SESSION_ID": Col("int", "Legislative session the filing covers"),
+            "RPT_START": Col("date_mdy", "Reporting period start date"),
+            "RPT_END": Col("date_mdy", "Reporting period end date"),
+            "RPT_DATE": Col("date_mdy", "Date the report was filed"),
+            "FILING_TYPE": Col("int", "Filing type code"),
+        },
+    ),
+    "FILINGS_CD": Table(
+        group="common",
+        unique_key=("FILING_ID",),
+        forms=(),
+        docs="Master list of all filings by ID",
+        columns={
+            "FILING_ID": Col("long", "Unique filing identification number"),
+            "FILING_TYPE": Col("int", "Filing type code"),
+        },
+    ),
+    "SMRY_CD": Table(
+        group="common",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460", "F450", "F401", "F625", "F635"),
+        docs="Summary totals reported on filing cover schedules",
+        columns={
+            "FILING_ID": Col("long", "Unique filing identification number"),
+            "AMEND_ID": Col("int", "Amendment number; 0 is the original filing"),
+            # summary lines are form-line labels ("1", "A.1"), not ints
+            "LINE_ITEM": Col("string", "Form line the totals belong to"),
+            "REC_TYPE": Col("string", "Record type of the summary row"),
+            "FORM_TYPE": Col("string", "Schedule or form being summarized"),
+            "AMOUNT_A": Col("decimal(14,2)", "Amount for column A of the line"),
+            "AMOUNT_B": Col("decimal(14,2)", "Amount for column B of the line"),
+            "AMOUNT_C": Col("decimal(14,2)", "Amount for column C of the line"),
+        },
+    ),
+    "TEXT_MEMO_CD": Table(
+        group="common",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=(),
+        docs="Free-form text memos attached to filing line items",
+        columns={
+            **_filing_cols(),
+            "REF_NO": Col("string", "Memo reference number line items cite"),
+            "TEXT4000": Col("string", "Memo text, up to 4000 characters"),
+        },
+    ),
+    # --------------------------------------------------- other.py
+    "FILERNAME_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Name and address directory of all registered filers",
+        columns={
+            "XREF_FILER_ID": Col("string", "Agency cross-reference filer ID"),
+            "FILER_ID": Col("long", "Filer identification number"),
+            "FILER_TYPE": Col("string", "Filer type description"),
+            "STATUS": Col("string", "Filer status (active, terminated...)"),
+            "EFFECT_DT": Col("date_mdy", "Effective date of this name record"),
+            "NAML": Col("string", "Last name or business name"),
+            "NAMF": Col("string", "First name"),
+            "NAMT": Col("string", "Name title or prefix"),
+            "NAMS": Col("string", "Name suffix"),
+            "ADR1": Col("string", "Street address line 1"),
+            "ADR2": Col("string", "Street address line 2"),
+            "CITY": Col("string", "City"),
+            "ST": Col("string", "State"),
+            "ZIP4": Col("string", "ZIP+4"),
+            "PHON": Col("string", "Phone number"),
+            "EMAIL": Col("string", "Email address"),
+        },
+    ),
+    "FILER_LINKS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Relationships between filer IDs (e.g. candidate to committee)",
+        columns={
+            "FILER_ID_A": Col("long", "First filer in the relationship"),
+            "FILER_ID_B": Col("long", "Second filer in the relationship"),
+            "ACTIVE_FLG": Col("yn", "Whether the link is currently active"),
+            "SESSION_ID": Col("int", "Legislative session of the link"),
+            "LINK_TYPE": Col("long", "Numeric code for the relationship type"),
+            "LINK_DESC": Col("string", "Description of the relationship"),
+            "EFFECT_DT": Col("date_mdy", "Date the link took effect"),
+            "DOMINATE_FILER": Col("yn", "Whether filer A dominates the pair"),
+            "TERMINATION_DT": Col("date_mdy", "Date the link terminated"),
+        },
+    ),
+    "FILING_PERIOD_CD": Table(
+        group="other",
+        unique_key=("PERIOD_ID",),
+        forms=(),
+        docs="Lookup of filing period definitions and deadlines",
+        columns={
+            "PERIOD_ID": Col("int", "Unique period identifier"),
+            "START_DATE": Col("date_mdy", "First day of the period"),
+            "END_DATE": Col("date_mdy", "Last day of the period"),
+            "PERIOD_TYPE": Col("int", "Period type code"),
+            "PER_GRP_TYPE": Col("int", "Period group type code"),
+            "PERIOD_DESC": Col("string", "Human-readable period description"),
+            "DEADLINE": Col("date_mdy", "Filing deadline for the period"),
+        },
+    ),
+    "LEGISLATIVE_SESSIONS_CD": Table(
+        group="other",
+        unique_key=("SESSION_ID",),
+        forms=(),
+        docs="Lookup of legislative session date ranges",
+        columns={
+            "SESSION_ID": Col("int", "Legislative session identifier"),
+            "BEGIN_DATE": Col("date_mdy", "Session start date"),
+            "END_DATE": Col("date_mdy", "Session end date"),
+        },
+    ),
+    # ------------------------------------------------ inactive.py
+    "BALLOT_MEASURES_CD": Table(
+        group="inactive",
+        unique_key=("FILER_ID", "MEASURE_NO", "ELECTION_DATE"),
+        forms=(),
+        docs="Ballot measure directory (no longer updated by the state)",
+        columns={
+            "FILER_ID": Col("long", "Filer ID of the measure's committee"),
+            "MEASURE_NO": Col("string", "Measure number or letter"),
+            "ELECTION_DATE": Col("date_mdy", "Date of the election"),
+            "MEASURE_NAME": Col("string", "Full name of the measure"),
+            "MEASURE_SHORT_NAME": Col("string", "Short name of the measure"),
+            "JURISDICTION": Col("string", "Jurisdiction voting on the measure"),
+        },
+    ),
 }
 
-#: `calaccess_raw/models/campaign.py §ExpnCd` (expenditures).
-EXPN_CD: dict[str, str] = {
-    "FILING_ID": "long",
-    "AMEND_ID": "int",
-    "LINE_ITEM": "int",
-    "REC_TYPE": "string",
-    "FORM_TYPE": "string",
-    "TRAN_ID": "string",
-    "ENTITY_CD": "string",
-    "PAYEE_NAML": "string",
-    "PAYEE_NAMF": "string",
-    "PAYEE_CITY": "string",
-    "PAYEE_ST": "string",
-    "PAYEE_ZIP4": "string",
-    "EXPN_DATE": "date_mdy",
-    "AMOUNT": "decimal(14,2)",
-    "CUM_YTD": "decimal(14,2)",
-    "EXPN_CHKNO": "string",
-    "EXPN_CODE": "string",
-    "EXPN_DSCR": "string",
-    "MEMO_CODE": "yn",
-    "MEMO_REFNO": "string",
-    "BAKREF_TID": "string",
-}
 
-#: `calaccess_raw/models/campaign.py §CvrCampaignDisclosureCd`
-#: (cover sheet; representative subset, incl. timestamp + Y/N pairs).
-CVR_CAMPAIGN_DISCLOSURE_CD: dict[str, str] = {
-    "FILING_ID": "long",
-    "AMEND_ID": "int",
-    "REC_TYPE": "string",
-    "FORM_TYPE": "string",
-    "FILER_ID": "string",
-    "FILER_NAML": "string",
-    "FILER_NAMF": "string",
-    "RPT_DATE": "date_mdy",
-    "FROM_DATE": "date_mdy",
-    "THRU_DATE": "date_mdy",
-    "ELECT_DATE": "date_mdy",
-    "RPT_DATE_TS": "ts_mdy12",
-    "STMT_TYPE": "string",
-    "AMENDEXP_1": "string",
-    "CONTROL_YN": "yn",
-    "SPONSOR_YN": "yn",
-    "FILER_CITY": "string",
-    "FILER_ST": "string",
-    "FILER_ZIP4": "string",
-}
+# ------------------------------------------------------------------
+# Back-compat plain mappings (column → kind) — the shape the clean /
+# typing layer consumes. Derived from the registry, never hand-kept.
 
 SCHEMAS: dict[str, dict[str, str]] = {
-    "RCPT_CD": RCPT_CD,
-    "EXPN_CD": EXPN_CD,
-    "CVR_CAMPAIGN_DISCLOSURE_CD": CVR_CAMPAIGN_DISCLOSURE_CD,
+    name: {c: cd.kind for c, cd in t.columns.items()}
+    for name, t in REGISTRY.items()
 }
+
+RCPT_CD = SCHEMAS["RCPT_CD"]
+EXPN_CD = SCHEMAS["EXPN_CD"]
+CVR_CAMPAIGN_DISCLOSURE_CD = SCHEMAS["CVR_CAMPAIGN_DISCLOSURE_CD"]
+
+
+# ------------------------------------------------------------------
+# StructType projection with metadata — the Spark documentation layer
+
+
+def kind_datatype(kind: str) -> DataType:
+    """Logical kind → the Spark type the typing expressions produce."""
+    if kind.startswith("decimal"):
+        p, s = kind[len("decimal(") : -1].split(",")
+        return DecimalType(int(p), int(s))
+    return {
+        "string": StringType(),
+        "int": IntegerType(),
+        "long": LongType(),
+        "date_mdy": DateType(),
+        "ts_mdy12": TimestampNTZType(),
+        "yn": IntegerType(),
+    }[kind]
+
+
+def to_struct_type(name: str) -> StructType:
+    """Typed ``StructType`` for a registered table, with each
+    ``StructField.metadata`` carrying the documentation layer
+    (help_text + logical kind + source group) — the reference's
+    field-level help_text twin, in the place Spark persists through
+    parquet writes and exposes via ``df.schema``."""
+    t = REGISTRY[name]
+    return StructType(
+        [
+            StructField(
+                c,
+                kind_datatype(cd.kind),
+                nullable=True,
+                metadata={"help_text": cd.help, "kind": cd.kind, "group": t.group},
+            )
+            for c, cd in t.columns.items()
+        ]
+    )

@@ -209,3 +209,144 @@ def test_cli_update_and_report(dirty_tsv, tmp_path, capsys):
     assert main(["report", str(out)]) == 0
     text = capsys.readouterr().out
     assert "RCPT_CD" in text and "loaded" in text
+
+
+# ------------------------------------------------ schema registry
+
+#: representative raw value per kind (parses cleanly)
+_GOOD_VAL = {
+    "string": "SOME TEXT",
+    "int": "7",
+    "long": "1774444",
+    "decimal(14,2)": "1234.56",
+    "date_mdy": "3/5/2001",
+    "ts_mdy12": "3/5/2001 11:30:00 AM",
+    "yn": "Y",
+}
+#: unparseable raw value per kind (types to NULL; row stays good)
+_BAD_VAL = {
+    "int": "abc",
+    "long": "xyz",
+    "decimal(14,2)": "12,34",
+    "date_mdy": "13/45/20XX",
+    "ts_mdy12": "13/45/20XX 99:99:99 ZZ",
+    "yn": "X",
+}
+
+
+def test_registry_completeness_golden():
+    """The reference enforces that every model is documented and every
+    field annotated (models/base.py tests, SURVEY §5.1) — same golden
+    rule over this registry."""
+    from calaspark.ingest.schemas import REGISTRY, kind_datatype
+
+    assert len(REGISTRY) >= 15
+    groups = {"campaign", "lobbying", "common", "other", "inactive"}
+    for name, t in REGISTRY.items():
+        assert name == name.upper() and name.endswith("_CD"), name
+        assert t.docs, f"{name} missing table docs"
+        assert t.group in groups, name
+        if t.unique_key is not None:
+            assert t.unique_key, name
+            missing = [k for k in t.unique_key if k not in t.columns]
+            assert not missing, f"{name} UNIQUE_KEY not in columns: {missing}"
+        assert t.columns, name
+        for c, cd in t.columns.items():
+            assert cd.help, f"{name}.{c} missing help_text"
+            kind_datatype(cd.kind)  # unknown kind → KeyError/ValueError
+    # every source module of the reference is represented
+    assert {t.group for t in REGISTRY.values()} == groups
+
+
+def test_struct_type_metadata():
+    """to_struct_type carries the documentation layer into
+    StructField.metadata with the declared target types."""
+    from calaspark.ingest.schemas import REGISTRY, to_struct_type
+
+    st = to_struct_type("RCPT_CD")
+    f = st["AMOUNT"]
+    assert f.dataType.simpleString() == "decimal(14,2)"
+    assert f.metadata["help_text"] == "Amount received in the period"
+    assert f.metadata["kind"] == "decimal(14,2)"
+    assert f.metadata["group"] == "campaign"
+    assert [f.name for f in st] == list(REGISTRY["RCPT_CD"].columns)
+
+
+def test_orchestrator_multi_schema_e2e(spark, tmp_path):
+    """Orchestrator e2e over EVERY registered schema (≥15): generated
+    dirty fixture per table (2 good rows, 1 typed-to-NULL row, 1
+    quarantine row) with full clean/typing/quarantine accounting and
+    metadata-bearing parquet output."""
+    from calaspark.ingest import update
+    from calaspark.ingest.schemas import REGISTRY, SCHEMAS, to_struct_type
+
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    for name, schema in SCHEMAS.items():
+        kinds = list(schema.values())
+        header = "\t".join(schema)
+        good = "\t".join(_GOOD_VAL[k] for k in kinds)
+        dirty = "\t".join(_BAD_VAL.get(k, _GOOD_VAL[k]) for k in kinds)
+        # one field too many for ANY schema → quarantine
+        long_row = "\t".join(["X"] * (len(schema) + 1))
+        (raw_dir / f"{name}.TSV").write_text(
+            "\n".join([header, good, good, dirty, long_row]) + "\n"
+        )
+
+    out = tmp_path / "lake"
+    man = update(spark, str(raw_dir), str(out))
+    assert len(man.files) == len(SCHEMAS) >= 15
+
+    for name, schema in SCHEMAS.items():
+        rec = man.files[name]
+        assert rec.status == "loaded", name
+        assert rec.n_body_lines == 4, name  # measured, not derived
+        assert rec.load_count == 3, name
+        assert rec.error_count == 1, name
+
+        back = spark.read.parquet(str(out / name))
+        expect = to_struct_type(name)
+        got = {f.name: f for f in back.schema}
+        for ef in expect:
+            assert got[ef.name].dataType == ef.dataType, (name, ef.name)
+            # documentation metadata survived the parquet round trip
+            assert got[ef.name].metadata["help_text"] == ef.metadata["help_text"]
+
+        # the dirty row typed its non-string kinds to NULL
+        non_string = [c for c, k in schema.items() if k in _BAD_VAL]
+        if non_string:
+            c0 = non_string[0]
+            assert back.filter(F.col(c0).isNull()).count() == 1, (name, c0)
+
+
+def test_manifest_lake_table(spark, dirty_tsv, tmp_path):
+    """SURVEY §1.1 mapping: the manifest is ALSO a parquet table with
+    upsert-by-file_name semantics; the V2 report reads from it."""
+    from calaspark.ingest import Manifest, update
+
+    out = tmp_path / "lake"
+    update(spark, dirty_tsv["raw_dir"], str(out))
+
+    table = str(out / "_manifest")
+    rep = {r["file_name"]: r
+           for r in Manifest.report_from_table(spark, table).collect()}
+    row = rep["RCPT_CD"]
+    assert row["status"] == "loaded"
+    assert row["error_pct"] == dirty_tsv["n_bad"] / (
+        dirty_tsv["n_good"] + dirty_tsv["n_bad"]
+    )
+
+    # dynamic-overwrite upsert: a writer carrying a DIFFERENT file key
+    # must not clobber RCPT_CD's partition (multi-writer safety)
+    other = Manifest(tmp_path / "other.json")
+    r = other.record("OTHER_CD")
+    r.status, r.n_body_lines, r.clean_count, r.load_count = "loaded", 5, 5, 5
+    other.write_table(spark, table)
+    names = {x["file_name"] for x in spark.read.parquet(table).collect()}
+    assert names == {"RCPT_CD", "OTHER_CD"}
+
+    # and re-writing the SAME key replaces, not duplicates
+    other.write_table(spark, table)
+    assert spark.read.parquet(table).filter(
+        F.col("file_name") == "OTHER_CD"
+    ).count() == 1
