@@ -16,10 +16,17 @@ queries whose first run exceeds SLOW_CUTOFF_S run once — their
 runtime already dominates measurement noise.
 
 Progress goes to stderr; stdout carries exactly the one JSON line.
+
+Round-over-round hygiene: the JSON also carries a PLAN FINGERPRINT
+per query (md5 of the optimized plan with expression/plan ids
+normalized away) and a per-query time delta vs the most recent
+``BENCH_r*.json`` with data — so a regression localizes immediately
+to "plan changed" vs "same plan, got slower".
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -48,6 +55,33 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _fingerprint(df) -> str:
+    """Stable hash of the optimized plan: expression ids (#123) and
+    plan ids vary run to run, the plan shape does not."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _prev_bench(here: Path) -> tuple[str, dict] | None:
+    """Most recent BENCH_r*.json that actually carries query times."""
+    best: tuple[int, str, dict] | None = None
+    for p in here.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)", p.name)
+        if not m:
+            continue
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps our JSON line under "parsed"
+        q = d.get("queries") or d.get("parsed", {}).get("queries")
+        if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p.name, q)
+    return (best[1], best[2]) if best else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,13 +93,26 @@ def main() -> None:
     _run_once(QUERIES["q05"], spark, sf_dir)
 
     times: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for qid, fn in QUERIES.items():
         runs = [_run_once(fn, spark, sf_dir)]
         if runs[0] < SLOW_CUTOFF_S:
             for _ in range(BENCH_RUNS - 1):
                 runs.append(_run_once(fn, spark, sf_dir))
         times[qid] = round(statistics.median(runs), 3)
+        plans[qid] = _fingerprint(fn(spark, sf_dir))
         print(f"  {qid:<18} {times[qid]:>8.3f}s  ({len(runs)} runs)", file=sys.stderr)
+
+    prev = _prev_bench(Path(__file__).resolve().parent)
+    deltas = (
+        {
+            qid: round(t - prev[1][qid], 3)
+            for qid, t in times.items()
+            if qid in prev[1]
+        }
+        if prev
+        else {}
+    )
 
     total = round(sum(times.values()), 3)
     out = {
@@ -73,6 +120,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "plan_fingerprints": plans,
+        "delta_vs_prev": deltas,
+        "prev_bench": prev[0] if prev else None,
         "sf": _sf_of(sf_dir),
         "n_queries": len(times),
         "cpus": int(cpus),

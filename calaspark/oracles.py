@@ -753,3 +753,66 @@ SELECT
   'k,type' AS keys_sorted
 FROM events
 """
+
+# Q47 — floor-division binning: x/30000.0 and FLOOR are the same
+# IEEE ops in both engines (unlike (x-lo)/(hi-lo)*n whose extra
+# rounding step can disagree) -------------------------------------
+
+ORACLES["q47"] = """
+SELECT
+  CAST(FLOOR(o_totalprice / 30000.0) AS INT) AS bucket,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+    AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+# Q48 — generate_series yields TIMESTAMP for date+interval input;
+# CAST back to DATE matches Spark's sequence(date, date, month) ----
+
+ORACLES["q48"] = """
+WITH months AS (
+  SELECT CAST(gs AS DATE) AS month
+  FROM generate_series(DATE '1995-01-01', DATE '1995-12-01',
+                       INTERVAL 1 MONTH) t(gs)
+),
+counts AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate <  DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT m.month, CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders
+FROM months m LEFT JOIN counts c USING (month)
+"""
+
+# Q49 — list_sort(list_distinct(list(...))) is the deterministic
+# spelling of STRING_AGG(DISTINCT ... ORDER BY ...) ----------------
+
+ORACLES["q49"] = """
+SELECT
+  o_orderstatus,
+  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+    AS priorities,
+  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+FROM orders
+GROUP BY 1
+"""
+
+# Q50 — bit aggs are order-independent (commutative), so exact under
+# any distribution; DuckDB keeps BIGINT in = BIGINT out -------------
+
+ORACLES["q50"] = """
+SELECT
+  user_id,
+  CAST(bit_and(event_id) AS BIGINT) AS b_and,
+  CAST(bit_or(event_id) AS BIGINT) AS b_or,
+  CAST(bit_xor(event_id) AS BIGINT) AS b_xor,
+  bool_and(value > 0) AS all_pos,
+  bool_or(event_type = 'purchase') AS any_purchase
+FROM events
+GROUP BY 1
+"""

@@ -70,6 +70,10 @@ QUERIES: dict[str, QueryFn] = {
     "q44": extensions.q44_grouping_sets,
     "q45": extensions.q45_array_funcs,
     "q46": extensions.q46_map_funcs,
+    "q47": extensions.q47_histogram_bins,
+    "q48": extensions.q48_calendar_spine,
+    "q49": extensions.q49_string_agg,
+    "q50": extensions.q50_bit_bool_aggs,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

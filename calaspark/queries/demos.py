@@ -53,18 +53,33 @@ def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UDTF_VIEW_SEQ = 0
+
+
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22: Python UDTF via SQL lateral join (text → token rows),
-    restricted to 10 docs — the built-in posexplode twin is q29."""
+    restricted to 10 docs — the built-in posexplode twin is q29.
+
+    Session hygiene: the input view gets a per-call unique name and
+    is dropped as soon as the plan is analyzed (spark.sql analyzes
+    eagerly), so concurrent callers in one session cannot collide;
+    the UDTF registration is idempotent (same name, same class).
+    """
+    global _UDTF_VIEW_SEQ
+    _UDTF_VIEW_SEQ += 1
+    view = f"_udtf_docs_{_UDTF_VIEW_SEQ}"
     d = load_table(spark, sf_dir, "documents")
-    d.orderBy("doc_id").limit(10).createOrReplaceTempView("_udtf_docs")
+    d.orderBy("doc_id").limit(10).createOrReplaceTempView(view)
     spark.udtf.register("calaspark_tokenize", TokenizeUDTF)
-    return spark.sql(
-        """
-        SELECT d.doc_id, t.token, t.pos
-        FROM _udtf_docs d, LATERAL calaspark_tokenize(d.text) t
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT d.doc_id, t.token, t.pos
+            FROM {view} d, LATERAL calaspark_tokenize(d.text) t
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

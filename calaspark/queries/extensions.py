@@ -192,46 +192,76 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is admitted or dropped by float noise; `sim` is reported rounded
     to 4 digits on top.
 
-    Plan: the pair space rides a BroadcastNestedLoopJoin on the a<b
-    predicate — deliberate for this declared exact-pairs contract
-    (it must emit every qualifying pair; the 100 TB near-dup answer
-    is banded MinHash LSH in ops/lsh.py, rows-only query
-    `lsh_minhash_pairs`). Two plan optimizations make the inherent
-    O(n²) cheap per pair:
+    Plan: a TRIANGLE BLOCK JOIN — the distributed all-pairs shape
+    that survives 100× scale (no broadcast of the corpus, no
+    BroadcastNestedLoopJoin). Docs hash into B buckets; a doc in
+    bucket ``b`` is emitted once per bucket-pair group it belongs to
+    (left role: (b, j) for j ≥ b; right role: (i, b) for i ≤ b), and
+    a plain shuffle EQUI-join on the (i, j) group key brings exactly
+    the rows of buckets i and j together. Every unordered doc pair
+    meets in exactly one group (same-bucket pairs de-duped by doc_id
+    order), so output = the exact pair set. Cost: each side shuffles
+    B copies of its (tiny: id + bitmask + count) rows; the O(n²)
+    compare work splits into B(B+1)/2 independent key groups of
+    (n/B)² pairs — even parallelism at any n, skew-free because
+    bucket assignment is a hash. The 100 TB *near-dup* answer is
+    still banded MinHash LSH (`lsh_minhash_pairs`); this is the plan
+    when the declared contract is EVERY qualifying pair.
 
-    - the stream side is repartitioned to cluster parallelism (the
-      single-file docs scan would otherwise run all pairs on 1 core);
-    - when the corpus vocabulary is small enough (≤ 512 terms), token
-      sets are dictionary-encoded to fixed-width BITMASKS (a
-      broadcast token→bit dim built from the data), so per-pair
-      intersection is a handful of AND+popcount ops instead of a
-      string hash-set build — ~15× faster at sf0.1, identical exact
-      counts. Large vocabularies fall back to array_intersect.
+    Per-pair cost optimization: when the corpus vocabulary is small
+    enough (≤ 512 terms), token sets are dictionary-encoded to
+    fixed-width BITMASKS (a broadcast token→bit dim built from the
+    data), so per-pair intersection is a handful of AND+popcount ops
+    instead of a string hash-set build — ~15× faster at sf0.1,
+    identical exact counts. Large vocabularies fall back to
+    array_intersect.
     """
     from ..ops.lsh import bitmask_encode, popcount_inter
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(_clean_tokens())
     t = d.select(F.col("doc_id"), toks.alias("toks"), F.size(toks).alias("nt"))
-    par = spark.sparkContext.defaultParallelism
     encoded = bitmask_encode(t)
     if encoded is not None:  # small-vocab bitmask fast path
-        enc, n_words = encoded
-        a = enc.repartition(par).alias("a")
-        b = enc.alias("b")
+        side, n_words = encoded
         inter = popcount_inter(n_words, "a", "b")
-        nt_a, nt_b = F.col("a.nt"), F.col("b.nt")
     else:  # general path: raw token arrays
-        a = t.repartition(par).alias("a")
-        b = t.alias("b")
+        side, n_words = t, None
         inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-        nt_a, nt_b = F.col("a.nt"), F.col("b.nt")
 
+    n_buckets = 16  # B(B+1)/2 = 136 key groups; replication = B rows/side
+    bucketed = side.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    )
+    a = (
+        bucketed.withColumn(
+            "_pj", F.explode(F.sequence(F.col("_bkt"), F.lit(n_buckets - 1)))
+        )
+        .withColumnRenamed("_bkt", "_pi")
+        .alias("a")
+    )
+    b = (
+        bucketed.withColumn(
+            "_pi", F.explode(F.sequence(F.lit(0), F.col("_bkt")))
+        )
+        .withColumnRenamed("_bkt", "_pj")
+        .alias("b")
+    )
     pairs = (
-        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a._pi") == F.col("b._pi"))
+            & (F.col("a._pj") == F.col("b._pj")),
+        )
+        # cross-bucket groups (i<j) pair every (a,b) once; same-bucket
+        # groups (i==j) contain both orientations — keep one by id
+        .filter(
+            (F.col("a._pi") < F.col("a._pj"))
+            | (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             inter.cast("long").alias("n_inter"),
             (F.col("a.nt") + F.col("b.nt") - inter).cast("long").alias("n_union"),
         )
@@ -685,4 +715,127 @@ def q46_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).cast("long").alias("n_keys"),
         F.map_contains_key(m, "type").alias("has_type"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+# ---------------------------------------------------------------- Q47
+
+
+def q47_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram / value binning (E13 breadth): fixed-width buckets
+    of o_totalprice (floor division — IEEE-identical in any engine,
+    unlike a (x-lo)/(hi-lo)*n formulation whose intermediate rounding
+    differs), with per-bin count and exact decimal revenue.
+
+    100 TB: the bucket is a scalar projection, the aggregate is one
+    map-side-combined groupBy on ≤ #bins keys — the cheapest possible
+    shuffle (bins, not rows, cross the wire).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q48
+
+
+def q48_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series generation (the calendar-spine idiom): `sequence` +
+    `explode` builds the 12 months of 1995, left-joined with monthly
+    order counts so ZERO months survive — the dense-time-axis shape
+    every reporting pipeline needs (a bare groupBy drops empty
+    months).
+
+    100 TB: the spine is 12 literal rows broadcast to the join; the
+    fact side is one groupBy on the truncated month (low-cardinality
+    keys, map-side combine), with the year filter pushed to the scan.
+    """
+    import datetime as _dt
+
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_dt.date(1995, 1, 1)),
+                F.lit(_dt.date(1995, 12, 1)),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    counts = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(_dt.date(1995, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(_dt.date(1996, 1, 1)))
+        )
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        F.broadcast(months)
+        .join(counts, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------- Q49
+
+
+def q49_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (E2 breadth): collect_set →
+    array_sort → array_join per group — the deterministic Spark
+    spelling of SQL's STRING_AGG(DISTINCT ... ORDER BY ...). The
+    explicit sort is what makes a set-collection emission
+    hash-stable across partitionings (SURVEY §2.6 determinism rule).
+
+    100 TB: collect_set does map-side partial set union; the value
+    domain (order priorities) is tiny, so state per group is bounded
+    regardless of row count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_prio"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------- Q50
+
+
+def q50_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + boolean aggregate breadth (E2): per-user bit_and /
+    bit_or / bit_xor over event ids (integer-exact, order-independent
+    — XOR/AND/OR are commutative so distribution cannot change the
+    answer) and bool_and / bool_or predicates.
+
+    100 TB: all five are single-value accumulators with map-side
+    partials — constant state per key, one shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.bit_and("event_id").alias("b_and"),
+            F.bit_or("event_id").alias("b_or"),
+            F.bit_xor("event_id").alias("b_xor"),
+            F.bool_and(F.col("value") > 0).alias("all_pos"),
+            F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        )
+        .orderBy("user_id")
     )

@@ -1,6 +1,11 @@
 """Structured Streaming surface (SURVEY.md §2.5 E23)."""
 
-from .stateful import running_totals_stream
+from .stateful import (
+    ROCKSDB_PROVIDER_CONF,
+    running_totals_stream,
+    running_totals_tws,
+    tws_available,
+)
 
 from .windows import (
     dedup_stream,
@@ -12,7 +17,10 @@ from .windows import (
 )
 
 __all__ = [
+    "ROCKSDB_PROVIDER_CONF",
     "running_totals_stream",
+    "running_totals_tws",
+    "tws_available",
     "dedup_stream", "read_stream", "run_available_now",
     "session_counts", "sliding_counts", "tumbling_counts",
 ]

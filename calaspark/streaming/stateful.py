@@ -57,3 +57,94 @@ def running_totals_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 successor API (PGO:427):
+# typed state handles (value/list/map), per-state TTL, and timers,
+# where applyInPandasWithState has one untyped state tuple and a
+# single timeout conf. Runtime requirements: the RocksDB state store
+# provider (ROCKSDB_PROVIDER_CONF) AND the `protobuf` Python package
+# (the state-server protocol is protobuf-framed; Spark's driver
+# worker imports google.protobuf at query start). This container
+# ships no protobuf, so the operator is execution-gated the same way
+# as the multimodal codecs: code + contract are real, the test skips
+# when `google.protobuf` is absent (see tws_available()).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+#: RocksDB provider conf transformWithState requires (HDFS-backed
+#: default store does not support the multi-state-variable layout).
+ROCKSDB_PROVIDER_CONF = (
+    "spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+)
+
+
+def tws_available() -> bool:
+    """True when the runtime can execute transformWithStateInPandas
+    (google.protobuf importable — Spark's transform_with_state driver
+    worker needs it for the state protocol)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running (count, value-sum) accumulator — the same
+    contract as :func:`running_totals_stream`, expressed through the
+    typed-state API: a ValueState with an optional TTL (stale keys
+    age out of the store instead of accumulating forever — the
+    unbounded-key-cardinality story at 100 TB).
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = self._totals.get() if self._totals.exists() else None
+        n, s = prev if prev is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key: str = "user_id",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming running totals via ``transformWithStateInPandas``.
+
+    Same output contract as :func:`running_totals_stream`; state TTL
+    (``ttl_ms``) evicts keys idle longer than the duration. The
+    session must set :data:`ROCKSDB_PROVIDER_CONF` before starting
+    the query. ``timeMode='processingTime'`` enables TTL and timers.
+    """
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(ttl_ms=ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )

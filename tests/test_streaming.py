@@ -99,3 +99,57 @@ def test_stateful_running_totals(spark, events_dir):
     }
     assert got == want and len(got) == 3
     q.stop()
+
+
+def test_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas (typed state + TTL) matches the
+    batch groupBy twin — same contract as the applyInPandasWithState
+    accumulator, through the Spark 4 successor API. Skips when the
+    runtime lacks google.protobuf (Spark's transform_with_state
+    driver worker hard-requires it; not shipped in this container)."""
+    from calaspark.streaming import (
+        ROCKSDB_PROVIDER_CONF,
+        running_totals_tws,
+        tws_available,
+    )
+
+    # plan construction is protobuf-free: the operator must always
+    # produce a valid streaming plan with the declared output schema
+    built = running_totals_tws(read_stream(spark, events_dir, SCHEMA), ttl_ms=1000)
+    assert built.isStreaming
+    assert [f.name for f in built.schema] == ["user_id", "n_events", "sum_value"]
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: tws driver worker cannot start")
+
+    conf_key, conf_val = ROCKSDB_PROVIDER_CONF
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, conf_val)
+    try:
+        stream = read_stream(spark, events_dir, SCHEMA)
+        # 1h TTL: far beyond the bounded drain, so no key expires
+        # mid-test; the TTL + processingTime paths are still exercised
+        q = run_available_now(
+            running_totals_tws(stream, ttl_ms=3_600_000),
+            "t_tws",
+            output_mode="update",
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM t_tws").collect()
+        }
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+        want = {
+            r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()
+        }
+        assert got == want and len(got) == 3
+        q.stop()
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
+        else:
+            spark.conf.unset(conf_key)

@@ -33,9 +33,10 @@ SF = "/root/testdata/sf0.01"
 
 #: queries where a flagged pattern is the declared, documented plan
 ALLOWED = {
-    # exact all-pairs contract (BNLJ by design); single-part exchange
-    # is the ≤512-row token→bit dictionary window in bitmask_encode
-    "q33": {"bnlj", "single_part_exchange"},
+    # exact all-pairs now rides a triangle block EQUI-join (no BNLJ);
+    # the single-part exchange left is the ≤512-row token→bit
+    # dictionary window in bitmask_encode
+    "q33": {"single_part_exchange"},
     "q38_cross": {"bnlj"},  # cross join demo (tiny dims)
     "q34": {"bnlj"},  # 1-row broadcast probe × corpus scan (single-probe ANN)
     "q01": {"single_part_exchange"},  # global 1-row aggregate: final merge
