@@ -245,6 +245,131 @@ REGISTRY: dict[str, Table] = {
             "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
         },
     ),
+    "CVR2_CAMPAIGN_DISCLOSURE_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460", "F450", "F425", "F465"),
+        docs="Cover page continuation lines (additional committee/officer names)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Entity type of the listed party"),
+            "ENTY_NAML": Col("string", "Listed entity last name or business name"),
+            "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "TITLE": Col("string", "Title of the listed officer"),
+            "CMTE_ID": Col("string", "Committee ID, if the entity is a committee"),
+        },
+    ),
+    "CVR2_SO_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F400", "F410"),
+        docs="Statement-of-organization continuation lines",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Entity type of the listed party"),
+            "ENTY_NAML": Col("string", "Listed entity last name or business name"),
+            "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "ITEM_CD": Col("string", "Section of the form the line belongs to"),
+            "ENTY_CITY": Col("string", "Listed entity city"),
+            "ENTY_ST": Col("string", "Listed entity state"),
+            "ENTY_ZIP4": Col("string", "Listed entity ZIP+4"),
+            "EFFECT_DT": Col("date_mdy", "Effective date of the line"),
+        },
+    ),
+    "CVR3_VERIFICATION_INFO_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F460", "F450", "F401"),
+        docs="Verification/signature lines of campaign statements",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Signer entity type code"),
+            "SIG_DATE": Col("date_mdy", "Date the statement was signed"),
+            "SIG_LOC": Col("string", "Place the statement was executed"),
+            "SIG_NAML": Col("string", "Signer last name"),
+            "SIG_NAMF": Col("string", "Signer first name"),
+        },
+    ),
+    "S401_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F401",),
+        docs="Slate mailer payments and contributions (Form 401 schedules)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "AGENT_NAML": Col("string", "Agent or independent contractor name"),
+            "PAYEE_NAML": Col("string", "Payee last name or business name"),
+            "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_CITY": Col("string", "Payee city"),
+            "PAYEE_ST": Col("string", "Payee state"),
+            "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
+            "AMOUNT": Col("decimal(14,2)", "Amount paid or received"),
+            "AGGREGATE": Col("decimal(14,2)", "Cumulative amount to date"),
+            "EXPN_DSCR": Col("string", "Description of the payment"),
+            "CAND_NAML": Col("string", "Candidate last name supported/opposed"),
+            "OFFICE_CD": Col("string", "Office sought code"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "SUP_OPP_CD": Col("string", "Support or oppose code"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    "S498_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F498",),
+        docs="Slate mailer late payment reports (Form 498)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Payor entity type code"),
+            "PAYOR_NAML": Col("string", "Payor last name or business name"),
+            "PAYOR_NAMF": Col("string", "Payor first name"),
+            "PAYOR_CITY": Col("string", "Payor city"),
+            "PAYOR_ST": Col("string", "Payor state"),
+            "PAYOR_ZIP4": Col("string", "Payor ZIP+4"),
+            "DATE_RCVD": Col("date_mdy", "Date the payment was received"),
+            "AMT_RCVD": Col("decimal(14,2)", "Amount received"),
+            "CAND_NAML": Col("string", "Candidate last name supported/opposed"),
+            "OFFICE_CD": Col("string", "Office sought code"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "SUP_OPP_CD": Col("string", "Support or oppose code"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    "SPLT_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE"),
+        forms=("F460",),
+        docs="Split transaction allocations across elections/periods",
+        columns={
+            "FILING_ID": Col("long", "Unique filing identification number"),
+            "AMEND_ID": Col("int", "Amendment number; 0 is the original filing"),
+            "LINE_ITEM": Col("int", "Line item number of this record"),
+            "REC_TYPE": Col("string", "Record type of the transaction"),
+            "PFORM_TYPE": Col("string", "Parent schedule of the split line"),
+            "PTRAN_ID": Col("string", "Parent transaction ID being split"),
+            "ELEC_DATE": Col("date_mdy", "Election the allocation applies to"),
+            "ELEC_AMOUNT": Col("decimal(14,2)", "Amount allocated to the election"),
+        },
+    ),
+    "F495P2_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F495",),
+        docs="Supplemental pre-election statement period totals (Form 495)",
+        columns={
+            **_filing_cols(),
+            "ELECT_DATE": Col("date_mdy", "Date of the related election"),
+            "ELECTJUR": Col("string", "Jurisdiction of the election"),
+            "CONTRIBAMT": Col("decimal(14,2)", "Contributions in the supplemental period"),
+        },
+    ),
     "S496_CD": Table(
         group="campaign",
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
@@ -417,6 +542,106 @@ REGISTRY: dict[str, Table] = {
             "DESCRIP": Col("string", "Description of lobbying interests"),
         },
     ),
+    "CVR2_REGISTRATION_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F601", "F602", "F603"),
+        docs="Lobbying registration continuation lines (listed lobbyists/agencies)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Entity type of the listed party"),
+            "ENTY_NAML": Col("string", "Listed entity last name or firm name"),
+            "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "ENTY_TITLE": Col("string", "Title of the listed party"),
+        },
+    ),
+    "CVR2_LOBBY_DISCLOSURE_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F615", "F625", "F635", "F645"),
+        docs="Lobbying disclosure continuation lines",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Entity type of the listed party"),
+            "ENTY_NAML": Col("string", "Listed entity last name or firm name"),
+            "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "ENTY_TITLE": Col("string", "Title of the listed party"),
+        },
+    ),
+    "LATT_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F630", "F635C", "F640"),
+        docs="Payment attachments to lobbying disclosures ($5000+ itemization)",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "ENTITY_CD": Col("string", "Recipient entity type code"),
+            "RECIP_NAML": Col("string", "Recipient last name or business name"),
+            "RECIP_NAMF": Col("string", "Recipient first name"),
+            "RECIP_CITY": Col("string", "Recipient city"),
+            "RECIP_ST": Col("string", "Recipient state"),
+            "RECIP_ZIP4": Col("string", "Recipient ZIP+4"),
+            "PMT_DATE": Col("date_mdy", "Date of the payment"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the payment"),
+            "CUM_AMT": Col("decimal(14,2)", "Cumulative amount to date"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    "LOTH_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F625", "F635"),
+        docs="Payments made to other lobbying firms",
+        columns={
+            **_filing_cols(),
+            "TRAN_ID": Col("string", "Permanent transaction ID"),
+            "FIRM_NAME": Col("string", "Name of the receiving lobbying firm"),
+            "FIRM_CITY": Col("string", "Firm city"),
+            "FIRM_ST": Col("string", "Firm state"),
+            "FIRM_ZIP4": Col("string", "Firm ZIP+4"),
+            "PMT_DATE": Col("date_mdy", "Date of the payment"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the payment"),
+            "CUM_AMT": Col("decimal(14,2)", "Cumulative amount to date"),
+            "SUBJ_NAML": Col("string", "Client on whose behalf payment was made"),
+            "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
+            "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+        },
+    ),
+    "LOBBY_AMENDMENTS_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "REC_TYPE", "FORM_TYPE"),
+        forms=("F605",),
+        docs="Amendments to lobbying registrations (what changed)",
+        columns={
+            **_filing_cols(line_item=False),
+            "EXEC_DATE": Col("date_mdy", "Date the amendment was executed"),
+            "FROM_DATE": Col("date_mdy", "Amended period start date"),
+            "THRU_DATE": Col("date_mdy", "Amended period end date"),
+            "ADD_L_CB": Col("yn", "Lobbyists-added checkbox"),
+            "DEL_L_CB": Col("yn", "Lobbyists-deleted checkbox"),
+            "ADD_LE_CB": Col("yn", "Employers-added checkbox"),
+            "DEL_LE_CB": Col("yn", "Employers-deleted checkbox"),
+            "OTHER_DESC": Col("string", "Description of other changes"),
+        },
+    ),
+    "F690P2_CD": Table(
+        group="lobbying",
+        unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
+        forms=("F690",),
+        docs="Amendments to lobbying disclosure reports (Form 690 page 2)",
+        columns={
+            **_filing_cols(),
+            "EXEC_DATE": Col("date_mdy", "Date the amendment was executed"),
+            "FROM_DATE": Col("date_mdy", "Amended period start date"),
+            "THRU_DATE": Col("date_mdy", "Amended period end date"),
+            "CHG_PARTS": Col("string", "Which parts of the report changed"),
+            "AMEND_TXT1": Col("string", "Amendment explanation text"),
+        },
+    ),
     # -------------------------------------------------- common.py
     "FILER_FILINGS_CD": Table(
         group="common",
@@ -477,7 +702,143 @@ REGISTRY: dict[str, Table] = {
             "TEXT4000": Col("string", "Memo text, up to 4000 characters"),
         },
     ),
+    "CVR_E530_CD": Table(
+        group="common",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("E530",),
+        docs="Electronic issue-advocacy report cover pages (E-530)",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer identification number"),
+            "FILER_NAML": Col("string", "Filer last name or organization name"),
+            "FILER_NAMF": Col("string", "Filer first name"),
+            "RPT_DATE": Col("date_mdy", "Date the report was filed"),
+            "FROM_DATE": Col("date_mdy", "Reporting period start date"),
+            "THRU_DATE": Col("date_mdy", "Reporting period end date"),
+            "CAND_NAML": Col("string", "Candidate last name the communication concerns"),
+            "OFFICE_CD": Col("string", "Office sought code"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "PMNT_AMOUNT": Col("decimal(14,2)", "Amount of the payment reported"),
+        },
+    ),
     # --------------------------------------------------- other.py
+    "FILERS_CD": Table(
+        group="other",
+        unique_key=("FILER_ID",),
+        forms=(),
+        docs="Master filer ID list (one row per filer)",
+        columns={
+            "FILER_ID": Col("long", "Filer identification number"),
+        },
+    ),
+    "FILER_TYPES_CD": Table(
+        group="other",
+        unique_key=("FILER_TYPE",),
+        forms=(),
+        docs="Lookup of filer type codes and descriptions",
+        columns={
+            "FILER_TYPE": Col("int", "Filer type code"),
+            "DESCRIPTION": Col("string", "Description of the filer type"),
+            "GRP_TYPE": Col("int", "Group type the filer type belongs to"),
+            "CALC_USE": Col("yn", "Whether used in calculations"),
+            "GRACE_PERIOD": Col("string", "Filing grace period for the type"),
+        },
+    ),
+    "FILER_TO_FILER_TYPE_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Assignment of filer IDs to filer types over sessions",
+        columns={
+            "FILER_ID": Col("long", "Filer identification number"),
+            "FILER_TYPE": Col("int", "Filer type code assigned"),
+            "ACTIVE": Col("yn", "Whether the assignment is active"),
+            "RACE": Col("long", "Race/contest code, if applicable"),
+            "SESSION_ID": Col("int", "Legislative session of the assignment"),
+            "CATEGORY": Col("long", "Category code"),
+            "CATEGORY_TYPE": Col("long", "Category type code"),
+            "SUB_CATEGORY": Col("long", "Sub-category code"),
+            "EFFECT_DT": Col("date_mdy", "Date the assignment took effect"),
+            "PERIOD_ID": Col("long", "Filing period of the assignment"),
+        },
+    ),
+    "FILER_XREF_CD": Table(
+        group="other",
+        unique_key=("FILER_ID", "XREF_ID"),
+        forms=(),
+        docs="Cross-reference between filer IDs and legacy agency IDs",
+        columns={
+            "FILER_ID": Col("long", "Filer identification number"),
+            "XREF_ID": Col("string", "Legacy/agency identifier"),
+            "EFFECT_DT": Col("date_mdy", "Date the mapping took effect"),
+            "MIGRATION_SOURCE": Col("string", "System the mapping migrated from"),
+        },
+    ),
+    "FILER_STATUS_TYPES_CD": Table(
+        group="other",
+        unique_key=("STATUS_TYPE",),
+        forms=(),
+        docs="Lookup of filer status codes",
+        columns={
+            "STATUS_TYPE": Col("string", "Status code"),
+            "STATUS_DESC": Col("string", "Description of the status"),
+        },
+    ),
+    "ACRONYMS_CD": Table(
+        group="other",
+        unique_key=("ACRONYM",),
+        forms=(),
+        docs="Lookup of acronyms used across CAL-ACCESS",
+        columns={
+            "ACRONYM": Col("string", "The acronym"),
+            "STANDS_FOR": Col("string", "What the acronym stands for"),
+            "EFFECT_DT": Col("date_mdy", "Date the acronym took effect"),
+            "A_DESC": Col("string", "Description of the acronym"),
+        },
+    ),
+    "ADDRESS_CD": Table(
+        group="other",
+        unique_key=("ADRID",),
+        forms=(),
+        docs="Shared address records referenced by filer tables",
+        columns={
+            "ADRID": Col("long", "Address record ID"),
+            "CITY": Col("string", "City"),
+            "ST": Col("string", "State"),
+            "ZIP4": Col("string", "ZIP+4"),
+            "PHON": Col("string", "Phone number"),
+            "FAX": Col("string", "Fax number"),
+            "EMAIL": Col("string", "Email address"),
+        },
+    ),
+    "IMAGE_LINKS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Links from filings to scanned document images",
+        columns={
+            "IMG_LINK_ID": Col("long", "Image link record ID"),
+            "IMG_LINK_TYPE": Col("long", "Type of the linked record"),
+            "IMG_ID": Col("long", "Image identifier"),
+            "IMG_TYPE": Col("long", "Image type code"),
+            "IMG_DT": Col("date_mdy", "Date of the image"),
+        },
+    ),
+    "HEADER_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Form header/label layout used to render filings",
+        columns={
+            "LINE_NUMBER": Col("long", "Line number within the form"),
+            "FORM_ID": Col("string", "Form the header belongs to"),
+            "REC_TYPE": Col("string", "Record type of the header row"),
+            "SECTION_LABEL": Col("string", "Section label text"),
+            "COMMENTS1": Col("string", "First comment line"),
+            "COMMENTS2": Col("string", "Second comment line"),
+            "LABEL": Col("string", "Display label text"),
+        },
+    ),
     "FILERNAME_CD": Table(
         group="other",
         unique_key=None,
@@ -546,6 +907,34 @@ REGISTRY: dict[str, Table] = {
         },
     ),
     # ------------------------------------------------ inactive.py
+    "LOBBYIST_CONTRIBUTIONS1_CD": Table(
+        group="inactive",
+        unique_key=None,
+        forms=(),
+        docs="Lobbyist campaign contribution directory (no longer updated)",
+        columns={
+            "FILER_ID": Col("long", "Filer ID of the lobbyist"),
+            "FILING_PERIOD_START_DT": Col("date_mdy", "Directory period start"),
+            "FILING_PERIOD_END_DT": Col("date_mdy", "Directory period end"),
+            "CONTRIBUTION_DT": Col("string", "Date of the contribution (as published)"),
+            "RECIPIENT_NAME": Col("string", "Recipient committee or candidate"),
+            "RECIPIENT_ID": Col("long", "Recipient filer ID"),
+            "AMOUNT": Col("decimal(14,2)", "Amount of the contribution"),
+        },
+    ),
+    "LOBBYIST_FIRM1_CD": Table(
+        group="inactive",
+        unique_key=None,
+        forms=(),
+        docs="Lobbyist firm directory snapshot (no longer updated)",
+        columns={
+            "FIRM_ID": Col("long", "Firm identification number"),
+            "FIRM_NAME": Col("string", "Name of the lobbying firm"),
+            "CURRENT_QTR_AMT": Col("decimal(14,2)", "Amount for the current quarter"),
+            "SESSION_TOTAL_AMT": Col("decimal(14,2)", "Total for the session"),
+            "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+        },
+    ),
     "BALLOT_MEASURES_CD": Table(
         group="inactive",
         unique_key=("FILER_ID", "MEASURE_NO", "ELECTION_DATE"),

@@ -47,9 +47,12 @@ def connected_components(
     ``max_iter`` (e.g. a long near-dup chain) would otherwise return
     silently-wrong components with no signal to the caller.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Materialize the edge list BEFORE symmetrizing: the union reads
+    # each direction from the materialized blocks, so an expensive
+    # edges lineage (e.g. an LSH candidate join) computes ONCE, not
+    # once per union branch.
+    e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = materialize(sym.distinct())
 
     labels = materialize(

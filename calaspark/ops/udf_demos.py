@@ -71,3 +71,45 @@ class TokenizeUDTF:
     def eval(self, text: str):  # noqa: D102
         for i, tok in enumerate((text or "").split()):
             yield tok, i
+
+
+# ------------------------------------------------------------------
+# Arrow-native boundaries (PGO:768 applyInArrow, DF:6481 mapInArrow):
+# the zero-copy siblings of applyInPandas/mapInPandas — batches cross
+# as pyarrow RecordBatch with NO pandas materialization, the right
+# shape when the Python side is itself Arrow-native (arrow compute,
+# polars, duckdb-wasm-style kernels) and the pandas conversion would
+# be pure overhead.
+
+
+def token_stats_arrow_batches(it):
+    """mapInArrow worker: per-document token count + total length via
+    pyarrow.compute — no pandas DataFrame ever exists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.list_value_length(toks), pa.int64()),
+                pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_chars"],
+        )
+
+
+def group_value_sum_arrow(key, batch):
+    """applyInArrow worker: one aggregate row per group from a single
+    pyarrow Table (Arrow compute sum — no pandas)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.Table.from_pydict(
+        {
+            "user_id": [key[0].as_py()],
+            "n": [batch.num_rows],
+            "sum_value": [pc.sum(batch.column("value")).as_py()],
+        }
+    )

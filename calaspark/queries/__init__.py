@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": demos.ann_lsh_topk,
     "pandas_udf_quality": demos.pandas_udf_quality,
     "udtf_tokens": demos.udtf_tokens,
+    "arrow_native": demos.arrow_native,
     "sampling_stratified": demos.sampling_stratified,
     "approx_sketches": demos.approx_sketches,
     "multimodal_features": demos.multimodal_features,

@@ -187,13 +187,22 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order): identical token sets form Jaccard-1 cliques, so feeding
     # them to LSH inflates the pair graph quadratically in clique
     # size. One linear groupBy elects a representative per distinct
-    # set instead. Components are provably unchanged: identical sets
-    # share every band hash, so their edges were guaranteed anyway.
-    # (At 100 TB, group on a set fingerprint — xxhash64 of the sorted
-    # tokens — so the shuffle carries 8 bytes, not the array.)
-    groups = docs.groupBy("toks").agg(F.min("doc_id").alias("rep_id"))
-    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "toks")
-    rep_map = docs.join(groups, "toks").select("doc_id", "rep_id")
+    # set. The group key is a SET FINGERPRINT (xxhash64 of the sorted
+    # tokens joined on an out-of-alphabet separator), so the collapse
+    # shuffle and the doc→rep mapping join carry 8-byte keys — never
+    # the token arrays — and tokenization runs once (materialized).
+    # Components are provably unchanged: identical sets share every
+    # band hash, so their edges were guaranteed anyway.
+    hdocs = materialize(
+        docs.withColumn("fp", F.xxhash64(F.array_join("toks", "\x1f")))
+    )
+    groups = hdocs.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = hdocs.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "toks")
+    rep_map = hdocs.select("doc_id", "fp").join(groups, "fp").select(
+        "doc_id", "rep_id"
+    )
 
     # Stage 2 — banded MinHash over representatives only. Tighter
     # bands (4×8 vs the default 8×4): at this demo's higher threshold
@@ -338,3 +347,46 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_neardup_pairs(docs, max_hamming=3)
         .orderBy("hamming", "id_a", "id_b")
     )
+
+
+def arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 Arrow-native boundaries: `mapInArrow` per-doc token stats
+    verified against their built-in twins, plus an `applyInArrow`
+    per-user aggregate — batches cross as pyarrow RecordBatches with
+    no pandas materialization (the zero-copy escape hatch when the
+    Python side is itself Arrow-native). One summary row: agreement
+    counts prove the Arrow workers match codegen expressions."""
+    from ..ops.udf_demos import group_value_sum_arrow, token_stats_arrow_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select("doc_id", "text").mapInArrow(
+        token_stats_arrow_batches, "doc_id long, n_tokens long, n_chars long"
+    )
+    builtin = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("bi_tokens"),
+        F.length("text").cast("long").alias("bi_chars"),
+    )
+    agree = (
+        stats.join(builtin, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_tokens") == F.col("bi_tokens")).cast("long")).alias(
+                "tokens_agree"
+            ),
+            F.sum((F.col("n_chars") == F.col("bi_chars")).cast("long")).alias(
+                "chars_agree"
+            ),
+        )
+    )
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(group_value_sum_arrow, "user_id long, n long, sum_value double")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    return agree.crossJoin(users)

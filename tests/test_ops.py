@@ -347,3 +347,34 @@ def test_materialize_reliable_checkpoint(spark, tmp_path):
         # it, restoring the shared session for later tests.
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
+
+
+def test_arrow_native_workers(spark):
+    """mapInArrow / applyInArrow workers agree with built-in twins."""
+    from calaspark.ops.udf_demos import (
+        group_value_sum_arrow,
+        token_stats_arrow_batches,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a bb ccc"), (2, ""), (3, "x  y")], "doc_id long, text string"
+    )
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"])
+        for r in d.mapInArrow(
+            token_stats_arrow_batches, "doc_id long, n_tokens long, n_chars long"
+        ).collect()
+    }
+    # split on single space: "x  y" → ["x", "", "y"] (3), "" → [""] (1)
+    assert stats == {1: (3, 8), 2: (1, 0), 3: (3, 4)}
+
+    e = spark.createDataFrame(
+        [(1, 1.0), (1, 2.5), (2, 4.0)], "user_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in e.groupBy("user_id")
+        .applyInArrow(group_value_sum_arrow, "user_id long, n long, sum_value double")
+        .collect()
+    }
+    assert got == {1: (2, 3.5), 2: (1, 4.0)}

@@ -50,6 +50,9 @@ ALLOWED = {
     "tfidf_topterms": {"bnlj", "single_part_exchange"},
     "pandas_udf_quality": {"py_arrow"},
     "multimodal_features": {"py_arrow"},
+    # two 1-row summary aggregates crossJoined (BNLJ over one row) +
+    # their global final merges; Arrow workers are the demo's point
+    "arrow_native": {"bnlj", "single_part_exchange", "py_arrow"},
     "udtf_tokens": {"py_row_udf", "py_arrow"},  # UDTF demo is per-row by design
 }
 
