@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "q48": extensions.q48_calendar_spine,
     "q49": extensions.q49_string_agg,
     "q50": extensions.q50_bit_bool_aggs,
+    "q51": extensions.q51_local_supplier_volume,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

@@ -229,7 +229,12 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         side, n_words = t, None
         inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
 
-    n_buckets = 16  # B(B+1)/2 = 136 key groups; replication = B rows/side
+    # B(B+1)/2 = 36 key groups; replication = B rows/side. Measured at
+    # sf0.1: 8 beats 16 (~20%) — halving replication outweighs the
+    # coarser grouping while 36 groups still feed 32 cores. At larger
+    # cluster scale raise B so groups ≥ cores (work per group shrinks
+    # as B², replication only linearly).
+    n_buckets = 8
     bucketed = side.withColumn(
         "_bkt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
     )
@@ -838,4 +843,56 @@ def q50_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- Q51
+
+
+def q51_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper — local supplier volume (E1 join-graph
+    showcase): 6-table join where the local-supplier constraint
+    (c_nationkey = s_nationkey) closes a CYCLE in the join graph, the
+    shape that stresses join ordering. Revenue per ASIA nation for
+    1995, exact decimal.
+
+    100 TB plan: region/nation/supplier broadcast (supplier is the
+    smallest fact-adjacent dim here); lineitem⋈orders⋈customer
+    shuffle on their keys; the nationkey equality rides the supplier
+    join as a residual equi-condition instead of a post-join filter,
+    so no oversized intermediate materializes. The date range is a
+    pushed scan predicate (never `year(col) ==`).
+    """
+    from ._util import RATE
+
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast(RATE) - dec("l_discount", RATE)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),  # the Q5 cycle edge
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
