@@ -949,6 +949,358 @@ REGISTRY: dict[str, Table] = {
             "JURISDICTION": Col("string", "Jurisdiction voting on the measure"),
         },
     ),
+    # ------------------------------------------------ campaign.py (2)
+    "F501_502_CD": Table(
+        group="campaign",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=("F501", "F502"),
+        docs="Candidate intention and bank account statements (Forms 501/502)",
+        columns={
+            **_filing_cols(line_item=False),
+            "FILER_ID": Col("string", "Filer ID of the candidate"),
+            "COMMITTEE_ID": Col("string", "Committee ID of the campaign account"),
+            "ENTITY_CD": Col("string", "Entity code of the filer"),
+            "CAND_NAML": Col("string", "Candidate last name"),
+            "CAND_NAMF": Col("string", "Candidate first name"),
+            "OFFICE_CD": Col("string", "Office sought code"),
+            "DISTRICT_CD": Col("int", "District of the office sought"),
+            "PARTY_CD": Col("int", "Political party code"),
+            "JURIS_CD": Col("string", "Jurisdiction code of the office"),
+            "YR_OF_ELEC": Col("int", "Year of the election"),
+            "ELEC_TYPE": Col("string", "Election type (primary/general/special)"),
+            "EXECUTE_DT": Col("date_mdy", "Date the statement was executed"),
+        },
+    ),
+    # ------------------------------------------------ other.py (2)
+    "EFS_FILING_LOG_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Electronic filing system submission log (one row per attempt)",
+        columns={
+            "FILING_DATE": Col("date_mdy", "Date the electronic filing arrived"),
+            "FILINGSTATUS": Col("int", "Status code assigned by the EFS"),
+            "VENDOR": Col("string", "Software vendor that produced the filing"),
+            "FILER_ID": Col("string", "Filer ID on the submission"),
+            "FORM_TYPE": Col("string", "Form type of the submission"),
+            "ERROR_NO": Col("string", "Error number when the submission failed"),
+        },
+    ),
+    "FILER_ACRONYMS_CD": Table(
+        group="other",
+        unique_key=("ACRONYM", "FILER_ID"),
+        forms=(),
+        docs="Acronyms registered to individual filers",
+        columns={
+            "ACRONYM": Col("string", "Acronym registered by the filer"),
+            "FILER_ID": Col("long", "Filer ID owning the acronym"),
+        },
+    ),
+    "FILER_ADDRESS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Links filers to their addresses in the address directory",
+        columns={
+            "FILER_ID": Col("long", "Filer ID of the record"),
+            "ADRID": Col("long", "Address ID in ADDRESS_CD"),
+            "EFFECT_DT": Col("date_mdy", "Date the address became effective"),
+            "ADD_TYPE": Col("int", "Address type code"),
+            "SESSION_ID": Col("int", "Legislative session of the link"),
+        },
+    ),
+    "FILER_ETHICS_CLASS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Ethics training completion dates per lobbyist filer",
+        columns={
+            "FILER_ID": Col("long", "Filer ID of the lobbyist"),
+            "SESSION_ID": Col("int", "Legislative session of the class"),
+            "ETHICS_DATE": Col("date_mdy", "Date the ethics class was completed"),
+        },
+    ),
+    "FILER_INTERESTS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Lobbying interest codes declared per filer and session",
+        columns={
+            "FILER_ID": Col("long", "Filer ID of the record"),
+            "SESSION_ID": Col("int", "Legislative session of the declaration"),
+            "INTEREST_CD": Col("int", "Lobbying interest category code"),
+            "EFFECT_DATE": Col("date_mdy", "Date the declaration took effect"),
+        },
+    ),
+    "GROUP_TYPES_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Lookup of filer group type codes",
+        columns={
+            "GRP_ID": Col("int", "Group type identification number"),
+            "GRP_NAME": Col("string", "Name of the group type"),
+            "GRP_DESC": Col("string", "Description of the group type"),
+        },
+    ),
+    "LOOKUP_CODES_CD": Table(
+        group="other",
+        unique_key=("CODE_TYPE", "CODE_ID"),
+        forms=(),
+        docs="Master lookup of coded values used across the database",
+        columns={
+            "CODE_TYPE": Col("int", "Family the coded value belongs to"),
+            "CODE_ID": Col("int", "Value of the code within its family"),
+            "CODE_DESC": Col("string", "Human-readable meaning of the code"),
+        },
+    ),
+    "NAMES_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Name directory backing the filer search screens",
+        columns={
+            "NAMID": Col("long", "Name record identification number"),
+            "NAML": Col("string", "Last name or business name"),
+            "NAMF": Col("string", "First name"),
+            "NAMT": Col("string", "Name title or prefix"),
+            "NAMS": Col("string", "Name suffix"),
+            "MONIKER": Col("string", "Moniker associated with the name"),
+            "MONIKER_POS": Col("string", "Position of the moniker in the name"),
+            "NAML_SEARCH": Col("string", "Search-normalized last name"),
+        },
+    ),
+    "RECEIVED_FILINGS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Log of filings received by the secretary of state's office",
+        columns={
+            "FILER_ID": Col("long", "Filer ID on the received filing"),
+            "FILING_FILE_NAME": Col("string", "File name of the received filing"),
+            "RECEIVED_DATE": Col("date_mdy", "Date the filing was received"),
+            "FILING_DIRECTORY": Col("string", "Directory the filing was stored in"),
+            "FILING_ID": Col("long", "Filing ID assigned on receipt"),
+            "FORM_ID": Col("string", "Form type of the received filing"),
+            "RECEIVE_COMMENT": Col("string", "Comment recorded at receipt"),
+        },
+    ),
+    "REPORTS_CD": Table(
+        group="other",
+        unique_key=None,
+        forms=(),
+        docs="Catalog of canned reports the state system can produce",
+        columns={
+            "RPT_ID": Col("int", "Report identification number"),
+            "RPT_NAME": Col("string", "Name of the report"),
+            "RPT_DESC_FIELD": Col("string", "Description of the report"),
+            "PATH": Col("string", "Path to the report definition"),
+            "DATA_OBJECT": Col("string", "Data object the report runs over"),
+            "PARMS_FLG_Y_N": Col("yn", "Whether the report takes parameters"),
+            "RPT_TYPE": Col("int", "Report type code"),
+            "PARM_DEFINITION": Col("int", "Parameter definition identifier"),
+        },
+    ),
+    # ------------------------------------------------ inactive.py (2)
+    # The Lobbyist* directory snapshots ship as 1/2/3 generations of
+    # the same layout (models/inactive.py declares each generation as
+    # its own model); the registry builds each family from one shape.
+    "LOBBYING_CHG_LOG_CD": Table(
+        group="inactive",
+        unique_key=None,
+        forms=(),
+        docs="Change log of lobbying filer registrations (no longer updated)",
+        columns={
+            "FILER_ID": Col("long", "Filer ID whose record changed"),
+            "CHANGE_NO": Col("int", "Sequence number of the change"),
+            "SESSION_ID": Col("int", "Legislative session of the change"),
+            "LOG_DT": Col("date_mdy", "Date the change was logged"),
+            "FILER_TYPE": Col("int", "Filer type code at change time"),
+            "CORRECTION_FLAG": Col("string", "Whether the change is a correction"),
+            "ACTION": Col("string", "Action that produced the change"),
+            "ATTRIBUTE_CHANGED": Col("string", "Attribute the change touched"),
+            "ETHICS_DT": Col("date_mdy", "Ethics class date on the record"),
+            "INTERESTS": Col("string", "Declared lobbying interests"),
+            "FILER_FULL_NAME": Col("string", "Full name of the filer"),
+            "FILER_CITY": Col("string", "City of the filer"),
+            "FILER_ST": Col("string", "State of the filer"),
+            "FILER_ZIP": Col("string", "ZIP code of the filer"),
+            "FILER_PHONE": Col("string", "Phone number of the filer"),
+        },
+    ),
+    **{
+        f"LOBBYIST_CONTRIBUTIONS{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Lobbyist campaign contribution directory, generation {g} "
+            "(no longer updated)",
+            columns={
+                "FILER_ID": Col("long", "Filer ID of the lobbyist"),
+                "FILING_PERIOD_START_DT": Col("date_mdy", "Directory period start"),
+                "FILING_PERIOD_END_DT": Col("date_mdy", "Directory period end"),
+                "CONTRIBUTION_DT": Col(
+                    "string", "Date of the contribution (as published)"
+                ),
+                "RECIPIENT_NAME": Col("string", "Recipient committee or candidate"),
+                "RECIPIENT_ID": Col("long", "Recipient filer ID"),
+                "AMOUNT": Col("decimal(14,2)", "Amount of the contribution"),
+            },
+        )
+        for g in (2, 3)
+    },
+    **{
+        f"LOBBYIST_EMPLOYER{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Lobbyist employer directory, generation {g} "
+            "(no longer updated)",
+            columns={
+                "EMPLOYER_ID": Col("long", "Employer identification number"),
+                "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+                "EMPLOYER_NAME": Col("string", "Name of the lobbyist employer"),
+                "CURRENT_QTR_AMT": Col(
+                    "decimal(14,2)", "Amount spent in the current quarter"
+                ),
+                "SESSION_TOTAL_AMT": Col(
+                    "decimal(14,2)", "Total spent in the session"
+                ),
+                "CONTRIBUTOR_ID": Col("long", "Contributor ID of the employer"),
+                "INTEREST_CD": Col("int", "Lobbying interest category code"),
+                "INTEREST_NAME": Col("string", "Lobbying interest category name"),
+                "SESSION_YR_1": Col("int", "First year of the session"),
+                "SESSION_YR_2": Col("int", "Second year of the session"),
+                "YR_1_YTD_AMT": Col("decimal(14,2)", "Year-one year-to-date amount"),
+                "YR_2_YTD_AMT": Col("decimal(14,2)", "Year-two year-to-date amount"),
+            },
+        )
+        for g in (1, 2, 3)
+    },
+    **{
+        f"LOBBYIST_FIRM{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Lobbyist firm directory, generation {g} (no longer updated)",
+            columns={
+                "FIRM_ID": Col("long", "Firm identification number"),
+                "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+                "FIRM_NAME": Col("string", "Name of the lobbying firm"),
+                "CURRENT_QTR_AMT": Col(
+                    "decimal(14,2)", "Amount for the current quarter"
+                ),
+                "SESSION_TOTAL_AMT": Col("decimal(14,2)", "Total for the session"),
+                "CONTRIBUTOR_ID": Col("long", "Contributor ID of the firm"),
+            },
+        )
+        for g in (2, 3)
+    },
+    **{
+        f"LOBBYIST_EMP_LOBBYIST{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Lobbyists employed by employers, generation {g} "
+            "(no longer updated)",
+            columns={
+                "EMPLOYER_ID": Col("long", "Employer identification number"),
+                "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+                "LOBBYIST_ID": Col("long", "Lobbyist identification number"),
+                "LOBBYIST_LAST_NAME": Col("string", "Lobbyist last name"),
+                "LOBBYIST_FIRST_NAME": Col("string", "Lobbyist first name"),
+                "EMPLOYER_NAME": Col("string", "Name of the employing entity"),
+            },
+        )
+        for g in (1, 2)
+    },
+    **{
+        f"LOBBYIST_EMPLOYER_FIRMS{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Firms engaged by lobbyist employers, generation {g} "
+            "(no longer updated)",
+            columns={
+                "EMPLOYER_ID": Col("long", "Employer identification number"),
+                "FIRM_ID": Col("long", "Engaged firm identification number"),
+                "FIRM_NAME": Col("string", "Name of the engaged firm"),
+                "SESSION_ID": Col("int", "Legislative session of the engagement"),
+                "TERMINATION_DT": Col("date_mdy", "Date the engagement ended"),
+            },
+        )
+        for g in (1, 2)
+    },
+    **{
+        f"LOBBYIST_FIRM_EMPLOYER{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Employers reported by lobbying firms, generation {g} "
+            "(no longer updated)",
+            columns={
+                "FIRM_ID": Col("long", "Firm identification number"),
+                "FILING_ID": Col("long", "Filing the relationship was reported on"),
+                "FILING_SEQUENCE": Col("int", "Amendment sequence of the filing"),
+                "FIRM_NAME": Col("string", "Name of the lobbying firm"),
+                "EMPLOYER_NAME": Col("string", "Name of the employer client"),
+                "RPT_START": Col("date_mdy", "Reporting period start"),
+                "RPT_END": Col("date_mdy", "Reporting period end"),
+                "PER_TOTAL": Col("decimal(14,2)", "Total fees for the period"),
+                "CUM_TOTAL": Col("decimal(14,2)", "Cumulative fees to date"),
+                "LBY_ACTVTY": Col("string", "Described lobbying activity"),
+            },
+        )
+        for g in (1, 2)
+    },
+    **{
+        f"LOBBYIST_FIRM_LOBBYIST{g}_CD": Table(
+            group="inactive",
+            unique_key=None,
+            forms=(),
+            docs=f"Lobbyists employed by firms, generation {g} "
+            "(no longer updated)",
+            columns={
+                "FIRM_ID": Col("long", "Firm identification number"),
+                "LOBBYIST_ID": Col("long", "Lobbyist identification number"),
+                "LOBBYIST_LAST_NAME": Col("string", "Lobbyist last name"),
+                "LOBBYIST_FIRST_NAME": Col("string", "Lobbyist first name"),
+                "FIRM_NAME": Col("string", "Name of the employing firm"),
+                "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+            },
+        )
+        for g in (1, 2)
+    },
+    "LOBBYIST_EMPLOYER_HISTORY_CD": Table(
+        group="inactive",
+        unique_key=None,
+        forms=(),
+        docs="Historical totals per lobbyist employer (no longer updated)",
+        columns={
+            "CONTRIBUTOR_ID": Col("long", "Contributor ID of the employer"),
+            "EMPLOYER_ID": Col("long", "Employer identification number"),
+            "EMPLOYER_NAME": Col("string", "Name of the lobbyist employer"),
+            "SESSION_ID": Col("int", "Legislative session of the totals"),
+            "CURRENT_QTR_AMT": Col("decimal(14,2)", "Amount for the current quarter"),
+            "SESSION_TOTAL_AMT": Col("decimal(14,2)", "Total for the session"),
+            "INTEREST_CD": Col("int", "Lobbying interest category code"),
+            "INTEREST_NAME": Col("string", "Lobbying interest category name"),
+        },
+    ),
+    "LOBBYIST_FIRM_HISTORY_CD": Table(
+        group="inactive",
+        unique_key=None,
+        forms=(),
+        docs="Historical totals per lobbying firm (no longer updated)",
+        columns={
+            "CONTRIBUTOR_ID": Col("long", "Contributor ID of the firm"),
+            "FIRM_ID": Col("long", "Firm identification number"),
+            "FIRM_NAME": Col("string", "Name of the lobbying firm"),
+            "SESSION_ID": Col("int", "Legislative session of the totals"),
+            "CURRENT_QTR_AMT": Col("decimal(14,2)", "Amount for the current quarter"),
+            "SESSION_TOTAL_AMT": Col("decimal(14,2)", "Total for the session"),
+        },
+    ),
 }
 
 
