@@ -1,0 +1,188 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-
+quantizer scale path for vector similarity (SURVEY.md §2.5 E18),
+next to the SimHash-bucket path in :mod:`calaspark.ops.lsh`.
+
+IVF is the other standard ANN family: cluster the corpus into
+``n_cells`` Voronoi cells around learned centroids (k-means), store
+each vector under its cell (the "inverted file"), and at query time
+exact-rank only the ``nprobe`` cells whose centroids are nearest the
+probe. Versus hyperplane LSH: data-adaptive cells follow the actual
+embedding distribution (better recall per candidate scanned when the
+corpus is clustered), at the cost of a training pass.
+
+Scale shape (the part that must survive 100 TB):
+
+- **Training state is model-sized, not data-sized.** The only
+  driver-side materialization is the k × dim centroid matrix
+  (``n_cells`` ≤ a few thousand floats) — legitimate model
+  parameters, the same object a FAISS index ships to every worker.
+- **Assignment is one Arrow-batched pass.** Nearest-centroid is a
+  dense (batch × dim) @ (dim × k) matmul — exactly the shape
+  built-in SQL expressions cannot express efficiently (k folds of an
+  interpreted lambda per row) and a vectorized pandas UDF does in
+  BLAS. One narrow projection, no shuffle.
+- **Lloyd updates are distributed aggregations.** New centroid =
+  per-cell per-dimension mean via ``posexplode`` → partial-agg
+  shuffle on (cell, dim) — k·dim result rows, map-side combined.
+- **Query touches nprobe/n_cells of the corpus.** Cell filter is a
+  pushable IN-list predicate; exact cosine re-rank only inside the
+  probed cells; TopK is a per-partition heap + 1-row-merge.
+
+The reference has no vector surface (SURVEY.md §2 E18 rationale —
+its consumers run SQL over loaded tables); this operator is part of
+the training-data-pipeline extension the engine adds on top.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+
+try:  # numpy ships with pyspark's Arrow path; gate anyway
+    import numpy as np
+except ImportError:  # pragma: no cover
+    np = None  # type: ignore[assignment]
+
+
+def _require_numpy() -> None:
+    if np is None:  # pragma: no cover
+        raise NotImplementedError("IVF ANN requires numpy (Arrow batch path)")
+
+
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def _assigner(centroids: "np.ndarray"):
+    """Arrow-batched nearest-centroid (by cosine) pandas UDF. The
+    centroid matrix rides the serialized closure to every executor —
+    model-parameter broadcast, the IVF equivalent of shipping the
+    quantizer."""
+    cu = _unit_rows(np.asarray(centroids, dtype="float64"))
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        return pd.Series(
+            np.argmax(_unit_rows(m) @ cu.T, axis=1).astype("int32")
+        )
+
+    return assign
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> "np.ndarray":
+    """k-means(ish) coarse quantizer: deterministic seeding (the
+    ``n_cells`` vectors with smallest ``xxhash64(id)`` — a fixed
+    pseudo-random sample, no RNG state), then ``iters`` Lloyd rounds
+    where assignment is the Arrow matmul pass and the update is a
+    distributed (cell, dim) mean. Empty cells keep their previous
+    centroid. Returns the k × dim matrix (driver-side model state).
+    """
+    _require_numpy()
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("long")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.asarray([r[vec_col] for r in seed_rows], dtype="float64")
+    for _ in range(iters):
+        assigned = emb.select(
+            _assigner(cents)(F.col(vec_col)).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        rows = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()  # k·dim rows — model parameters, not data
+        )
+        nxt = cents.copy()
+        touched = {r["cell"] for r in rows}
+        for c in touched:
+            nxt[c] = 0.0
+        for r in rows:
+            nxt[r["cell"], r["dim"]] = r["mu"]
+        cents = nxt
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Corpus → (id, vector, cell): the inverted file. A 100 TB
+    deployment persists this partitioned by cell so queries prune
+    whole files."""
+    _require_numpy()
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assigner(centroids)(F.col(vec_col)).alias("cell"),
+    )
+
+
+def _dot_probe(vec: Column, probe: "np.ndarray") -> Column:
+    """Plan-literal dot product against the (unit-scaled) probe."""
+    out = None
+    for i, w in enumerate(probe.tolist()):
+        term = F.element_at(vec, i + 1) * F.lit(float(w))
+        out = term if out is None else out + term
+    assert out is not None
+    return out
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors of ``probe_id`` via IVF:
+    train the quantizer, pick the ``nprobe`` cells whose centroids
+    are nearest the probe (driver-side — k tiny distances on model
+    state), filter the corpus to those cells (pushable IN-list),
+    exact-cosine re-rank inside them. Recall < 1 (cell-boundary
+    neighbors are missed when nprobe < n_cells) — raise nprobe to
+    trade candidates for recall."""
+    _require_numpy()
+    cents = train_ivf_centroids(emb, n_cells, iters, id_col, vec_col)
+    probe_rows = emb.filter(F.col(id_col) == probe_id).select(vec_col).collect()
+    if not probe_rows:
+        raise ValueError(f"probe id {probe_id} not found")
+    q = np.asarray(probe_rows[0][vec_col], dtype="float64")
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    sims = _unit_rows(cents) @ qu
+    cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    inv = ivf_assign(emb, cents, id_col, vec_col)
+    cand = inv.filter(F.col("cell").isin(cells))
+    nrm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    sim = F.round(
+        _dot_probe(F.col(vec_col), qu)
+        / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
+        4,
+    )
+    return (
+        cand.select(F.col(id_col), F.col("cell"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -837,3 +837,73 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1996-01-01'
 GROUP BY n_name
 """
+
+# Q52 — interval join: per-click views in (c, c+600] ----------------
+
+ORACLES["q52"] = """
+WITH c AS (
+  SELECT
+    event_id AS click_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS c_ep,
+    user_id,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v_ep, user_id, value
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT
+    c.click_id,
+    COUNT(*) AS n_views,
+    CAST(ROUND(SUM(CAST(v.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+      AS sum_view_value
+  FROM c JOIN v
+    ON c.user_id = v.user_id
+   AND v.v_ep >= c.c_ep + 1
+   AND v.v_ep <  c.c_ep + 601
+  GROUP BY c.click_id
+)
+SELECT
+  c.click_id,
+  c.user_id,
+  c.click_ts,
+  CAST(COALESCE(j.n_views, 0) AS BIGINT) AS n_views,
+  COALESCE(j.sum_view_value, 0.0) AS sum_view_value
+FROM c LEFT JOIN j USING (click_id)
+"""
+
+# Q53 — TPC-H Q17 shape: decorrelated 0.2*avg(qty) predicate --------
+
+ORACLES["q53"] = """
+WITH li AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#4'
+), s AS (
+  SELECT *,
+    SUM(qty)  OVER (PARTITION BY l_partkey) AS q_sum,
+    COUNT(*)  OVER (PARTITION BY l_partkey) AS n
+  FROM li
+)
+SELECT
+  COUNT(*) AS n_items,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+    AS small_order_revenue
+FROM s
+WHERE 5 * qty * n < q_sum
+"""
+
+# Q54 — token-count stats (whitespace + BPE-ish regex) --------------
+
+ORACLES["q54"] = r"""
+SELECT
+  doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""

@@ -75,9 +75,13 @@ QUERIES: dict[str, QueryFn] = {
     "q49": extensions.q49_string_agg,
     "q50": extensions.q50_bit_bool_aggs,
     "q51": extensions.q51_local_supplier_volume,
+    "q52": extensions.q52_interval_join,
+    "q53": extensions.q53_small_order_revenue,
+    "q54": extensions.q54_token_stats,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,
+    "ann_ivf_topk": demos.ann_ivf_topk,
     "ann_lsh_topk": demos.ann_lsh_topk,
     "pandas_udf_quality": demos.pandas_udf_quality,
     "udtf_tokens": demos.udtf_tokens,

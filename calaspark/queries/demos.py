@@ -41,6 +41,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, probe_id=0, k=10)
 
 
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 at scale, quantizer family: IVF approximate top-10
+    neighbors of vec_id=0 — k-means-lite coarse cells (Arrow-matmul
+    assignment), exact cosine only inside the nprobe nearest cells.
+    The data-adaptive sibling of ann_lsh_topk."""
+    from ..ops.ann_ivf import ann_topk_ivf
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return ann_topk_ivf(e, probe_id=0, k=10, n_cells=16, nprobe=4)
+
 def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22: Arrow-vectorized pandas UDF next to its built-in twin —
     the output shows they agree; the plan shows why the built-in wins

@@ -896,3 +896,119 @@ def q51_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+# ---------------------------------------------------------------- Q52
+
+
+def q52_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-click follow-on views within 10 minutes — the interval
+    (range) join family (E1), via :func:`calaspark.ops.rangejoin.
+    interval_join`'s bin-bucketed plan.
+
+    For every 'click' event: how many 'view' events the same user
+    produced in the window (click_ts, click_ts + 600s], and their
+    value total. Clicks with no views are kept (zero counts) by
+    aggregating the inner interval join and LEFT-joining back —
+    the scale-safe outer composition the operator documents.
+
+    100 TB plan: no BNLJ anywhere — both sides shuffle once on
+    (user_id, time-bin); only the small click side replicates (≤2
+    bins); the join-back is a plain equi left join on click_id.
+    """
+    from ..ops.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"), "user_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"), "user_id", "value"
+    )
+    # (c_ts, c_ts+600] on integer epoch seconds == [c_ts+1, c_ts+601)
+    pairs = interval_join(
+        clicks,
+        views,
+        left_ts="c_ts",
+        right_ts="v_ts",
+        lower=1,
+        upper=601,
+        on=("user_id",),
+    )
+    per_click = pairs.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        money_sum("value", "sum_view_value"),
+    )
+    return clicks.join(per_click, "click_id", "left").select(
+        "click_id",
+        "user_id",
+        ts_str("c_ts", "click_ts"),
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("sum_view_value", F.lit(0.0)).alias("sum_view_value"),
+    )
+
+
+# ---------------------------------------------------------------- Q53
+
+
+def q53_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery, decorrelated
+    (E2/E3): revenue from Brand#4 line items whose quantity is below
+    20% of that part's average quantity.
+
+    Spark-first decorrelation: broadcast the brand-filtered part
+    keys into the lineitem scan (predicate reaches the scan as a
+    runtime filter), then ONE shuffle on l_partkey computes the
+    per-part sum/count as window aggregates over the same
+    partitioning the filter needs — no second scan of the fact, no
+    self-join. The 0.2·avg threshold is compared in exact integer
+    arithmetic (qty < q_sum/(5n) ⟺ 5·qty·n < q_sum; quantities are
+    integral), so both engines admit identical rows — no float
+    boundary (SURVEY.md §2.6).
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+    )
+    w = Window.partitionBy("l_partkey")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .drop("p_partkey")
+        .withColumn("q_sum", F.sum("qty").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    return s.filter(5 * F.col("qty") * F.col("n") < F.col("q_sum")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        money_sum("l_extendedprice", "small_order_revenue"),
+    )
+
+
+# ---------------------------------------------------------------- Q54
+
+
+def q54_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per document (E19): whitespace tokens
+    and BPE-ish pre-tokenization counts (words / digit runs / single
+    symbols — `calaspark.ops.text.BPE_ISH`), plus character length.
+
+    The counting a training-data pipeline budgets with. All three
+    are single codegen expressions over the text column — no
+    Python, no shuffle (a pure projection; the scan prunes to
+    (doc_id, text)).
+    """
+    from ..ops.text import bpe_ish_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_count("text").alias("n_bpe_tokens"),
+    )

@@ -40,6 +40,7 @@ ALLOWED = {
     "q38_cross": {"bnlj"},  # cross join demo (tiny dims)
     "q34": {"bnlj"},  # 1-row broadcast probe × corpus scan (single-probe ANN)
     "q01": {"single_part_exchange"},  # global 1-row aggregate: final merge
+    "q53": {"single_part_exchange"},  # global 1-row aggregate: final merge
     "approx_sketches": {"single_part_exchange"},  # global 1-row aggregate
     "q04": {"single_part_exchange"},  # global offset pagination
     "q03": {"single_part_exchange"},
@@ -49,6 +50,10 @@ ALLOWED = {
     # single broadcast row) + the global count's 1-row final merge
     "tfidf_topterms": {"bnlj", "single_part_exchange"},
     "pandas_udf_quality": {"py_arrow"},
+    # IVF cell assignment is a dense (batch×dim)@(dim×k) matmul —
+    # the declared Arrow/BLAS boundary (built-ins = k interpreted
+    # lambda folds per row); see ops/ann_ivf.py docstring
+    "ann_ivf_topk": {"py_arrow"},
     "multimodal_features": {"py_arrow"},
     # two 1-row summary aggregates crossJoined (BNLJ over one row) +
     # their global final merges; Arrow workers are the demo's point
