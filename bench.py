@@ -76,7 +76,7 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
         except (OSError, json.JSONDecodeError):
             continue
         # the driver wraps our JSON line under "parsed"
-        q = d.get("queries") or d.get("parsed", {}).get("queries")
+        q = d.get("queries") or (d.get("parsed") or {}).get("queries")
         if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), p.name, q)
     return (best[1], best[2]) if best else None

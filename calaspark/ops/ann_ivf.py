@@ -97,12 +97,18 @@ def train_ivf_centroids(
     )
     cents = np.asarray([r[vec_col] for r in seed_rows], dtype="float64")
     for _ in range(iters):
+        # Two-step projection on purpose: assign FIRST (one Arrow
+        # batch per input row), explode in a SEPARATE select. Putting
+        # the pandas UDF and posexplode in one projection makes the
+        # Generate node re-evaluate the UDF column per exploded
+        # element — a dim× blowup of Python round-trips (measured
+        # ~300× at sf0.1).
         assigned = emb.select(
-            _assigner(cents)(F.col(vec_col)).alias("cell"),
-            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+            _assigner(cents)(F.col(vec_col)).alias("cell"), F.col(vec_col)
         )
         rows = (
-            assigned.groupBy("cell", "dim")
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cell", "dim")
             .agg(F.avg("x").alias("mu"))
             .collect()  # k·dim rows — model parameters, not data
         )
@@ -160,7 +166,14 @@ def ann_topk_ivf(
     exact-cosine re-rank inside them. Recall < 1 (cell-boundary
     neighbors are missed when nprobe < n_cells) — raise nprobe to
     trade candidates for recall."""
+    from .materialize import materialize
+
     _require_numpy()
+    # Materialize the (id, vector) frame ONCE: training makes
+    # iters+2 passes over it, and cutting the upstream lineage keeps
+    # any interpreted cast/transform expressions out of every pass
+    # (the round-2 lesson: compact intermediates before fan-out).
+    emb = materialize(emb.select(id_col, vec_col))
     cents = train_ivf_centroids(emb, n_cells, iters, id_col, vec_col)
     probe_rows = emb.filter(F.col(id_col) == probe_id).select(vec_col).collect()
     if not probe_rows:

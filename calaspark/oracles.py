@@ -907,3 +907,26 @@ SELECT
        AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+# Q55 — integer-exact quality counters ------------------------------
+
+ORACLES["q55"] = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+       AS BIGINT) AS sum_token_len,
+  CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+       AS BIGINT) AS n_punct,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+    AS n_digit,
+  CAST(len(list_filter(toks, t -> list_contains(
+    ['the','a','of','and','to','in','is','it','that','for'],
+    lower(t)))) AS BIGINT) AS n_stop_en
+FROM t
+"""

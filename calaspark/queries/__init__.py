@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "q52": extensions.q52_interval_join,
     "q53": extensions.q53_small_order_revenue,
     "q54": extensions.q54_token_stats,
+    "q55": extensions.q55_quality_counts,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

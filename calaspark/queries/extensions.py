@@ -1012,3 +1012,40 @@ def q54_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_ws_tokens"),
         bpe_ish_count("text").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------- Q55
+
+
+def q55_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact document quality counters (E19) — the oracled
+    core of `calaspark.ops.text.quality_features`: char/token
+    counts, total token length, punctuation chars, digit chars,
+    English stopword hits. The ratio forms (floats) stay in the
+    rows-only `text_quality` demo; everything here is exact long
+    arithmetic, so the hash gate is airtight (SURVEY.md §2.6).
+
+    Plan: pure projection over (doc_id, text) — column-pruned scan,
+    zero shuffles, all codegen expressions.
+    """
+    from ..ops.text import STOPWORDS, tokens
+
+    c = F.col("text")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_token_len"),
+        F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+        .cast("long")
+        .alias("n_punct"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long").alias("n_digit"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+        .cast("long")
+        .alias("n_stop_en"),
+    )

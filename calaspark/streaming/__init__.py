@@ -9,6 +9,7 @@ from .stateful import (
 
 from .windows import (
     dedup_stream,
+    interval_join_stream,
     read_stream,
     run_available_now,
     session_counts,
@@ -21,6 +22,7 @@ __all__ = [
     "running_totals_stream",
     "running_totals_tws",
     "tws_available",
-    "dedup_stream", "read_stream", "run_available_now",
+    "dedup_stream", "interval_join_stream", "read_stream",
+    "run_available_now",
     "session_counts", "sliding_counts", "tumbling_counts",
 ]

@@ -103,3 +103,44 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    on: tuple[tuple[str, str], ...] = (),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on equi keys + event-time range — the
+    streaming twin of :func:`calaspark.ops.rangejoin.interval_join`
+    (same half-open window ``[left_ts+lower, left_ts+upper)``).
+
+    Structured Streaming keeps BOTH sides in join state; the range
+    condition on the two event-time columns plus the watermarks is
+    what makes that state bounded — the engine derives that a left
+    row is dead once the right watermark passes ``left_ts + upper``
+    and evicts it. Without the time bounds the state grows forever,
+    which is why this wrapper refuses to build an unbounded
+    condition. Column names must be disjoint across sides
+    (pre-alias); ``on`` pairs (left_col, right_col) keys.
+
+    Output mode is append-only (Spark's stream-stream inner join
+    contract) — aggregate downstream in a separate query if needed.
+    """
+    span = int(upper) - int(lower)
+    if span <= 0:
+        raise ValueError(f"empty window: lower={lower} upper={upper}")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {int(lower)} SECOND"))
+        & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {int(upper)} SECOND"))
+    )
+    for lk, rk in on:
+        cond = cond & (F.col(lk) == F.col(rk))
+    return l.join(r, cond, "inner")

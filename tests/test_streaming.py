@@ -153,3 +153,54 @@ def test_transform_with_state(spark, events_dir):
             spark.conf.set(conf_key, saved)
         else:
             spark.conf.unset(conf_key)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (E23) drains to the
+    same pair set the naive batch theta join produces."""
+    from calaspark.streaming import (
+        interval_join_stream,
+        read_stream,
+        run_available_now,
+    )
+
+    def lsel(df):
+        return df.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_id").alias("lid"),
+            F.col("ts").alias("lt"),
+            F.col("user_id").alias("lk"),
+        )
+
+    def rsel(df):
+        return df.filter(F.col("event_id") % 2 == 1).select(
+            F.col("event_id").alias("rid"),
+            F.col("ts").alias("rt"),
+            F.col("user_id").alias("rk"),
+        )
+
+    s = read_stream(spark, events_dir, SCHEMA)
+    joined = interval_join_stream(
+        lsel(s), rsel(s),
+        left_ts="lt", right_ts="rt",
+        lower=0, upper=3600,
+        on=(("lk", "rk"),),
+    ).select("lid", "rid")
+    q = run_available_now(joined, "ssjoin_pairs", output_mode="append")
+    got = {
+        (r["lid"], r["rid"])
+        for r in spark.sql("SELECT * FROM ssjoin_pairs").collect()
+    }
+    q.stop()
+
+    b = spark.read.parquet(events_dir)
+    lb, rb = lsel(b), rsel(b)
+    expected = {
+        (r["lid"], r["rid"])
+        for r in lb.join(
+            rb,
+            (lb.lk == rb.rk)
+            & (rb.rt >= lb.lt)
+            & (rb.rt < lb.lt + F.expr("INTERVAL 3600 SECOND")),
+        ).collect()
+    }
+    assert got == expected and expected
