@@ -98,3 +98,88 @@ def extract_features(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 4096,
+    every: int = 10,
+    ms_per_frame: int = 40,
+) -> DataFrame:
+    """Video → sampled frames: one input payload explodes into every
+    ``every``-th fixed-size chunk as its own row (media_id,
+    frame_idx, ts_ms, frame binary).
+
+    The one-to-many mapInPandas contract a real frame sampler uses —
+    output batches need not align with input rows, so a single huge
+    video yields many rows without ever materializing all frames in
+    one worker allocation. The "decoder" is the deterministic
+    byte-chunk stand-in (PLUG POINT: pyav/ffmpeg demux + keyframe
+    select); the Spark-side shape — explode fan-out, stable frame
+    indices, timestamp metadata — is the real thing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [], "frame": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                # PLUG POINT: real demux/keyframe selection here.
+                for i in range(0, n_frames, every):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * ms_per_frame)
+                    out["frame"].append(p[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<format string, width int, height int, n_bytes long>"
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Binary→binary transform with metadata update — the resize
+    shape. The stand-in "resampler" truncates/zero-pads each payload
+    to width·height bytes (deterministic, testable); a real
+    deployment decodes, resamples, re-encodes at the PLUG POINT.
+    What's real: the batch-streaming binary transform, the meta
+    struct rewrite (width/height/n_bytes reflect the output), and
+    constant worker memory per Arrow batch.
+    """
+    target = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # PLUG POINT: decode_image(p) → resample → re-encode.
+            resized = [
+                (p or b"").ljust(target, b"\0")[:target] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "format": m["format"] if m is not None else "raw",
+                            "width": width,
+                            "height": height,
+                            "n_bytes": target,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

@@ -463,3 +463,30 @@ def test_ann_ivf_recall_and_shape(spark):
     ids = [r["vec_id"] for r in out]
     assert all(i % 2 == 0 for i in ids)  # probe cluster only (nprobe=1)
     assert out[0]["vec_id"] == 0 and out[0]["sim"] == 1.0
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    """E20 plumbing: frame sampling explodes payloads into stable
+    (frame_idx, ts_ms) rows; resize rewrites payload + meta struct."""
+    from calaspark.ops.multimodal import as_media_table, frame_sample, resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 40), (2, b"xy"), (3, None)],
+        "media_id long, payload binary",
+    )
+    media = as_media_table(df, "media_id", "payload")
+
+    frames = frame_sample(media, frame_bytes=1024, every=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 10240 bytes → 10 chunks → frames 0,2,4,6,8
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 2, 4, 6, 8]
+    assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in by_id[1])
+    assert len(by_id[1][0]["frame"]) == 1024
+    assert [r["frame_idx"] for r in by_id[2]] == [0]  # short payload → 1 frame
+    assert 3 not in by_id  # null payload → zero frames
+
+    rs = resize_media(media, width=8, height=4).collect()
+    assert all(len(r["payload"]) == 32 for r in rs)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["n_bytes"] == 32 for r in rs)
