@@ -69,3 +69,24 @@ def archive_raw(src_path: str, out_dir: str) -> str:
     with open(src_path, "rb") as fin, gzip.open(dest, "wb") as fout:
         shutil.copyfileobj(fin, fout, 1 << 20)
     return str(dest)
+
+
+def read_clean_csv(spark, path: str, columns: list[str]):
+    """Read an S4 clean-CSV artifact back as the all-string frame the
+    typing layer consumes — the `loadcalaccessrawfile` reload path
+    (the reference re-loads its cleaned CSVs into tables at any
+    time; this is that entry point for the lake). Schema is declared
+    from the registry column order (never inferred — inference scans
+    the data twice and can flip types between releases); typing then
+    happens through the same `clean.type_table` templates as the
+    direct path, so both routes produce byte-identical tables.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType(), True) for c in columns])
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )

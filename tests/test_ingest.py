@@ -350,3 +350,25 @@ def test_manifest_lake_table(spark, dirty_tsv, tmp_path):
     assert spark.read.parquet(table).filter(
         F.col("file_name") == "OTHER_CD"
     ).count() == 1
+
+
+def test_clean_csv_roundtrip_reload(spark, dirty_tsv, tmp_path):
+    """S4→reload parity: write the clean-CSV artifact, read it back
+    with the declared (never inferred) schema, type it through the
+    same templates — identical typed rows as the direct path."""
+    from calaspark.ingest.load import read_clean_csv, write_clean_csv
+
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    direct = type_table(res.good, RCPT_CD)
+
+    path = str(tmp_path / "clean_csv")
+    write_clean_csv(res.good, path)
+    reloaded = type_table(
+        read_clean_csv(spark, path, list(RCPT_CD)), RCPT_CD
+    )
+
+    assert reloaded.schema == direct.schema
+    key = "FILING_ID"
+    a = {r[key]: r.asDict() for r in direct.collect()}
+    b = {r[key]: r.asDict() for r in reloaded.collect()}
+    assert a == b and a
