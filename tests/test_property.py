@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness rests on algebraic invariants rather than fixtures —
+the reference's exhaustive-fixture strategy (SURVEY.md §5) adapted
+to randomized search. One Spark job per example is too slow, so each
+property collects ONE batch of randomized cases into a single
+DataFrame and checks all cases in one pass against a pure-Python
+reference implementation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# keys deliberately tiny so collisions/matches are dense
+_EDGE = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_EDGE, min_size=0, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """min-label propagation ≡ union-find on arbitrary small graphs
+    (self-loops, duplicates, both orientations, disconnected)."""
+    from calaspark.ops.components import connected_components
+
+    if not edges:
+        return
+    # pure-Python reference: union-find with min-representative
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["vertex"]: r["comp"]
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    assert got == expected
+
+
+@st.composite
+def _interval_case(draw):
+    lower = draw(st.integers(-120, 120))
+    span = draw(st.integers(1, 240))
+    lefts = draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 900)),
+            min_size=1, max_size=15,
+        )
+    )
+    rights = draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 900)),
+            min_size=1, max_size=15,
+        )
+    )
+    return lower, lower + span, lefts, rights
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_interval_case())
+def test_interval_join_matches_reference(spark, case):
+    """Bin-bucketed interval join ≡ the O(n²) reference on random
+    key/offset sets, including negative lower bounds (windows that
+    reach BACKWARD in time) and boundary hits."""
+    from calaspark.ops.rangejoin import interval_join
+
+    lower, upper, lefts, rights = case
+    base = 1_700_000_000  # fixed epoch anchor
+
+    left = spark.createDataFrame(
+        [(i, k, base + off) for i, (k, off) in enumerate(lefts)],
+        "lid long, k int, lep long",
+    ).select("lid", "k", F.col("lep").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(j, k, base + off) for j, (k, off) in enumerate(rights)],
+        "rid long, k int, rep long",
+    ).select("rid", "k", F.col("rep").cast("timestamp").alias("rt"))
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, left_ts="lt", right_ts="rt",
+            lower=lower, upper=upper, on=("k",),
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, (lk, lo) in enumerate(lefts)
+        for j, (rk, ro) in enumerate(rights)
+        if lk == rk and lo + lower <= ro < lo + upper
+    }
+    assert got == expected
