@@ -3,25 +3,31 @@
 
 Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+compact JSON line::
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q01": sec, ...}, "sf": 0.1, ...}
+     "sf": 0.1, "n_queries": 78, "queries": {"q01": sec, ...}}
+
+The driver captures only a bounded tail of stdout, so the stdout line
+carries ONLY per-query times (compact separators).  Everything else —
+plan fingerprints, deltas vs the previous round, run counts, session
+config — goes to ``BENCH_full_local.json`` next to this script.
 
 Method: each query is executed to completion with the `noop` sink
 (full pipeline runs, nothing is collected to the driver — the same
 shape a cluster job has). One global warm-up amortizes JVM/codegen
 startup. Each query runs up to BENCH_RUNS times (median reported);
-queries whose first run exceeds SLOW_CUTOFF_S run once — their
-runtime already dominates measurement noise.
+queries whose first run exceeds SLOW_CUTOFF_S still get a second run
+(a lone cold run otherwise masquerades as a regression) and their
+run count is recorded in the sidecar.
 
 Progress goes to stderr; stdout carries exactly the one JSON line.
 
-Round-over-round hygiene: the JSON also carries a PLAN FINGERPRINT
-per query (md5 of the optimized plan with expression/plan ids
-normalized away) and a per-query time delta vs the most recent
-``BENCH_r*.json`` with data — so a regression localizes immediately
-to "plan changed" vs "same plan, got slower".
+Round-over-round hygiene (sidecar): a PLAN FINGERPRINT per query
+(md5 of the optimized plan with expression/plan ids normalized away)
+and a per-query time delta vs the most recent ``BENCH_r*.json`` with
+data — so a regression localizes immediately to "plan changed" vs
+"same plan, got slower".
 """
 
 from __future__ import annotations
@@ -42,6 +48,9 @@ from calaspark.session import get_spark  # noqa: E402
 
 BENCH_RUNS = int(os.environ.get("CALASPARK_BENCH_RUNS", "3"))
 SLOW_CUTOFF_S = float(os.environ.get("CALASPARK_BENCH_SLOW_CUTOFF", "10"))
+# Even past the cutoff, take at least this many runs so one cold run
+# cannot print as a multi-second regression.
+MIN_RUNS = int(os.environ.get("CALASPARK_BENCH_MIN_RUNS", "2"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -49,10 +58,18 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _run_once(fn, spark, sf_dir: str) -> float:
+def _run_once(fn, spark, sf_dir: str):
+    """Build + execute one query; return (elapsed_sec, DataFrame).
+
+    The build is inside the timing on purpose: eager driver-side work
+    (e.g. IVF training) is part of the query's cost.  The DataFrame is
+    returned so the caller can fingerprint the plan WITHOUT invoking
+    the builder an extra time.
+    """
     t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0, df
 
 
 def _fingerprint(df) -> str:
@@ -94,16 +111,21 @@ def main() -> None:
 
     times: dict[str, float] = {}
     plans: dict[str, str] = {}
+    run_counts: dict[str, int] = {}
     for qid, fn in QUERIES.items():
-        runs = [_run_once(fn, spark, sf_dir)]
-        if runs[0] < SLOW_CUTOFF_S:
-            for _ in range(BENCH_RUNS - 1):
-                runs.append(_run_once(fn, spark, sf_dir))
+        t, df = _run_once(fn, spark, sf_dir)
+        runs = [t]
+        n_runs = BENCH_RUNS if t < SLOW_CUTOFF_S else MIN_RUNS
+        while len(runs) < n_runs:
+            t, df = _run_once(fn, spark, sf_dir)
+            runs.append(t)
         times[qid] = round(statistics.median(runs), 3)
-        plans[qid] = _fingerprint(fn(spark, sf_dir))
+        plans[qid] = _fingerprint(df)  # plan of the last timed run
+        run_counts[qid] = len(runs)
         print(f"  {qid:<18} {times[qid]:>8.3f}s  ({len(runs)} runs)", file=sys.stderr)
 
-    prev = _prev_bench(Path(__file__).resolve().parent)
+    here = Path(__file__).resolve().parent
+    prev = _prev_bench(here)
     deltas = (
         {
             qid: round(t - prev[1][qid], 3)
@@ -115,21 +137,34 @@ def main() -> None:
     )
 
     total = round(sum(times.values()), 3)
+    # stdout: ONLY the fields the driver needs, compact — its capture
+    # keeps a bounded tail (~2 KB), and 78 queries of extras overflowed
+    # it in round 3 (BENCH_r03.json parsed=null).
     out = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(times),
         "queries": times,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    print(f"stdout line: {len(line)} bytes", file=sys.stderr)
+
+    sidecar = {
+        **out,
         "plan_fingerprints": plans,
         "delta_vs_prev": deltas,
         "prev_bench": prev[0] if prev else None,
-        "sf": _sf_of(sf_dir),
-        "n_queries": len(times),
+        "run_counts": run_counts,
         "cpus": int(cpus),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "runs_per_query": BENCH_RUNS,
+        "min_runs": MIN_RUNS,
+        "slow_cutoff_s": SLOW_CUTOFF_S,
     }
-    print(json.dumps(out))
+    (here / "BENCH_full_local.json").write_text(json.dumps(sidecar, indent=1))
     spark.stop()
 
 

@@ -8,6 +8,8 @@ rows-only check. Each returns a small, stable-schema DataFrame.
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,21 +69,18 @@ def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UDTF_VIEW_SEQ = 0
-
-
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22: Python UDTF via SQL lateral join (text → token rows),
     restricted to 10 docs — the built-in posexplode twin is q29.
 
-    Session hygiene: the input view gets a per-call unique name and
-    is dropped as soon as the plan is analyzed (spark.sql analyzes
-    eagerly), so concurrent callers in one session cannot collide;
-    the UDTF registration is idempotent (same name, same class).
+    Session hygiene: the input view gets a per-call unique name
+    (uuid4 — safe across threads AND processes sharing a session,
+    where a module-global counter is not) and is dropped as soon as
+    the plan is analyzed (spark.sql analyzes eagerly), so concurrent
+    callers in one session cannot collide; the UDTF registration is
+    idempotent (same name, same class).
     """
-    global _UDTF_VIEW_SEQ
-    _UDTF_VIEW_SEQ += 1
-    view = f"_udtf_docs_{_UDTF_VIEW_SEQ}"
+    view = f"_udtf_docs_{uuid4().hex}"
     d = load_table(spark, sf_dir, "documents")
     d.orderBy("doc_id").limit(10).createOrReplaceTempView(view)
     spark.udtf.register("calaspark_tokenize", TokenizeUDTF)
@@ -202,21 +201,27 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them to LSH inflates the pair graph quadratically in clique
     # size. One linear groupBy elects a representative per distinct
     # set. The group key is a SET FINGERPRINT (xxhash64 of the sorted
-    # tokens joined on an out-of-alphabet separator), so the collapse
-    # shuffle and the doc→rep mapping join carry 8-byte keys — never
-    # the token arrays — and tokenization runs once (materialized).
-    # Components are provably unchanged: identical sets share every
-    # band hash, so their edges were guaranteed anyway.
+    # tokens joined on an out-of-alphabet separator) PLUS the token
+    # count — the count is a free collision guard: a 64-bit hash
+    # collision (or a pathological token containing the separator)
+    # would otherwise silently merge different token sets under one
+    # representative. The collapse shuffle and the doc→rep mapping
+    # join still carry fixed-width keys — never the token arrays —
+    # and tokenization runs once (materialized). Modulo the remaining
+    # 2^-64 same-length-collision assumption, components are
+    # unchanged: identical sets share every band hash, so their
+    # edges were guaranteed anyway.
     hdocs = materialize(
         docs.withColumn("fp", F.xxhash64(F.array_join("toks", "\x1f")))
+        .withColumn("n_toks", F.size("toks"))
     )
-    groups = hdocs.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    groups = hdocs.groupBy("fp", "n_toks").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = hdocs.join(
         groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "toks")
-    rep_map = hdocs.select("doc_id", "fp").join(groups, "fp").select(
-        "doc_id", "rep_id"
-    )
+    rep_map = hdocs.select("doc_id", "fp", "n_toks").join(
+        groups, ["fp", "n_toks"]
+    ).select("doc_id", "rep_id")
 
     # Stage 2 — banded MinHash over representatives only. Tighter
     # bands (4×8 vs the default 8×4): at this demo's higher threshold

@@ -71,10 +71,17 @@ def running_totals_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
 # as the multimodal codecs: code + contract are real, the test skips
 # when `google.protobuf` is absent (see tws_available()).
 
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+# Import-guarded like the protobuf gate below: the typed-state API
+# only exists in Spark >= 4.0, and importing this module (for the
+# pre-existing applyInPandasWithState operator) must not require it.
+try:
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover — pinned runtime is 4.1.2
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
 
 #: RocksDB provider conf transformWithState requires (HDFS-backed
 #: default store does not support the multi-state-variable layout).
