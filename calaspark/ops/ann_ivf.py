@@ -35,9 +35,12 @@ the training-data-pipeline extension the engine adds on top.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from pathlib import Path
+
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
 try:  # numpy ships with pyspark's Arrow path; gate anyway
@@ -139,6 +142,122 @@ def ivf_assign(
     )
 
 
+@dataclass(frozen=True)
+class IvfIndex:
+    """Handle to a persisted IVF index: the k × dim centroid matrix
+    (driver-side model state) plus the path of the inverted file —
+    the (id, vector, cell) corpus written partitioned BY CELL, so a
+    probe's ``cell IN (...)`` filter prunes whole directories at the
+    source (partition pruning, not just a row filter)."""
+
+    centroids: "np.ndarray"
+    invfile_path: str
+    id_col: str
+    vec_col: str
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> IvfIndex:
+    """Train the quantizer ONCE and persist both halves of the index:
+    ``{path}/centroids`` (k rows of (cell, centroid)) and
+    ``{path}/invfile`` (the corpus with its cell assignment,
+    ``partitionBy("cell")``). This is the FAISS build/search split in
+    Spark terms — build pays the training + assignment passes once;
+    every later probe is a pruned scan of nprobe/n_cells of the data
+    with zero Python-UDF work on the corpus.
+    """
+    _require_numpy()
+    from .materialize import materialize
+
+    emb = materialize(emb.select(id_col, vec_col))
+    cents = train_ivf_centroids(emb, n_cells, iters, id_col, vec_col)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        ivf_assign(emb, cents, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/invfile")
+    )
+    return IvfIndex(cents, f"{path}/invfile", id_col, vec_col)
+
+
+def load_ivf_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> IvfIndex:
+    """Re-open a persisted index: centroids to the driver (model-sized
+    collect), inverted file stays where it is."""
+    _require_numpy()
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.asarray([r["centroid"] for r in rows], dtype="float64")
+    return IvfIndex(cents, f"{path}/invfile", id_col, vec_col)
+
+
+def load_or_build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> IvfIndex:
+    """Load the index at ``path`` if present, else build it there.
+    Presence = the parquet ``_SUCCESS`` markers of both halves (a
+    half-written index from a killed build is rebuilt, not trusted)."""
+    ok = all(
+        Path(path, part, "_SUCCESS").exists() for part in ("centroids", "invfile")
+    )
+    if ok:
+        return load_ivf_index(emb.sparkSession, path, id_col, vec_col)
+    return build_ivf_index(emb, path, n_cells, iters, id_col, vec_col)
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index: IvfIndex,
+    probe_vec: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors of ``probe_vec`` from a built index.
+    Cell choice is k tiny driver-side distances on model state; the
+    corpus scan reads only the ``nprobe`` chosen cell partitions
+    (pruned at the file listing) and re-ranks with exact cosine —
+    plan-literal dot product, no Python on the scan path."""
+    _require_numpy()
+    q = np.asarray(probe_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    sims = _unit_rows(index.centroids) @ qu
+    cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    inv = spark.read.parquet(index.invfile_path)
+    cand = inv.filter(F.col("cell").isin(cells))
+    vec = F.col(index.vec_col)
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    sim = F.round(
+        _dot_probe(vec, qu) / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm), 4
+    )
+    return (
+        cand.select(F.col(index.id_col), F.col("cell").cast("int").alias("cell"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(index.id_col).asc())
+        .limit(k)
+    )
+
+
 def _dot_probe(vec: Column, probe: "np.ndarray") -> Column:
     """Plan-literal dot product against the (unit-scaled) probe."""
     out = None
@@ -158,6 +277,7 @@ def ann_topk_ivf(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    index_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors of ``probe_id`` via IVF:
     train the quantizer, pick the ``nprobe`` cells whose centroids
@@ -165,10 +285,33 @@ def ann_topk_ivf(
     state), filter the corpus to those cells (pushable IN-list),
     exact-cosine re-rank inside them. Recall < 1 (cell-boundary
     neighbors are missed when nprobe < n_cells) — raise nprobe to
-    trade candidates for recall."""
+    trade candidates for recall.
+
+    With ``index_path`` set, the index is load-or-built at that path
+    (:func:`load_or_build_ivf_index`): the first call pays training +
+    assignment, every later probe is a pruned scan — the repeated-
+    query shape. Without it, everything runs in-memory per call
+    (self-contained demo shape).
+    """
     from .materialize import materialize
 
     _require_numpy()
+    if index_path is not None:
+        idx = load_or_build_ivf_index(
+            emb, index_path, n_cells, iters, id_col, vec_col
+        )
+        probe_rows = (
+            emb.filter(F.col(id_col) == probe_id).select(vec_col).collect()
+        )
+        if not probe_rows:
+            raise ValueError(f"probe id {probe_id} not found")
+        return ivf_probe(
+            emb.sparkSession,
+            idx,
+            np.asarray(probe_rows[0][vec_col], dtype="float64"),
+            k,
+            nprobe,
+        )
     # Materialize the (id, vector) frame ONCE: training makes
     # iters+2 passes over it, and cutting the upstream lineage keeps
     # any interpreted cast/transform expressions out of every pass

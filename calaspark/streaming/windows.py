@@ -90,17 +90,26 @@ def dedup_stream(
 
 
 def run_available_now(
-    agg: DataFrame, query_name: str, output_mode: str = "complete"
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
 ):
     """Drain all available input as one bounded run into an in-memory
-    table (tests / backfills), returning the finished query."""
-    q = (
+    table (tests / backfills), returning the finished query. With
+    ``checkpoint`` set, watermark/state persist across runs — repeated
+    invocations over a growing source behave as ONE logical stream
+    (each run resumes the previous run's event-time watermark, so late
+    rows are dropped exactly as a continuous query would drop them)."""
+    w = (
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return q
 

@@ -465,6 +465,62 @@ def test_ann_ivf_recall_and_shape(spark):
     assert out[0]["vec_id"] == 0 and out[0]["sim"] == 1.0
 
 
+def test_ann_ivf_index_reuse(spark, tmp_path, monkeypatch):
+    """Build/probe split: two probes against one persisted index run
+    exactly ONE training pass, agree with the in-memory path, and the
+    probe plan is a pruned parquet scan with no Python stage."""
+    from calaspark.ops import ann_ivf
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [base[j] + 0.01 * ((i * 7 + j) % 5) for j in range(4)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+    calls = {"train": 0}
+    real_train = ann_ivf.train_ivf_centroids
+
+    def counting_train(*a, **kw):
+        calls["train"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(ann_ivf, "train_ivf_centroids", counting_train)
+
+    expected = ann_ivf.ann_topk_ivf(
+        emb, probe_id=0, k=5, n_cells=2, nprobe=1, iters=2
+    ).collect()
+    assert calls["train"] == 1
+
+    idx_path = str(tmp_path / "ivf")
+    out1 = ann_ivf.ann_topk_ivf(
+        emb, probe_id=0, k=5, n_cells=2, nprobe=1, iters=2,
+        index_path=idx_path,
+    )
+    r1 = out1.collect()
+    r2 = ann_ivf.ann_topk_ivf(
+        emb, probe_id=0, k=5, n_cells=2, nprobe=1, iters=2,
+        index_path=idx_path,
+    ).collect()
+    assert calls["train"] == 2  # one in-memory + ONE indexed build
+    assert [(r["vec_id"], r["sim"]) for r in r1] == [
+        (r["vec_id"], r["sim"]) for r in r2
+    ]
+    assert [(r["vec_id"], r["sim"]) for r in r1] == [
+        (r["vec_id"], r["sim"]) for r in expected
+    ]
+
+    # Probe path: parquet scan with cell partition-pruned, no
+    # ArrowEvalPython (the pandas-UDF assigner runs only at build).
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "PartitionFilters: [" in plan and "cell" in plan
+
+    # load_ivf_index round-trips the centroid matrix exactly.
+    idx = ann_ivf.load_ivf_index(spark, idx_path)
+    assert idx.centroids.shape == (2, 4)
+
+
 def test_multimodal_frame_sample_and_resize(spark):
     """E20 plumbing: frame sampling explodes payloads into stable
     (frame_idx, ts_ms) rows; resize rewrites payload + meta struct."""

@@ -112,3 +112,56 @@ def test_interval_join_matches_reference(spark, case):
         if lk == rk and lo + lower <= ro < lo + upper
     }
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_interval_case())
+def test_interval_join_left_outer_ms_matches_reference(spark, case):
+    """how='left' at unit='ms' ≡ the O(n²) reference: every matched
+    pair appears exactly as in the inner join, every unmatched left
+    row appears EXACTLY ONCE with null right columns (never one row
+    per probed bin), and sub-second offsets resolve correctly."""
+    from calaspark.ops.rangejoin import interval_join
+
+    lower, upper, lefts, rights = case
+    base_ms = 1_700_000_000_000  # epoch anchor, offsets now MILLIS
+
+    left = spark.createDataFrame(
+        [(i, k, base_ms + off) for i, (k, off) in enumerate(lefts)],
+        "lid long, k int, lep long",
+    ).select(
+        "lid", "k", F.timestamp_millis(F.col("lep")).alias("lt")
+    )
+    right = spark.createDataFrame(
+        [(j, k, base_ms + off) for j, (k, off) in enumerate(rights)],
+        "rid long, k int, rep long",
+    ).select(
+        "rid", "k", F.timestamp_millis(F.col("rep")).alias("rt")
+    )
+
+    rows = interval_join(
+        left, right, left_ts="lt", right_ts="rt",
+        lower=lower, upper=upper, on=("k",),
+        how="left", left_id="lid", unit="ms",
+    ).collect()
+
+    expected_pairs = {
+        (i, j)
+        for i, (lk, lo) in enumerate(lefts)
+        for j, (rk, ro) in enumerate(rights)
+        if lk == rk and lo + lower <= ro < lo + upper
+    }
+    matched_left = {i for i, _ in expected_pairs}
+
+    got_pairs = {(r["lid"], r["rid"]) for r in rows if r["rid"] is not None}
+    assert got_pairs == expected_pairs
+    # unmatched lefts: exactly once each, right columns all null
+    null_rows = [r for r in rows if r["rid"] is None]
+    assert sorted(r["lid"] for r in null_rows) == sorted(
+        set(range(len(lefts))) - matched_left
+    )
+    assert all(r["rt"] is None for r in null_rows)

@@ -155,6 +155,94 @@ def test_transform_with_state(spark, events_dir):
             spark.conf.unset(conf_key)
 
 
+def test_streaming_soak_growing_source_drops_late_rows(spark, tmp_path):
+    """Soak shape: repeated availableNow runs over a GROWING file
+    source sharing one checkpoint — the repeated-backfill pattern that
+    must behave like one continuous query. Run 1 establishes the
+    event-time watermark; run 2 appends fresh rows plus rows far
+    behind the watermark and must (a) drop exactly the late rows —
+    observable in StreamingQueryProgress.stateOperators
+    [].numRowsDroppedByWatermark — and (b) keep the on-time windows
+    correct."""
+    src = tmp_path / "grow"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        # append part-files into ONE directory — how a lake partition
+        # actually grows; the file source picks up only the new files
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run():
+        # parquet sink: the memory sink cannot recover a checkpoint,
+        # and a file sink is the real lake shape anyway
+        stream = read_stream(spark, str(src), SCHEMA)
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # progress events post asynchronously; drain until the
+        # data-carrying batch is visible (bounded wait)
+        import time as _t
+
+        for _ in range(50):
+            if any(p.numInputRows > 0 for p in q.recentProgress):
+                break
+            _t.sleep(0.2)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        q.stop()
+        return dropped
+
+    # Run 1: 50 on-time rows, minutes 0..245 → watermark lands at
+    # max_event_time - 10 min ≈ minute 235.
+    write_batch([
+        (i, base + dt.timedelta(minutes=5 * i), i % 3, float(i))
+        for i in range(50)
+    ])
+    dropped1 = run()
+    assert dropped1 == 0  # first run: watermark starts at epoch 0
+
+    # Run 2: 10 fresh rows past the frontier + 3 LATE rows aimed at
+    # the three fully-closed hours 0/1/2 (watermark resumed ≈ 3:55).
+    # The drop counter tallies POST-partial-agg rows at the state
+    # store — one per late GROUP — so distinct target windows make
+    # the expected count exact.
+    write_batch([
+        (100 + i, base + dt.timedelta(minutes=250 + 5 * i), i % 3, 1.0)
+        for i in range(10)
+    ] + [
+        (200 + i, base + dt.timedelta(minutes=61 * i), i % 3, 99.0)
+        for i in range(3)
+    ])
+    dropped2 = run()
+    assert dropped2 == 3  # exactly the three late windows' groups
+
+    # The late 99.0-valued rows must not leak into emitted windows:
+    # hours 0 and 1 closed in run 1's state and must read exactly as
+    # their on-time content (rows 0..11 sum 66; rows 12..23 sum 210).
+    emitted = {
+        r["wstart"]: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert emitted[base] == (12, 66.0)
+    assert emitted[base + dt.timedelta(hours=1)] == (12, 210.0)
+    assert len(emitted) >= 3  # later closed windows emitted too
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Watermarked stream-stream interval join (E23) drains to the
     same pair set the naive batch theta join produces."""
