@@ -34,9 +34,12 @@ Kinds (each maps to ONE whole-stage-codegen expression in
 - ``ts_mdy12``        — ``M/d/yyyy h:mm:ss a`` → TIMESTAMP_NTZ (T2)
 - ``yn``              — ``'Y'/'N'/''`` → nullable INT 1/0 (T3)
 
-Schemas are representative column subsets of the public CAL-ACCESS
-layout (enough to exercise every kind per table family); the typing
-machinery is fully general, so extending a table is one dict entry.
+The headline tables — RCPT_CD (63 cols), EXPN_CD (53),
+CVR_CAMPAIGN_DISCLOSURE_CD (~86), LOAN_CD (49), SMRY_CD (12 = its
+entire public width) — carry their FULL public CAL-ACCESS column
+sets; the remaining tables are representative column subsets (enough
+to exercise every kind per table family). The typing machinery is
+fully general, so widening a table is one dict entry per column.
 """
 
 from __future__ import annotations
@@ -106,23 +109,68 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F460", "F401", "F496"),
         docs="Itemized campaign contributions received (Schedule A receipts)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §RcptCd — 63 fields).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Contributor entity type code"),
             "CTRIB_NAML": Col("string", "Contributor last name or business name"),
             "CTRIB_NAMF": Col("string", "Contributor first name"),
+            "CTRIB_NAMT": Col("string", "Contributor name title or prefix"),
+            "CTRIB_NAMS": Col("string", "Contributor name suffix"),
             "CTRIB_CITY": Col("string", "Contributor city"),
             "CTRIB_ST": Col("string", "Contributor state"),
             "CTRIB_ZIP4": Col("string", "Contributor ZIP+4"),
             "CTRIB_EMP": Col("string", "Contributor employer"),
             "CTRIB_OCC": Col("string", "Contributor occupation"),
+            "CTRIB_SELF": Col("yn", "Contributor self-employed checkbox"),
+            "TRAN_TYPE": Col("string", "Transaction type code (T, R, I, X...)"),
             "RCPT_DATE": Col("date_mdy", "Date the contribution was received"),
+            "DATE_THRU": Col("date_mdy", "End of a date range the receipt spans"),
             "AMOUNT": Col("decimal(14,2)", "Amount received in the period"),
             "CUM_YTD": Col("decimal(14,2)", "Cumulative year-to-date amount"),
+            "CUM_OTH": Col("decimal(14,2)", "Cumulative other (e.g. primary) amount"),
+            "CTRIB_DSCR": Col("string", "Description of a non-monetary contribution"),
+            "CMTE_ID": Col("string", "Committee ID of recipient committee"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
+            "INTR_NAML": Col("string", "Intermediary last name or business name"),
+            "INTR_NAMF": Col("string", "Intermediary first name"),
+            "INTR_NAMT": Col("string", "Intermediary name title or prefix"),
+            "INTR_NAMS": Col("string", "Intermediary name suffix"),
+            "INTR_CITY": Col("string", "Intermediary city"),
+            "INTR_ST": Col("string", "Intermediary state"),
+            "INTR_ZIP4": Col("string", "Intermediary ZIP+4"),
+            "INTR_EMP": Col("string", "Intermediary employer"),
+            "INTR_OCC": Col("string", "Intermediary occupation"),
+            "INTR_SELF": Col("yn", "Intermediary self-employed checkbox"),
+            "CAND_NAML": Col("string", "Supported/opposed candidate last name"),
+            "CAND_NAMF": Col("string", "Supported/opposed candidate first name"),
+            "CAND_NAMT": Col("string", "Candidate name title or prefix"),
+            "CAND_NAMS": Col("string", "Candidate name suffix"),
+            "OFFICE_CD": Col("string", "Office sought or held, coded"),
+            "OFFIC_DSCR": Col("string", "Office sought or held, described"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "OFF_S_H_CD": Col("string", "Office sought (S) or held (H) code"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
+            "SUP_OPP_CD": Col("string", "Support (S) or opposition (O) code"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
-            "CMTE_ID": Col("string", "Committee ID of recipient committee"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+            "XREF_SCHNM": Col("string", "Related schedule for the cross-reference"),
+            "XREF_MATCH": Col("string", "Related-item cross-reference checkbox (X)"),
+            "INT_RATE": Col("string", "Interest rate (loan-receipt forms)"),
+            "INTR_CMTEID": Col("string", "Intermediary committee ID"),
         },
     ),
     "EXPN_CD": Table(
@@ -130,24 +178,58 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F460", "F450", "F461"),
         docs="Itemized campaign expenditures made (Schedule E payments)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §ExpnCd — 53 fields).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Payee entity type code"),
             "PAYEE_NAML": Col("string", "Payee last name or business name"),
             "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_NAMT": Col("string", "Payee name title or prefix"),
+            "PAYEE_NAMS": Col("string", "Payee name suffix"),
             "PAYEE_CITY": Col("string", "Payee city"),
             "PAYEE_ST": Col("string", "Payee state"),
             "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
             "EXPN_DATE": Col("date_mdy", "Date of the expenditure"),
             "AMOUNT": Col("decimal(14,2)", "Amount paid in the period"),
             "CUM_YTD": Col("decimal(14,2)", "Cumulative year-to-date amount"),
+            "CUM_OTH": Col("decimal(14,2)", "Cumulative other (e.g. primary) amount"),
             "EXPN_CHKNO": Col("string", "Check number of the payment"),
             "EXPN_CODE": Col("string", "Expense classification code"),
             "EXPN_DSCR": Col("string", "Description of the expenditure"),
+            "AGENT_NAML": Col("string", "Agent or independent contractor last name"),
+            "AGENT_NAMF": Col("string", "Agent or independent contractor first name"),
+            "AGENT_NAMT": Col("string", "Agent name title or prefix"),
+            "AGENT_NAMS": Col("string", "Agent name suffix"),
+            "CMTE_ID": Col("string", "Committee ID of a committee payee"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
+            "CAND_NAML": Col("string", "Supported/opposed candidate last name"),
+            "CAND_NAMF": Col("string", "Supported/opposed candidate first name"),
+            "CAND_NAMT": Col("string", "Candidate name title or prefix"),
+            "CAND_NAMS": Col("string", "Candidate name suffix"),
+            "OFFICE_CD": Col("string", "Office sought or held, coded"),
+            "OFFIC_DSCR": Col("string", "Office sought or held, described"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "OFF_S_H_CD": Col("string", "Office sought (S) or held (H) code"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
+            "SUP_OPP_CD": Col("string", "Support (S) or opposition (O) code"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
             "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+            "G_FROM_E_F": Col("string", "Schedule G payment from Schedule E or F"),
+            "XREF_SCHNM": Col("string", "Related schedule for the cross-reference"),
+            "XREF_MATCH": Col("string", "Related-item cross-reference checkbox (X)"),
         },
     ),
     "CVR_CAMPAIGN_DISCLOSURE_CD": Table(
@@ -155,23 +237,101 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID"),
         forms=("F460", "F450", "F425", "F461", "F465", "F496", "F497", "F498"),
         docs="Cover page of campaign disclosure statements",
+        # Full public column set (reference calaccess_raw/models/
+        # campaign.py §CvrCampaignDisclosureCd — the widest cover
+        # table, ~86 fields). RPT_DATE_TS is this engine's typed
+        # ts_mdy12 demo column carried alongside the public set.
         columns={
             **_filing_cols(line_item=False),
             "FILER_ID": Col("string", "Filer identification number"),
+            "ENTITY_CD": Col("string", "Filer entity type code"),
             "FILER_NAML": Col("string", "Filer last name or committee name"),
             "FILER_NAMF": Col("string", "Filer first name"),
+            "FILER_NAMT": Col("string", "Filer name title or prefix"),
+            "FILER_NAMS": Col("string", "Filer name suffix"),
+            "FILER_CITY": Col("string", "Filer city"),
+            "FILER_ST": Col("string", "Filer state"),
+            "FILER_ZIP4": Col("string", "Filer ZIP+4"),
+            "FILER_PHON": Col("string", "Filer phone number"),
+            "FILER_FAX": Col("string", "Filer fax number"),
+            "FILE_EMAIL": Col("string", "Filer email address"),
+            "MAIL_CITY": Col("string", "Filer mailing address city"),
+            "MAIL_ST": Col("string", "Filer mailing address state"),
+            "MAIL_ZIP4": Col("string", "Filer mailing address ZIP+4"),
+            "REPORT_NUM": Col("string", "Report number; 000 is the original"),
+            "REPORTNAME": Col("string", "Name of the attached report"),
             "RPT_DATE": Col("date_mdy", "Date the report was filed"),
             "FROM_DATE": Col("date_mdy", "Reporting period start date"),
             "THRU_DATE": Col("date_mdy", "Reporting period end date"),
             "ELECT_DATE": Col("date_mdy", "Date of the related election"),
+            "RPTFROMDT": Col("date_mdy", "Attached report period start date"),
+            "RPTTHRUDT": Col("date_mdy", "Attached report period end date"),
             "RPT_DATE_TS": Col("ts_mdy12", "Filing timestamp of the report"),
             "STMT_TYPE": Col("string", "Statement type code"),
-            "AMENDEXP_1": Col("string", "Amendment explanation text"),
+            "AMENDEXP_1": Col("string", "Amendment explanation, line 1"),
+            "AMENDEXP_2": Col("string", "Amendment explanation, line 2"),
+            "AMENDEXP_3": Col("string", "Amendment explanation, line 3"),
+            "CMTTE_TYPE": Col("string", "Committee type code"),
+            "CMTTE_ID": Col("string", "Committee ID of the committee filing"),
             "CONTROL_YN": Col("yn", "Controlled-committee flag"),
             "SPONSOR_YN": Col("yn", "Sponsored-committee flag"),
-            "FILER_CITY": Col("string", "Filer city"),
-            "FILER_ST": Col("string", "Filer state"),
-            "FILER_ZIP4": Col("string", "Filer ZIP+4"),
+            "PRIMFRM_YN": Col("yn", "Primarily-formed committee flag"),
+            "BRDBASE_YN": Col("yn", "Broad-based committee flag"),
+            "RPT_ATT_CB": Col("string", "Report-attached checkbox (X)"),
+            "LATE_RPTNO": Col("string", "Identifying number of a late report"),
+            "CAND_ID": Col("string", "Candidate identification number"),
+            "CAND_NAML": Col("string", "Candidate last name"),
+            "CAND_NAMF": Col("string", "Candidate first name"),
+            "CAND_NAMT": Col("string", "Candidate name title or prefix"),
+            "CAND_NAMS": Col("string", "Candidate name suffix"),
+            "CAND_ADR1": Col("string", "Candidate street address, line 1"),
+            "CAND_ADR2": Col("string", "Candidate street address, line 2"),
+            "CAND_CITY": Col("string", "Candidate city"),
+            "CAND_ST": Col("string", "Candidate state"),
+            "CAND_ZIP4": Col("string", "Candidate ZIP+4"),
+            "CAND_PHON": Col("string", "Candidate phone number"),
+            "CAND_FAX": Col("string", "Candidate fax number"),
+            "CAND_EMAIL": Col("string", "Candidate email address"),
+            "OFFICE_CD": Col("string", "Office sought or held, coded"),
+            "OFFIC_DSCR": Col("string", "Office sought or held, described"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "OFF_S_H_CD": Col("string", "Office sought (S) or held (H) code"),
+            "BAL_ID": Col("string", "Ballot measure identification number"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
+            "SUP_OPP_CD": Col("string", "Support (S) or opposition (O) code"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_ADR1": Col("string", "Treasurer street address, line 1"),
+            "TRES_ADR2": Col("string", "Treasurer street address, line 2"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
+            "TRES_PHON": Col("string", "Treasurer phone number"),
+            "TRES_FAX": Col("string", "Treasurer fax number"),
+            "TRES_EMAIL": Col("string", "Treasurer email address"),
+            "BUS_NAME": Col("string", "Employer or business name (F461 filers)"),
+            "BUS_ADR1": Col("string", "Business street address, line 1"),
+            "BUS_ADR2": Col("string", "Business street address, line 2"),
+            "BUS_CITY": Col("string", "Business city"),
+            "BUS_ST": Col("string", "Business state"),
+            "BUS_ZIP4": Col("string", "Business ZIP+4"),
+            "BUS_INTER": Col("string", "Business interests description"),
+            "BUSACT_CB": Col("string", "Business-activity checkbox (X)"),
+            "BUSACTVITY": Col("string", "Description of the business activity"),
+            "ASSOC_CB": Col("string", "Association-interests checkbox (X)"),
+            "ASSOC_INT": Col("string", "Description of association interests"),
+            "EMPLBUS_CB": Col("string", "Employer/business checkbox (X)"),
+            "EMPLOYER": Col("string", "Filer's employer (individual filers)"),
+            "OCCUPATION": Col("string", "Filer's occupation (individual filers)"),
+            "SELFEMP_CB": Col("string", "Self-employed checkbox (X)"),
+            "OTHER_CB": Col("string", "Other-interests checkbox (X)"),
+            "OTHER_INT": Col("string", "Description of other interests"),
         },
     ),
     "CVR_SO_CD": Table(
@@ -198,6 +358,8 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F460",),
         docs="Itemized campaign loans received and made (Schedule B)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §LoanCd — 49 fields).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
@@ -205,19 +367,45 @@ REGISTRY: dict[str, Table] = {
             "ENTITY_CD": Col("string", "Lender entity type code"),
             "LNDR_NAML": Col("string", "Lender last name or business name"),
             "LNDR_NAMF": Col("string", "Lender first name"),
+            "LNDR_NAMT": Col("string", "Lender name title or prefix"),
+            "LNDR_NAMS": Col("string", "Lender name suffix"),
             "LOAN_CITY": Col("string", "Lender city"),
             "LOAN_ST": Col("string", "Lender state"),
             "LOAN_ZIP4": Col("string", "Lender ZIP+4"),
+            "LOAN_EMP": Col("string", "Lender employer"),
+            "LOAN_OCC": Col("string", "Lender occupation"),
+            "LOAN_SELF": Col("yn", "Lender self-employed checkbox"),
             "LOAN_DATE1": Col("date_mdy", "Date the loan was received or made"),
-            "LOAN_DATE2": Col("date_mdy", "Date the loan is due"),
+            "LOAN_DATE2": Col("date_mdy", "Date the loan is due or was repaid"),
             "LOAN_AMT1": Col("decimal(14,2)", "Amount of loan this period"),
             "LOAN_AMT2": Col("decimal(14,2)", "Outstanding balance"),
             "LOAN_AMT3": Col("decimal(14,2)", "Cumulative amount to date"),
-            "LOAN_AMT4": Col("decimal(14,2)", "Interest paid this period"),
+            "LOAN_AMT4": Col("decimal(14,2)", "Outstanding balance beginning period"),
+            "LOAN_AMT5": Col("decimal(14,2)", "Amount paid this period"),
+            "LOAN_AMT6": Col("decimal(14,2)", "Amount forgiven this period"),
+            "LOAN_AMT7": Col("decimal(14,2)", "Amount of interest paid this period"),
+            "LOAN_AMT8": Col("decimal(14,2)", "Original amount of the loan"),
             "LOAN_RATE": Col("string", "Interest rate of the loan"),
+            "CMTE_ID": Col("string", "Committee ID of a committee lender"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
+            "INTR_NAML": Col("string", "Guarantor/intermediary last name"),
+            "INTR_NAMF": Col("string", "Guarantor/intermediary first name"),
+            "INTR_NAMT": Col("string", "Guarantor/intermediary name title"),
+            "INTR_NAMS": Col("string", "Guarantor/intermediary name suffix"),
+            "INTR_CITY": Col("string", "Guarantor/intermediary city"),
+            "INTR_ST": Col("string", "Guarantor/intermediary state"),
+            "INTR_ZIP4": Col("string", "Guarantor/intermediary ZIP+4"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
             "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+            "XREF_SCHNM": Col("string", "Related schedule for the cross-reference"),
+            "XREF_MATCH": Col("string", "Related-item cross-reference checkbox (X)"),
         },
     ),
     "DEBT_CD": Table(
@@ -689,6 +877,14 @@ REGISTRY: dict[str, Table] = {
             "AMOUNT_A": Col("decimal(14,2)", "Amount for column A of the line"),
             "AMOUNT_B": Col("decimal(14,2)", "Amount for column B of the line"),
             "AMOUNT_C": Col("decimal(14,2)", "Amount for column C of the line"),
+            # Full public width: SMRY_CD is a NARROW table — these 12
+            # columns are its entire CAL-ACCESS layout (reference
+            # calaccess_raw/models/common.py §SmryCd); the election
+            # columns below complete it.
+            "ELEC_DT": Col("date_mdy", "Date of the election the totals apply to"),
+            "ELEC_AMOUNT_A": Col("decimal(14,2)", "Election-cycle amount, column A"),
+            "ELEC_AMOUNT_B": Col("decimal(14,2)", "Election-cycle amount, column B"),
+            "ELEC_AMOUNT_C": Col("decimal(14,2)", "Election-cycle amount, column C"),
         },
     ),
     "TEXT_MEMO_CD": Table(

@@ -60,7 +60,10 @@ GOOD_ROW: dict[str, str] = {
 def _row(**overrides: str) -> str:
     d = dict(GOOD_ROW)
     d.update(overrides)
-    return "\t".join(d[c] for c in RCPT_CD)
+    # Columns beyond the curated GOOD_ROW subset default to "" —
+    # CAL-ACCESS publishes empty strings pervasively and T1 types
+    # them to NULL, so the fixture stays valid at full table width.
+    return "\t".join(d.get(c, "") for c in RCPT_CD)
 
 
 @pytest.fixture(scope="session")
