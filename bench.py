@@ -16,10 +16,16 @@ config — goes to ``BENCH_full_local.json`` next to this script.
 Method: each query is executed to completion with the `noop` sink
 (full pipeline runs, nothing is collected to the driver — the same
 shape a cluster job has). One global warm-up amortizes JVM/codegen
-startup. Each query runs up to BENCH_RUNS times (median reported);
-queries whose first run exceeds SLOW_CUTOFF_S still get a second run
-(a lone cold run otherwise masquerades as a regression) and their
-run count is recorded in the sidecar.
+startup. Each query runs at least twice; whether to keep running (up
+to BENCH_RUNS) is decided from the LATEST run, not the first — a
+query whose first run pays a one-time cost (index build, JIT) but is
+fast thereafter still collects a full set of steady-state samples.
+The reported time is the STEADY-STATE median: if the first run is
+≥2× the median of the rest it is excluded (and recorded in the
+sidecar as ``cold_first_run``) — round 4 reported ann_ivf_topk at
+17.7 s because the median of [index-build 33 s, probe 2 s] is their
+mean; the honest steady-state figure is ~2 s with the build cost
+visible in the sidecar, not smeared into the median.
 
 Progress goes to stderr; stdout carries exactly the one JSON line.
 
@@ -112,17 +118,34 @@ def main() -> None:
     times: dict[str, float] = {}
     plans: dict[str, str] = {}
     run_counts: dict[str, int] = {}
+    all_runs: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     for qid, fn in QUERIES.items():
         t, df = _run_once(fn, spark, sf_dir)
         runs = [t]
-        n_runs = BENCH_RUNS if t < SLOW_CUTOFF_S else MIN_RUNS
-        while len(runs) < n_runs:
+        # Always take a second run; keep going (to BENCH_RUNS) while
+        # the LATEST run is under the cutoff — so an amortized-build
+        # query (slow first, fast after) still gets steady samples.
+        while len(runs) < MIN_RUNS or (
+            len(runs) < BENCH_RUNS and runs[-1] < SLOW_CUTOFF_S
+        ):
             t, df = _run_once(fn, spark, sf_dir)
             runs.append(t)
-        times[qid] = round(statistics.median(runs), 3)
+        rest = runs[1:]
+        if rest and runs[0] >= 2 * statistics.median(rest):
+            cold[qid] = round(runs[0], 3)  # one-time cost, sidecar
+            steady = rest
+        else:
+            steady = runs
+        times[qid] = round(statistics.median(steady), 3)
         plans[qid] = _fingerprint(df)  # plan of the last timed run
         run_counts[qid] = len(runs)
-        print(f"  {qid:<18} {times[qid]:>8.3f}s  ({len(runs)} runs)", file=sys.stderr)
+        all_runs[qid] = [round(r, 3) for r in runs]
+        note = f"  [cold first run {cold[qid]}s]" if qid in cold else ""
+        print(
+            f"  {qid:<18} {times[qid]:>8.3f}s  ({len(runs)} runs){note}",
+            file=sys.stderr,
+        )
 
     here = Path(__file__).resolve().parent
     prev = _prev_bench(here)
@@ -158,6 +181,8 @@ def main() -> None:
         "delta_vs_prev": deltas,
         "prev_bench": prev[0] if prev else None,
         "run_counts": run_counts,
+        "runs": all_runs,
+        "cold_first_run": cold,
         "cpus": int(cpus),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "runs_per_query": BENCH_RUNS,

@@ -930,3 +930,259 @@ SELECT
     lower(t)))) AS BIGINT) AS n_stop_en
 FROM t
 """
+
+# ------------------------------------------------------------------
+# Round-5 breadth (q56–q63) — calaspark/queries/breadth.py
+# ------------------------------------------------------------------
+
+# Q56 — CDC MERGE / SCD-1 upsert via FULL OUTER join ----------------
+
+ORACLES["q56"] = """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, 'U' AS s_status,
+         price + CAST(10.00 AS DECIMAL(12,2)) AS s_price
+  FROM t WHERE o_orderkey % 10 = 0
+), ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS s_status,
+         price AS s_price
+  FROM t WHERE o_orderkey % 1000 = 7
+), src AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT
+  COALESCE(t.o_orderkey, src.o_orderkey) AS o_orderkey,
+  COALESCE(src.s_status, t.o_orderstatus) AS status,
+  CAST(ROUND(COALESCE(src.s_price, t.price), 2) AS DOUBLE) AS price,
+  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+       WHEN src.s_status IS NOT NULL THEN 'update'
+       ELSE 'keep' END AS action
+FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
+"""
+
+# Q57 — per-user hourly spine + LOCF gap fill -----------------------
+
+ORACLES["q57"] = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h_ep,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(14,2))) AS sum_value
+  FROM events
+  WHERE user_id < 8
+  GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(MIN(h_ep), MAX(h_ep), 3600)) AS h_ep
+  FROM hourly
+  GROUP BY user_id
+), j AS (
+  SELECT s.user_id, s.h_ep, h.n_events, h.sum_value
+  FROM spine s LEFT JOIN hourly h USING (user_id, h_ep)
+)
+SELECT
+  user_id,
+  h_ep,
+  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+  CAST(ROUND(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h_ep
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS DOUBLE) AS locf_sum_value
+FROM j
+"""
+
+# Q58 — overlapping token-window chunking (size 50, stride 40) ------
+
+ORACLES["q58"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start_tok
+  FROM t WHERE len(toks) > 0
+)
+SELECT
+  doc_id,
+  CAST(start_tok // 40 AS INTEGER) AS chunk_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len(list_slice(toks, start_tok + 1, start_tok + 50)) AS BIGINT)
+    AS n_tokens,
+  md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 50), ' '))
+    AS chunk_md5
+FROM s
+"""
+
+# Q59 — repetition-based quality counters (Gopher/C4 shape) ---------
+
+ORACLES["q59"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) > 1
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+), gc AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM g GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_2grams,
+         COUNT(*) AS n_distinct_2grams,
+         MAX(cnt) AS top_2gram_cnt
+  FROM gc GROUP BY doc_id
+)
+SELECT
+  t.doc_id,
+  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(gs.n_2grams AS BIGINT) AS n_2grams,
+  CAST(gs.n_distinct_2grams AS BIGINT) AS n_distinct_2grams,
+  CAST(gs.top_2gram_cnt AS BIGINT) AS top_2gram_cnt
+FROM t JOIN gs ON t.doc_id = gs.doc_id
+"""
+
+# Q60 — PII detect + redact (emails / phones / 16-digit cards) ------
+
+ORACLES["q60"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' card 4111111111111'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS dirty
+  FROM documents
+), r AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(dirty,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+           '\b[0-9]{16}\b', '<CARD>', 'g') AS red
+  FROM d
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(dirty,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS BIGINT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(dirty, '\b[0-9]{16}\b')) AS BIGINT)
+    AS n_cards,
+  CAST(length(red) AS BIGINT) AS redacted_len,
+  md5(red) AS redacted_md5
+FROM r
+"""
+
+# Q61 — try_cast / try_to_timestamp / try_divide --------------------
+
+ORACLES["q61"] = """
+WITH t AS (
+  SELECT
+    CAST(p_partkey % 4 AS INTEGER) AS grp,
+    TRY_CAST(CASE
+      WHEN p_partkey % 5 = 0 THEN ''
+      WHEN p_partkey % 5 = 1 THEN 'n/a'
+      WHEN p_partkey % 5 = 2 THEN '-' || CAST(p_size AS VARCHAR)
+      ELSE CAST(p_size AS VARCHAR) END AS INTEGER) AS v_int,
+    TRY_CAST(CASE
+      WHEN p_partkey % 3 = 0 THEN 'oops'
+      ELSE CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR)
+      END AS DECIMAL(12,2)) AS v_dec,
+    TRY_STRPTIME(CASE
+      WHEN p_partkey % 7 = 0 THEN '13/45/2020'
+      ELSE '2/3/1996' END, '%-m/%-d/%Y') AS v_ts
+  FROM part
+)
+SELECT
+  grp,
+  COUNT(*) AS n,
+  COUNT(v_int) AS n_int_ok,
+  CAST(SUM(v_int) AS BIGINT) AS sum_int,
+  COUNT(v_dec) AS n_dec_ok,
+  CAST(ROUND(SUM(v_dec), 2) AS DOUBLE) AS sum_dec,
+  COUNT(v_ts) AS n_ts_ok,
+  CAST(SUM(v_int) AS DOUBLE)
+    / NULLIF(CAST(COUNT(v_int) AS DOUBLE)
+             - CAST(COUNT(v_int) AS DOUBLE), 0) AS div_by_zero
+FROM t
+GROUP BY grp
+ORDER BY grp
+"""
+
+# Q62 — moments from exact power sums (stddev / covar / corr) -------
+
+ORACLES["q62"] = """
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy_d,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy_d,
+    SUM(CAST(l_quantity AS BIGINT)
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy_d
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+    AS stddev_qty,
+  ROUND(sqrt((CAST(n AS DOUBLE) * CAST(syy_d AS DOUBLE)
+              - CAST(sy_d AS DOUBLE) * CAST(sy_d AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+    AS stddev_price,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy_d AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy_d AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+    AS covar_qty_price,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy_d AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy_d AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy_d AS DOUBLE)
+                  - CAST(sy_d AS DOUBLE) * CAST(sy_d AS DOUBLE))), 6)
+    AS corr_qty_price
+FROM s
+"""
+
+# Q63 — posexplode_outer over arrays of structs ---------------------
+
+ORACLES["q63"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN []
+              ELSE list_transform(
+                     list_slice(regexp_extract_all(text, '\S+'), 1, 5),
+                     x -> {'tok': x, 'tlen': CAST(length(x) AS INTEGER)})
+         END AS arr
+  FROM documents
+  WHERE doc_id < 60
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr) + 1),
+                i -> {'pos': CAST(i - 1 AS INTEGER),
+                      'tok': arr[i].tok,
+                      'tlen': arr[i].tlen})) AS u
+  FROM t WHERE len(arr) > 0
+)
+SELECT doc_id, u.pos AS pos, u.tok AS tok, u.tlen AS tlen FROM e
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INTEGER)
+FROM t WHERE len(arr) = 0
+"""

@@ -1,0 +1,420 @@
+"""Round-5 breadth queries (SURVEY.md §2.6): CDC merge-upsert,
+time-series gap fill, LLM-pipeline document ops (chunking, repetition
+quality, PII redaction), error-tolerant typing (`try_*`), exact-sum
+statistical moments, and outer explode.
+
+Reference anchor: the reference's own surface stops at load + ORM SQL
+(SURVEY.md §2.3/§2.4); everything here is either a relational-surface
+completion (q56, q61, q62, q63 — what its users run on the loaded
+tables) or a north-star LLM-pipeline extension (q57–q60). Every query
+follows the §2.6 determinism rules — exact decimal/integer arithmetic
+wherever a value feeds the hash gate, deterministic total orders
+before any LIMIT, no raw timestamps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load_table
+from ._util import dec
+
+#: Redaction patterns (q60). Kept to syntax valid in BOTH Java regex
+#: (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+CARD_RE = r"\b[0-9]{16}\b"
+
+
+# ---------------------------------------------------------------- Q56
+
+
+def q56_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE / SCD-1 upsert (E16 completion): apply a change set
+    (updates + inserts) to the `orders` table in one pass — the
+    Spark-first expression of ``MERGE INTO`` on an engine without
+    transactional tables: FULL OUTER join on the key, `coalesce`
+    picks source-over-target, an action tag shows what happened.
+
+    Change set (synthesized deterministically from the target):
+    every 10th order gets status 'U' and +10.00 on the price; keys
+    ``o_orderkey % 1000 == 7`` arrive shifted by +10,000,000 as
+    brand-new rows.
+
+    100 TB shape: one shuffle join on the merge key; when the change
+    set is small (the usual CDC case) Catalyst broadcasts it and the
+    target is never shuffled at all. No driver-side state.
+    """
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("price"),
+    )
+    upd = t.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("s_status"),
+        (F.col("price") + F.lit(10.00).cast("decimal(12,2)")).alias("s_price"),
+    )
+    ins = t.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.lit("N").alias("s_status"),
+        F.col("price").alias("s_price"),
+    )
+    src = upd.unionByName(ins)
+    m = t.join(src, "o_orderkey", "full_outer")
+    return m.select(
+        "o_orderkey",
+        F.coalesce("s_status", "o_orderstatus").alias("status"),
+        F.round(F.coalesce("s_price", "price"), 2)
+        .cast("double")
+        .alias("price"),
+        F.when(F.col("o_orderstatus").isNull(), "insert")
+        .when(F.col("s_status").isNotNull(), "update")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------- Q57
+
+
+def q57_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (E7/E11/E3 composition): per-user hourly
+    spine between each user's first and last event hour, LEFT-joined
+    with the actual hourly aggregates, missing hours carried forward
+    (LOCF) with `last(..., ignorenulls=True)` over an ordered window.
+
+    The spine is integer epoch arithmetic (`sequence` with step
+    3600) so both engines generate identical rows; the filled value
+    stays exact decimal until the final round/cast (§2.6 rule 1).
+
+    100 TB shape: the hourly pre-aggregation shrinks the data before
+    the spine join (map-side partials); spine explode is linear in
+    hours-per-user; the LOCF window shuffles once on user_id —
+    already the join's partitioning, so AQE coalesces to one
+    exchange.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = e.groupBy(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_ep"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", "decimal(14,2)")).alias("sum_value"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h_ep").alias("h0"), F.max("h_ep").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h_ep"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "h_ep"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h_ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "h_ep",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("sum_value", ignorenulls=True).over(w), 2)
+        .cast("double")
+        .alias("locf_sum_value"),
+    )
+
+
+# ---------------------------------------------------------------- Q58
+
+
+def q58_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM context windows (E19, pipeline op):
+    split each document into overlapping token windows (size 50,
+    stride 40 → 10-token overlap), emitting per-chunk token counts
+    and a content fingerprint — the exact shape a pretraining
+    tokenize-and-pack stage needs.
+
+    Pure array arithmetic: `sequence` generates chunk starts,
+    `slice` cuts the windows — one projection + one explode, no
+    shuffle, no Python. At 100 TB this is embarrassingly parallel
+    and the explode's fan-out (≈ n_tokens/stride per doc) is bounded
+    and known in advance.
+    """
+    from ..ops.text import tokens
+
+    size, stride = 50, 40
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+        ).alias("start_tok"),
+    )
+    chunk = F.slice("toks", F.col("start_tok") + 1, size)
+    return d.select(
+        "doc_id",
+        (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------- Q59
+
+
+def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality counters (E19, pipeline op): the
+    Gopher/C4-style duplicate-fraction filters, in exact integers —
+    per document: token count, distinct tokens, 2-gram count,
+    distinct 2-grams, and the highest single-2-gram frequency.
+    High duplicate-token / duplicate-2-gram counts mark the
+    boilerplate and looping-generation documents a training-data
+    pipeline drops first.
+
+    2-grams come from `zip_with(slice(toks,1,n-1), slice(toks,2,n-1))`
+    — pure codegen; the two per-(doc, gram) aggregations do map-side
+    partial aggregation, and both shuffles hash on doc_id-derived
+    keys (no skew: grams are per-doc).
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.filter(F.size("toks") > 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    gstats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct_2grams"),
+            F.max("cnt").alias("top_2gram_cnt"),
+        )
+    )
+    tstats = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+    )
+    return tstats.join(gstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_2grams",
+        "n_distinct_2grams",
+        "top_2gram_cnt",
+    )
+
+
+# ---------------------------------------------------------------- Q60
+
+
+def q60_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (E19/C4, pipeline op): scrub
+    emails, phone numbers, and 16-digit card numbers from text —
+    the standard compliance pass before training data leaves the
+    pipeline. The dirty input is synthesized deterministically from
+    doc_id (the corpus itself is clean), so detection counts and
+    the redacted-text fingerprint are exact.
+
+    Patterns are restricted to the Java-regex ∩ RE2 common subset
+    (no lookaround/backrefs) so Spark and the oracle see identical
+    matches. One codegen projection — no shuffle, no Python; at
+    100 TB this runs at scan speed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+        F.lit(" card 4111111111111"),
+        F.lpad((F.col("doc_id") % 1_000).cast("string"), 3, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        CARD_RE,
+        "<CARD>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(dirty, F.lit(CARD_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_cards"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------- Q61
+
+
+def q61_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant typing (T1–T3 hardening): the `try_*` family —
+    `try_cast` to INT and DECIMAL over a deterministic dirty-string
+    mix ('', garbage, valid, signed), `try_to_timestamp` with the
+    reference's 'M/d/yyyy' format over valid and impossible dates,
+    and `try_divide` where a group's denominator is zero. This is
+    the modern form of the reference's quarantine-on-parse-failure
+    contract (`fields.py §copy_template` CASE WHEN guards): bad
+    values become NULL, the pipeline keeps moving, the counts say
+    how bad the feed was.
+
+    One projection + one small aggregation; NULL-counting is
+    codegen `count_if`.
+    """
+    p = load_table(spark, sf_dir, "part")
+    grp = (F.col("p_partkey") % 4).cast("int").alias("grp")
+    raw_int = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(""))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("n/a"))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("-"), F.col("p_size").cast("string")))
+        .otherwise(F.col("p_size").cast("string"))
+    )
+    raw_dec = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("oops"))
+        .otherwise(F.col("p_retailprice").cast("decimal(12,2)").cast("string"))
+    )
+    raw_date = (
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("13/45/2020"))
+        .otherwise(F.lit("2/3/1996"))
+    )
+    t = p.select(
+        grp,
+        raw_int.try_cast("int").alias("v_int"),
+        raw_dec.try_cast("decimal(12,2)").alias("v_dec"),
+        F.try_to_timestamp(raw_date, F.lit("M/d/yyyy")).alias("v_ts"),
+    )
+    return (
+        t.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v_int").alias("n_int_ok"),
+            F.sum("v_int").cast("long").alias("sum_int"),
+            F.count("v_dec").alias("n_dec_ok"),
+            F.round(F.sum("v_dec"), 2).cast("double").alias("sum_dec"),
+            F.count("v_ts").alias("n_ts_ok"),
+            # try_divide: NULL (not error) when a group has no parsed ints
+            F.try_divide(
+                F.sum("v_int").cast("double"),
+                F.count("v_int").cast("double")
+                - F.count("v_int").cast("double"),  # always 0 → NULL
+            ).alias("div_by_zero"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------- Q62
+
+
+def q62_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments with hash-stable arithmetic (E13 made
+    oracle-checkable): per `l_returnflag` — sample stddev of
+    quantity and price, their sample covariance and Pearson
+    correlation. Engine-native `stddev/corr` accumulate doubles in
+    partition order (non-associative → hash-flaky), so both engines
+    compute the SAME closed forms from EXACT power sums: integer
+    sums for quantity, decimal sums for price, every sum cast to
+    double once, then one identical IEEE expression per statistic
+    (§2.6 rule 1 taken to second moments).
+
+    One map-side-combined aggregation; the moment arithmetic is
+    constant-time per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        dec("l_extendedprice").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy_d"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_d"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_d"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy_d").cast("double")
+    syy = F.col("syy_d").cast("double")
+    sxy = F.col("sxy_d").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    var_y = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    cov = (n * sxy - sx * sy) / (n * (n - F.lit(1.0)))
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------- Q63
+
+
+def q63_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer explode over arrays of structs (E11 completion):
+    `posexplode_outer` keeps a NULL-extended row for documents whose
+    array is empty — the LEFT-JOIN-LATERAL shape `explode` silently
+    drops. The array holds (token, length) structs built from the
+    first 5 tokens; every 7th document gets an empty array on
+    purpose.
+
+    One Generate node (outer=true) over a pruned 2-column scan; no
+    shuffle.
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    structs = F.transform(
+        F.slice(tokens("text"), 1, 5),
+        lambda t: F.struct(t.alias("tok"), F.length(t).cast("int").alias("tlen")),
+    )
+    arr = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.array().cast("array<struct<tok:string,tlen:int>>"),
+    ).otherwise(structs)
+    e = d.select("doc_id", F.posexplode_outer(arr).alias("pos", "s"))
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.tok").alias("tok"),
+        F.col("s.tlen").alias("tlen"),
+    )
