@@ -36,7 +36,9 @@ Kinds (each maps to ONE whole-stage-codegen expression in
 
 The headline tables — RCPT_CD (63 cols), EXPN_CD (53),
 CVR_CAMPAIGN_DISCLOSURE_CD (~86), LOAN_CD (49), SMRY_CD (12 = its
-entire public width) — carry their FULL public CAL-ACCESS column
+entire public width), and (round 5) DEBT_CD (33), S497_CD (40),
+LEXP_CD (25), LCCM_CD (29), LPAY_CD (26), LOTH_CD (21),
+FILER_FILINGS_CD (16) — carry their FULL public CAL-ACCESS column
 sets; the remaining tables are representative column subsets (enough
 to exercise every kind per table family). The typing machinery is
 fully general, so widening a table is one dict entry per column.
@@ -413,12 +415,16 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F460",),
         docs="Accrued expenses / unpaid bills (Schedule F debts)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §DebtCd — 33 fields).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Creditor entity type code"),
             "PAYEE_NAML": Col("string", "Creditor last name or business name"),
             "PAYEE_NAMF": Col("string", "Creditor first name"),
+            "PAYEE_NAMT": Col("string", "Creditor name title or prefix"),
+            "PAYEE_NAMS": Col("string", "Creditor name suffix"),
             "PAYEE_CITY": Col("string", "Creditor city"),
             "PAYEE_ST": Col("string", "Creditor state"),
             "PAYEE_ZIP4": Col("string", "Creditor ZIP+4"),
@@ -428,9 +434,19 @@ REGISTRY: dict[str, Table] = {
             "END_BAL": Col("decimal(14,2)", "Outstanding balance at period end"),
             "EXPN_CODE": Col("string", "Expense classification code"),
             "EXPN_DSCR": Col("string", "Description of the obligation"),
+            "CMTE_ID": Col("string", "Committee ID, if the creditor is a committee"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
             "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
+            "XREF_SCHNM": Col("string", "Related schedule for the cross-reference"),
+            "XREF_MATCH": Col("string", "Related-item cross-reference checkbox (X)"),
         },
     ),
     "CVR2_CAMPAIGN_DISCLOSURE_CD": Table(
@@ -579,24 +595,43 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F497",),
         docs="Late contribution reports (Form 497, 24-hour reports)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §S497Cd).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Contributor or recipient entity type"),
             "ENTY_NAML": Col("string", "Entity last name or business name"),
             "ENTY_NAMF": Col("string", "Entity first name"),
+            "ENTY_NAMT": Col("string", "Entity name title or prefix"),
+            "ENTY_NAMS": Col("string", "Entity name suffix"),
             "ENTY_CITY": Col("string", "Entity city"),
             "ENTY_ST": Col("string", "Entity state"),
             "ENTY_ZIP4": Col("string", "Entity ZIP+4"),
+            "CTRIB_EMP": Col("string", "Contributor employer"),
+            "CTRIB_OCC": Col("string", "Contributor occupation"),
+            "CTRIB_SELF": Col("yn", "Contributor self-employed checkbox"),
+            "ELEC_DATE": Col("date_mdy", "Date of the related election"),
             "CTRIB_DATE": Col("date_mdy", "Date the contribution was made"),
             "DATE_THRU": Col("date_mdy", "End of period the amount covers"),
             "AMOUNT": Col("decimal(14,2)", "Amount of the late contribution"),
             "CMTE_ID": Col("string", "Committee ID of the recipient"),
+            "CAND_ID": Col("string", "Candidate ID, if candidate-linked"),
             "CAND_NAML": Col("string", "Candidate last name, if candidate-linked"),
+            "CAND_NAMF": Col("string", "Candidate first name"),
+            "CAND_NAMT": Col("string", "Candidate name title or prefix"),
+            "CAND_NAMS": Col("string", "Candidate name suffix"),
             "OFFICE_CD": Col("string", "Office sought code"),
+            "OFFIC_DSCR": Col("string", "Office sought, described"),
             "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
             "DIST_NO": Col("string", "District number of the office"),
-            "ELEC_DATE": Col("date_mdy", "Date of the related election"),
+            "OFF_S_H_CD": Col("string", "Office sought (S) or held (H) code"),
+            "BAL_ID": Col("string", "Ballot measure ID"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
+            "SUP_OPP_CD": Col("string", "Support (S) or opposition (O) code"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
         },
@@ -647,18 +682,26 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F615", "F625", "F635", "F645"),
         docs="Itemized lobbying activity expenses",
+        # Full public column set (reference
+        # calaccess_raw/models/lobbying.py §LexpCd).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Payee entity type code"),
             "PAYEE_NAML": Col("string", "Payee last name or business name"),
             "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_NAMT": Col("string", "Payee name title or prefix"),
+            "PAYEE_NAMS": Col("string", "Payee name suffix"),
             "PAYEE_CITY": Col("string", "Payee city"),
             "PAYEE_ST": Col("string", "Payee state"),
             "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
             "EXPN_DATE": Col("date_mdy", "Date of the expense"),
             "AMOUNT": Col("decimal(14,2)", "Amount of the expense"),
             "EXPN_DSCR": Col("string", "Description of the expense"),
+            "BENE_NAME": Col("string", "Name of the beneficiary official"),
+            "BENE_POSIT": Col("string", "Position of the beneficiary official"),
+            "BENE_AMT": Col("string", "Amount benefiting the official"),
+            "CREDCARDCO": Col("string", "Credit card company, if paid by card"),
             "RECSUBTYPE": Col("string", "Record subtype code"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
@@ -670,18 +713,30 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F615", "F625", "F635", "F645"),
         docs="Campaign contributions reported on lobbying disclosures",
+        # Full public column set (reference
+        # calaccess_raw/models/lobbying.py §LccmCd).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Contributor entity type code"),
+            "ACCTNAME": Col("string", "Account name the contribution was made from"),
             "CTRIB_NAML": Col("string", "Contributor last name or business name"),
             "CTRIB_NAMF": Col("string", "Contributor first name"),
+            "CTRIB_NAMT": Col("string", "Contributor name title or prefix"),
+            "CTRIB_NAMS": Col("string", "Contributor name suffix"),
+            "CTRIB_CITY": Col("string", "Contributor city"),
+            "CTRIB_ST": Col("string", "Contributor state"),
+            "CTRIB_ZIP4": Col("string", "Contributor ZIP+4"),
             "CTRIB_DATE": Col("date_mdy", "Date the contribution was made"),
             "AMOUNT": Col("decimal(14,2)", "Amount of the contribution"),
             "RECIP_NAML": Col("string", "Recipient last name or committee name"),
+            "RECIP_NAMF": Col("string", "Recipient first name"),
+            "RECIP_NAMT": Col("string", "Recipient name title or prefix"),
+            "RECIP_NAMS": Col("string", "Recipient name suffix"),
             "RECIP_CITY": Col("string", "Recipient city"),
             "RECIP_ST": Col("string", "Recipient state"),
             "RECIP_ZIP4": Col("string", "Recipient ZIP+4"),
+            "RECIP_ID": Col("string", "Recipient filer ID"),
             "CMTE_ID": Col("string", "Committee ID of the recipient"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
@@ -693,15 +748,22 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F625", "F635"),
         docs="Payments made to lobbying firms / received from employers",
+        # Full public column set (reference
+        # calaccess_raw/models/lobbying.py §LpayCd).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Employer entity type code"),
             "EMPLR_NAML": Col("string", "Employer last name or business name"),
             "EMPLR_NAMF": Col("string", "Employer first name"),
+            "EMPLR_NAMT": Col("string", "Employer name title or prefix"),
+            "EMPLR_NAMS": Col("string", "Employer name suffix"),
             "EMPLR_CITY": Col("string", "Employer city"),
             "EMPLR_ST": Col("string", "Employer state"),
             "EMPLR_ZIP4": Col("string", "Employer ZIP+4"),
+            "EMPLR_ID": Col("string", "Employer filer ID"),
+            "EMPLR_PHON": Col("string", "Employer phone number"),
+            "LBY_ACTVTY": Col("string", "Description of lobbying activity"),
             "FEES_AMT": Col("decimal(14,2)", "Fees and retainers this period"),
             "REIMB_AMT": Col("decimal(14,2)", "Reimbursed expenses this period"),
             "ADVAN_AMT": Col("decimal(14,2)", "Advances and other payments"),
@@ -784,6 +846,8 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F625", "F635"),
         docs="Payments made to other lobbying firms",
+        # Full public column set (reference
+        # calaccess_raw/models/lobbying.py §LothCd).
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
@@ -791,12 +855,17 @@ REGISTRY: dict[str, Table] = {
             "FIRM_CITY": Col("string", "Firm city"),
             "FIRM_ST": Col("string", "Firm state"),
             "FIRM_ZIP4": Col("string", "Firm ZIP+4"),
+            "FIRM_PHON": Col("string", "Firm phone number"),
             "PMT_DATE": Col("date_mdy", "Date of the payment"),
             "AMOUNT": Col("decimal(14,2)", "Amount of the payment"),
             "CUM_AMT": Col("decimal(14,2)", "Cumulative amount to date"),
             "SUBJ_NAML": Col("string", "Client on whose behalf payment was made"),
+            "SUBJ_NAMF": Col("string", "Client first name"),
+            "SUBJ_NAMT": Col("string", "Client name title or prefix"),
+            "SUBJ_NAMS": Col("string", "Client name suffix"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
         },
     ),
     "LOBBY_AMENDMENTS_CD": Table(
@@ -836,6 +905,8 @@ REGISTRY: dict[str, Table] = {
         unique_key=None,  # CAL-ACCESS publishes duplicate rows here
         forms=(),
         docs="Link table connecting filers to their filings",
+        # Full public column set (reference
+        # calaccess_raw/models/common.py §FilerFilingsCd).
         columns={
             "FILER_ID": Col("long", "Filer identification number"),
             "FILING_ID": Col("long", "Unique filing identification number"),
@@ -846,6 +917,9 @@ REGISTRY: dict[str, Table] = {
             "STMNT_TYPE": Col("int", "Statement type code"),
             "STMNT_STATUS": Col("int", "Statement status code"),
             "SESSION_ID": Col("int", "Legislative session the filing covers"),
+            "USER_ID": Col("string", "User ID that keyed the filing"),
+            "SPECIAL_AUDIT": Col("int", "Special audit status code"),
+            "FINE_AUDIT": Col("int", "Fine audit status code"),
             "RPT_START": Col("date_mdy", "Reporting period start date"),
             "RPT_END": Col("date_mdy", "Reporting period end date"),
             "RPT_DATE": Col("date_mdy", "Date the report was filed"),
