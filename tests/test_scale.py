@@ -123,3 +123,132 @@ def test_salted_join_rejects_outer_small_side(spark):
     # left outer stays allowed: big side carries exactly one salt/row
     n = salted_join(big, small, "k", how="left").count()
     assert n == 10
+
+
+# ---------------------------------------------------------- layout ops
+
+
+def test_zorder_key_matches_reference(spark):
+    """zorder_key ≡ the textbook Morton interleave (Python oracle)."""
+    from calaspark.ops.layout import zorder_key
+
+    def morton(vals, bits, n):
+        out = 0
+        for b in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> b) & 1) << (b * n + j)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 5, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", zorder_key(["x", "y"], bits=8).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton((r["x"], r["y"]), 8, 2), (r["x"], r["y"])
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files have small bounding boxes in BOTH clustered
+    dimensions (parquet footer min/max), so a conjunctive predicate
+    prunes most files — single-column sort can only bound its
+    leading column."""
+    import pyarrow.parquet as pq
+
+    from calaspark.ops.layout import minmax_bucket, write_zordered
+    from calaspark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"), "value"
+    )
+    lo, hi = [
+        r[0]
+        for r in e.agg(F.min("ep")).collect()
+        + e.agg(F.max("ep")).collect()
+    ]
+    n_users = e.agg(F.max("user_id")).collect()[0][0]
+    path = str(tmp_path / "events_z")
+    write_zordered(
+        e,
+        path,
+        zcols=[
+            minmax_bucket("user_id", 0, n_users, bits=8),
+            minmax_bucket("ep", lo, hi, bits=8),
+        ],
+        n_files=8,
+        bits=8,
+    )
+    files = sorted(str(p) for p in (tmp_path / "events_z").glob("*.parquet"))
+    assert len(files) >= 4
+    user_cov, ep_cov = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        umin, umax = None, None
+        emin, emax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None:
+                    continue
+                name = col.path_in_schema
+                if name == "user_id":
+                    umin = st.min if umin is None else min(umin, st.min)
+                    umax = st.max if umax is None else max(umax, st.max)
+                elif name == "ep":
+                    emin = st.min if emin is None else min(emin, st.min)
+                    emax = st.max if emax is None else max(emax, st.max)
+        user_cov.append((umax - umin) / max(n_users, 1))
+        ep_cov.append((emax - emin) / max(hi - lo, 1))
+    # every file's bounding box is a fraction of each dimension, on
+    # average well under the whole range in BOTH dims at once
+    assert sum(user_cov) / len(user_cov) < 0.7, user_cov
+    assert sum(ep_cov) / len(ep_cov) < 0.7, ep_cov
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """tune_runtime_filters makes the optimizer build a bloom filter
+    from the selective dim side and probe it below the fact shuffle."""
+    from calaspark.ops.layout import semi_prune, tune_runtime_filters
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        tune_runtime_filters(
+            spark, creation_side_max="10GB", application_side_min="0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sf = "/root/testdata/sf0.01"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet").filter(
+            F.col("p_brand") == "Brand#4"
+        )
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert j.collect()[0]["n"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+    # explicit form: broadcast semi prune, big side un-shuffled
+    pruned = semi_prune(
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet"),
+        spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select(F.col("p_partkey").alias("l_partkey")),
+        "l_partkey",
+    )
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pplan and "LeftSemi" in pplan
+    assert pruned.count() > 0
