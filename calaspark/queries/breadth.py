@@ -89,12 +89,17 @@ def q57_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     3600) so both engines generate identical rows; the filled value
     stays exact decimal until the final round/cast (§2.6 rule 1).
 
-    100 TB shape: the hourly pre-aggregation shrinks the data before
-    the spine join (map-side partials); spine explode is linear in
-    hours-per-user; the LOCF window shuffles once on user_id —
-    already the join's partitioning, so AQE coalesces to one
-    exchange.
+    100 TB shape: the hourly pre-aggregation shrinks the fact before
+    everything else and is MATERIALIZED (localCheckpoint) because two
+    consumers need it — the spine bounds and the join probe side;
+    without the cut, Spark recomputes the lineage per consumer and
+    the 100 TB fact is scanned twice for a KB-sized aggregate
+    (verified: the unmaterialized plan shows two FileScans). Spine
+    explode is linear in hours-per-user; the LOCF window shuffles
+    once on user_id.
     """
+    from ..ops.materialize import materialize
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
     hourly = e.groupBy(
         "user_id",
@@ -103,6 +108,7 @@ def q57_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value", "decimal(14,2)")).alias("sum_value"),
     )
+    hourly = materialize(hourly)
     spine = (
         hourly.groupBy("user_id")
         .agg(F.min("h_ep").alias("h0"), F.max("h_ep").alias("h1"))
@@ -179,9 +185,13 @@ def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline drops first.
 
     2-grams come from `zip_with(slice(toks,1,n-1), slice(toks,2,n-1))`
-    — pure codegen; the two per-(doc, gram) aggregations do map-side
-    partial aggregation, and both shuffles hash on doc_id-derived
-    keys (no skew: grams are per-doc).
+    — pure codegen. SINGLE corpus pass: the per-doc token counters
+    (constants per doc) ride the gram explode as narrow columns and
+    are re-collected with `min` through the two aggregations —
+    cheaper at 100 TB than a second scan-and-tokenize plus a join
+    (the first formulation; its plan showed two FileScans and a
+    third shuffle). Both shuffles hash on doc_id-derived keys (no
+    skew: grams are per-doc).
     """
     from ..ops.text import tokens
 
@@ -191,6 +201,8 @@ def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.filter(F.size("toks") > 1)
     grams = d.select(
         "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
         F.explode(
             F.zip_with(
                 F.slice("toks", 1, F.size("toks") - 1),
@@ -199,28 +211,29 @@ def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    gstats = (
+    return (
         grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("n_distinct_tokens").alias("n_distinct_tokens"),
+        )
         .groupBy("doc_id")
         .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("n_distinct_tokens").alias("n_distinct_tokens"),
             F.sum("cnt").alias("n_2grams"),
             F.count(F.lit(1)).alias("n_distinct_2grams"),
             F.max("cnt").alias("top_2gram_cnt"),
         )
-    )
-    tstats = d.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
-    )
-    return tstats.join(gstats, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
-        "n_2grams",
-        "n_distinct_2grams",
-        "top_2gram_cnt",
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_2grams",
+            "n_distinct_2grams",
+            "top_2gram_cnt",
+        )
     )
 
 
