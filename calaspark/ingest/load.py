@@ -25,6 +25,33 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_parquet_observed(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> int:
+    """S5 + V1 in ONE pass: attach an observable metric
+    (``df.observe`` — executor-side accumulators, exactly-once per
+    task in batch mode) to the load so the written-row count is
+    measured DURING the write instead of by a separate count job.
+    At 100 TB that removes a full extra scan per table; the read-back
+    count in the orchestrator stays as the INDEPENDENT check of what
+    actually landed (the reference's `model.objects.count()`
+    semantics, `verifycalaccessrawfile.py §Command.handle`), so the
+    two numbers cross-check write-path loss.
+
+    Returns the observed row count.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    w = observed.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return int(obs.get["n_rows"])
+
+
 def write_clean_csv(df: DataFrame, path: str) -> None:
     """S4 twin: the reference's cleaned-CSV artifact (RFC-4180
     quoting, header). Distributed writer — one file per task."""

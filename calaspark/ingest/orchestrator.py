@@ -22,7 +22,12 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 from .clean import split_clean, type_table
-from .load import archive_raw, verify_counts, write_parquet, write_quarantine
+from .load import (
+    archive_raw,
+    verify_counts,
+    write_parquet_observed,
+    write_quarantine,
+)
 from .manifest import Manifest, now
 from .schemas import SCHEMAS
 
@@ -83,13 +88,22 @@ def update(
 
             rec.load_start = now()
             dest = str(out / name)
-            write_parquet(good, dest)
+            # clean_count is observed DURING the write (one pass, V1
+            # metric riding the load job); load_count is the parquet
+            # read-back — an independent measure of what landed, so
+            # clean_count == load_count is a real write-loss check,
+            # not an identity.
+            rec.clean_count = write_parquet_observed(good, dest)
             rec.load_count = spark.read.parquet(dest).count()
-            rec.clean_count = rec.load_count
             rec.load_finish = now()
             v = verify_counts(rec.n_body_lines, rec.clean_count, rec.error_count)
             if not v["accounted"]:
                 raise RuntimeError(f"count mismatch for {name}: {v}")
+            if rec.load_count != rec.clean_count:
+                raise RuntimeError(
+                    f"write loss for {name}: observed {rec.clean_count} "
+                    f"written, {rec.load_count} read back"
+                )
             rec.status = "loaded"
         except Exception as e:
             rec.status = "failed"

@@ -372,3 +372,15 @@ def test_clean_csv_roundtrip_reload(spark, dirty_tsv, tmp_path):
     a = {r[key]: r.asDict() for r in direct.collect()}
     b = {r[key]: r.asDict() for r in reloaded.collect()}
     assert a == b and a
+
+
+def test_observed_write_counts_match_readback(spark, tmp_path):
+    """write_parquet_observed's metric (measured during the write
+    pass) agrees with an independent read-back count."""
+    from calaspark.ingest.load import write_parquet_observed
+
+    df = spark.range(1234).selectExpr("id", "id % 7 AS g")
+    dest = str(tmp_path / "obs")
+    n = write_parquet_observed(df, dest, partition_by=["g"])
+    assert n == 1234
+    assert spark.read.parquet(dest).count() == 1234
