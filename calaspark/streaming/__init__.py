@@ -7,6 +7,8 @@ from .stateful import (
     tws_available,
 )
 
+from .sinks import foreach_batch_upsert, merge_upsert, read_upsert_table
+
 from .windows import (
     dedup_stream,
     interval_join_stream,
@@ -22,6 +24,7 @@ __all__ = [
     "running_totals_stream",
     "running_totals_tws",
     "tws_available",
+    "foreach_batch_upsert", "merge_upsert", "read_upsert_table",
     "dedup_stream", "interval_join_stream", "read_stream",
     "run_available_now",
     "session_counts", "sliding_counts", "tumbling_counts",

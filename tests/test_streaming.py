@@ -292,3 +292,74 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == expected and expected
+
+
+def test_foreach_batch_upsert_cdc(spark, tmp_path):
+    """Streaming CDC upsert: file-stream row images merged per
+    micro-batch; newest version per key wins, replay is a no-op
+    (effectively-once), and NULL source cells overwrite (row-image
+    semantics, not per-cell coalesce)."""
+    from calaspark.streaming import (
+        foreach_batch_upsert,
+        merge_upsert,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    tgt = str(tmp_path / "cdc_tgt")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, ver long, payload string"
+
+    def feed(rows, stage_name):
+        """The file-stream source watches the top-level dir only:
+        write via a staging dir, move part-files in flat."""
+        import shutil
+
+        stage = tmp_path / stage_name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        for i, p in enumerate(sorted(stage.glob("part-*.parquet"))):
+            shutil.move(str(p), str(src / f"{stage_name}_{i}.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(tgt, "k", [F.col("ver").desc()])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, 1, "a1"), (2, 1, "b1"), (1, 2, "a2")], "batch0")
+    drain()
+    t1 = {r["k"]: (r["ver"], r["payload"]) for r in read_upsert_table(spark, tgt).collect()}
+    assert t1 == {1: (2, "a2"), 2: (1, "b1")}
+
+    # second file: update k=2, insert k=3 with NULL payload cell
+    feed([(2, 5, "b5"), (3, 1, None)], "batch1")
+    drain()
+    t2 = {r["k"]: (r["ver"], r["payload"]) for r in read_upsert_table(spark, tgt).collect()}
+    assert t2 == {1: (2, "a2"), 2: (5, "b5"), 3: (1, None)}
+
+    # replay the SAME change set directly (at-least-once delivery):
+    # the merge is idempotent, table unchanged
+    replay = spark.createDataFrame([(2, 5, "b5"), (3, 1, None)], schema)
+    merge_upsert(spark, tgt, replay, "k", [F.col("ver").desc()])
+    t3 = {r["k"]: (r["ver"], r["payload"]) for r in read_upsert_table(spark, tgt).collect()}
+    assert t3 == t2
+
+    # a NULL cell in a NEWER row image must overwrite the old value
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(2, 6, None)], schema),
+        "k",
+        [F.col("ver").desc()],
+    )
+    t4 = {r["k"]: (r["ver"], r["payload"]) for r in read_upsert_table(spark, tgt).collect()}
+    assert t4[2] == (6, None)
