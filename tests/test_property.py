@@ -165,3 +165,113 @@ def test_interval_join_left_outer_ms_matches_reference(spark, case):
         set(range(len(lefts))) - matched_left
     )
     assert all(r["rt"] is None for r in null_rows)
+
+
+_ROW = st.tuples(
+    st.integers(0, 8),                       # key (dense → collisions)
+    st.integers(0, 50),                      # version
+    st.one_of(st.none(), st.text("abc", max_size=3)),  # payload (nullable)
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    first=st.lists(_ROW, min_size=1, max_size=15),
+    second=st.lists(_ROW, min_size=1, max_size=15),
+)
+def test_merge_upsert_latest_wins_and_idempotent(spark, tmp_path_factory, first, second):
+    """merge_upsert ≡ the pure-Python 'newest (version, payload) per
+    key, later batch beats earlier' fold; re-applying the last batch
+    is a no-op (the effectively-once property the streaming sink
+    relies on)."""
+    from calaspark.streaming import merge_upsert, read_upsert_table
+
+    schema = "k long, ver long, payload string"
+    tgt = str(tmp_path_factory.mktemp("merge") / "tgt")
+
+    def ref_fold(state, rows):
+        # within a batch: max (ver, payload-as-tiebreak is not needed:
+        # latest_per_key orders by ver desc, k asc — ties on (k, ver)
+        # are resolved by row_number nondeterministically, so the
+        # strategy must not generate duplicate (k, ver) pairs)
+        best = {}
+        for k, v, p in rows:
+            if k not in best or v > best[k][0]:
+                best[k] = (v, p)
+        state.update(best)
+        return state
+
+    # drop duplicate (k, ver) pairs — within-batch ties have no
+    # deterministic winner by design (version_cols must totally order)
+    def dedup(rows):
+        seen, out = set(), []
+        for k, v, p in rows:
+            if (k, v) not in seen:
+                seen.add((k, v))
+                out.append((k, v, p))
+        return out
+
+    first, second = dedup(first), dedup(second)
+    expected: dict = {}
+    for batch in (first, second):
+        merge_upsert(
+            spark,
+            tgt,
+            spark.createDataFrame(batch, schema),
+            "k",
+            [F.col("ver").desc()],
+        )
+        expected = ref_fold(expected, batch)
+    # replay the second batch — must not change anything
+    merge_upsert(
+        spark, tgt, spark.createDataFrame(second, schema), "k",
+        [F.col("ver").desc()],
+    )
+    got = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in read_upsert_table(spark, tgt).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n_toks=st.lists(st.integers(1, 137), min_size=1, max_size=20))
+def test_chunking_tiles_any_length(spark, n_toks):
+    """q58's chunk arithmetic tiles every document length: starts
+    step by the stride from 0, the last chunk reaches the final
+    token, no chunk exceeds the window size."""
+    size, stride = 50, 40
+    rows = [(i, n) for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    chunks = (
+        df.select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))).alias("s"),
+        )
+        .select(
+            "doc_id", "n", "s",
+            F.least(F.lit(size), F.col("n") - F.col("s")).alias("clen"),
+        )
+    )
+    per_doc = chunks.groupBy("doc_id", "n").agg(
+        F.min("s").alias("first"),
+        F.max(F.col("s") + F.col("clen")).alias("covered"),
+        F.max("clen").alias("maxlen"),
+        F.count("*").alias("n_chunks"),
+    )
+    for r in per_doc.collect():
+        n = r["n"]
+        assert r["first"] == 0
+        assert r["covered"] == n
+        assert r["maxlen"] <= size
+        import math
+        assert r["n_chunks"] == max(1, math.ceil(n / stride) if n % stride else n // stride)
