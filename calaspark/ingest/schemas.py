@@ -644,17 +644,38 @@ REGISTRY: dict[str, Table] = {
         docs="Cover page of lobbying registration statements",
         columns={
             **_filing_cols(line_item=False),
+            "SENDER_ID": Col("string", "Filer ID of the submitting party"),
             "FILER_ID": Col("string", "Filer identification number"),
+            "ENTITY_CD": Col("string", "Registrant entity type code"),
             "FILER_NAML": Col("string", "Registrant last name or firm name"),
             "FILER_NAMF": Col("string", "Registrant first name"),
+            "FILER_NAMT": Col("string", "Registrant name title or prefix"),
+            "FILER_NAMS": Col("string", "Registrant name suffix"),
             "BUS_CITY": Col("string", "Business address city"),
             "BUS_ST": Col("string", "Business address state"),
             "BUS_ZIP4": Col("string", "Business address ZIP+4"),
+            "BUS_PHON": Col("string", "Business phone number"),
+            "BUS_FAX": Col("string", "Business fax number"),
             "RPT_DATE": Col("date_mdy", "Date the registration was filed"),
             "EFF_DATE": Col("date_mdy", "Effective date of the registration"),
             "QUAL_DATE": Col("date_mdy", "Date the registrant qualified"),
             "LS_BEG_YR": Col("int", "Legislative session beginning year"),
             "LS_END_YR": Col("int", "Legislative session ending year"),
+            "COMPLET_ID": Col("string", "Ethics-course completion ID"),
+            "DESCRIP_1": Col("string", "Description of business activity"),
+            "DESCRIP_2": Col("string", "Description of business activity, cont."),
+            "RENCERT_CB": Col("yn", "Renewal/certification checkbox"),
+            "SIG_DATE": Col("date_mdy", "Date the cover page was signed"),
+            "SIG_LOC": Col("string", "City/state where signed"),
+            "SIG_NAML": Col("string", "Signer last name"),
+            "SIG_NAMF": Col("string", "Signer first name"),
+            "SIG_NAMT": Col("string", "Signer name title or prefix"),
+            "SIG_NAMS": Col("string", "Signer name suffix"),
+            "SIG_TITLE": Col("string", "Signer title"),
+            "PRN_NAML": Col("string", "Printed signer last name"),
+            "PRN_NAMF": Col("string", "Printed signer first name"),
+            "PRN_NAMT": Col("string", "Printed signer name title or prefix"),
+            "PRN_NAMS": Col("string", "Printed signer name suffix"),
         },
     ),
     "CVR_LOBBY_DISCLOSURE_CD": Table(
@@ -664,17 +685,39 @@ REGISTRY: dict[str, Table] = {
         docs="Cover page of quarterly lobbying disclosure reports",
         columns={
             **_filing_cols(line_item=False),
+            "SENDER_ID": Col("string", "Filer ID of the submitting party"),
             "FILER_ID": Col("string", "Filer identification number"),
+            "ENTITY_CD": Col("string", "Filer entity type code"),
             "FILER_NAML": Col("string", "Filer last name or firm name"),
             "FILER_NAMF": Col("string", "Filer first name"),
+            "FILER_NAMT": Col("string", "Filer name title or prefix"),
+            "FILER_NAMS": Col("string", "Filer name suffix"),
             "FROM_DATE": Col("date_mdy", "Reporting period start date"),
             "THRU_DATE": Col("date_mdy", "Reporting period end date"),
             "RPT_DATE": Col("date_mdy", "Date the report was filed"),
             "CUM_BEG_DT": Col("date_mdy", "Cumulative-period beginning date"),
+            "FIRM_ID": Col("string", "Firm ID, when filed for a firm"),
+            "FIRM_NAME": Col("string", "Firm name"),
             "FIRM_CITY": Col("string", "Firm address city"),
             "FIRM_ST": Col("string", "Firm address state"),
             "FIRM_ZIP4": Col("string", "Firm address ZIP+4"),
+            "FIRM_PHON": Col("string", "Firm phone number"),
             "MAJOR_NAML": Col("string", "Major donor last name, if applicable"),
+            "MAJOR_NAMF": Col("string", "Major donor first name"),
+            "MAJOR_NAMT": Col("string", "Major donor name title or prefix"),
+            "MAJOR_NAMS": Col("string", "Major donor name suffix"),
+            "LBY_ACTVTY": Col("string", "Description of lobbying activity"),
+            "SIG_DATE": Col("date_mdy", "Date the cover page was signed"),
+            "SIG_LOC": Col("string", "City/state where signed"),
+            "SIG_NAML": Col("string", "Signer last name"),
+            "SIG_NAMF": Col("string", "Signer first name"),
+            "SIG_NAMT": Col("string", "Signer name title or prefix"),
+            "SIG_NAMS": Col("string", "Signer name suffix"),
+            "SIG_TITLE": Col("string", "Signer title"),
+            "PRN_NAML": Col("string", "Printed signer last name"),
+            "PRN_NAMF": Col("string", "Printed signer first name"),
+            "PRN_NAMT": Col("string", "Printed signer name title or prefix"),
+            "PRN_NAMS": Col("string", "Printed signer name suffix"),
         },
     ),
     "LEXP_CD": Table(
