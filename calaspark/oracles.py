@@ -1186,3 +1186,22 @@ SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
        CAST(NULL AS INTEGER)
 FROM t WHERE len(arr) = 0
 """
+
+# Q64 — pairs sharing exact 8-token windows (substring dedup) -------
+
+ORACLES["q64"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 8 + 2),
+           i -> md5(array_to_string(toks[i : i + 7], ' '))))) AS wh
+  FROM t WHERE len(toks) >= 8
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_windows
+FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

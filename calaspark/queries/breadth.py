@@ -431,3 +431,54 @@ def q63_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.tok").alias("tok"),
         F.col("s.tlen").alias("tlen"),
     )
+
+
+# ---------------------------------------------------------------- Q64
+
+
+def q64_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication detection (E17, pipeline op): the
+    exact-substring sibling of set-based near-dup — document pairs
+    sharing at least one exact 8-token window, with the count of
+    shared distinct windows. This is the signal behind
+    train-set decontamination and boilerplate removal: documents can
+    be set-dissimilar overall yet share verbatim passages that
+    set-Jaccard (q33) never sees.
+
+    Plan: per-doc window fingerprints (md5 of the joined window —
+    md5 so the oracle computes identical keys), `array_distinct`
+    BEFORE the explode so a window repeated inside one doc cannot
+    inflate pair counts, then a self-equi-join on the fingerprint —
+    bucketed shuffle join, no cartesian; at 100 TB the fingerprint
+    table is the standard inverted index a decontamination pass
+    materializes once.
+    """
+    from ..ops.text import tokens
+
+    w = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.filter(F.size("toks") >= w)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice("toks", i, w), " ")
+            ),
+        )
+    )
+    e = d.select("doc_id", F.explode(wins).alias("wh"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
