@@ -53,7 +53,15 @@ def connected_components(
     # once per union branch.
     e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = materialize(sym.distinct())
+    # Self-loops fold "keep my own label" into the SAME min-aggregate
+    # as the neighbor labels, so each round is ONE join + ONE groupBy
+    # — the earlier formulation needed a second (left) join per round
+    # just to merge own-vs-neighbor labels.
+    sym = materialize(
+        sym.unionAll(
+            sym.select(F.col("u").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
 
     labels = materialize(
         sym.select(F.col("u").alias("v"))
@@ -61,34 +69,30 @@ def connected_components(
         .withColumn("comp", F.col("v"))
     )
 
-    changed = 0
+    def label_sum(lbl: DataFrame):
+        # exact decimal so huge vertex-id sums cannot overflow a long
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Convergence probe: min-label propagation only ever LOWERS a
+    # label, so the label sum strictly decreases until fixpoint and
+    # sum-equality ⟺ elementwise equality — one cheap aggregate over
+    # the materialized labels instead of a comparison join per round.
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iter):
-        # candidate label per vertex: min of own and neighbors' labels
-        nbr = (
+        labels = materialize(
             sym.join(labels.withColumnRenamed("v", "u"), "u")
             .groupBy("v")
-            .agg(F.min("comp").alias("nbr_comp"))
+            .agg(F.min("comp").alias("comp"))
         )
-        # carry the changed flag INSIDE the checkpointed frame: the
-        # convergence probe then reads materialized rows instead of
-        # paying a labels⋈new_labels comparison job every round
-        new_labels = materialize(
-            labels.join(nbr, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-                F.coalesce(
-                    F.col("nbr_comp") < F.col("comp"), F.lit(False)
-                ).alias("chg"),
-            )
-        )
-        changed = new_labels.filter("chg").limit(1).count()
-        labels = new_labels.select("v", "comp")
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         warnings.warn(
             f"connected_components did not converge in max_iter={max_iter} "
             "rounds; labels are a partial fixpoint (graph diameter exceeds "
