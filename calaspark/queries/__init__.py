@@ -104,6 +104,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,
     "ann_ivf_topk": demos.ann_ivf_topk,
     "ann_lsh_topk": demos.ann_lsh_topk,
+    "ann_recall": demos.ann_recall,
     "pandas_udf_quality": demos.pandas_udf_quality,
     "udtf_tokens": demos.udtf_tokens,
     "arrow_native": demos.arrow_native,
