@@ -1205,3 +1205,36 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+# Q65 — end-to-end pipeline funnel counts ---------------------------
+
+ORACLES["q65"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+           t -> list_contains(
+             ['the','a','of','and','to','in','is','it','that','for'],
+             lower(t)))) AS BIGINT) AS n_stop_en,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digit,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           AS content_key
+  FROM documents
+), q AS (
+  SELECT * FROM d
+  WHERE n_tokens >= 10 AND n_chars >= 50 AND n_stop_en >= 1
+    AND n_digit * 5 < n_chars
+), uniq AS (
+  SELECT content_key, MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+  FROM q GROUP BY content_key
+)
+SELECT
+  (SELECT COUNT(*) FROM d) AS n_docs_in,
+  (SELECT COUNT(*) FROM q) AS n_docs_quality,
+  (SELECT COUNT(*) FROM uniq) AS n_docs_unique,
+  (SELECT CAST(SUM((n_tokens - 1) // 40 + 1) AS BIGINT) FROM uniq)
+    AS n_chunks_total,
+  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM uniq) AS n_tokens_total
+"""

@@ -26,6 +26,7 @@ QUERIES: dict[str, QueryFn] = {
     # in earlier rounds — sit past the window and remain covered by
     # tools/verify_local.py and pytest.  Ordering is registration
     # metadata only; no plan changes.
+    "q65": breadth.q65_pipeline_counts,
     "q64": breadth.q64_substring_dup_pairs,
     "q56": breadth.q56_merge_upsert,
     "q57": breadth.q57_gap_fill_locf,
@@ -75,9 +76,9 @@ QUERIES: dict[str, QueryFn] = {
     "q26": etl.q26_null_semantics,
     "q27": etl.q27_quarantine_split,
     "q28": etl.q28_json_extract,
-    "q29": extensions.q29_tokens_explode_count,
     # --- position 51+ from here: oracled ids verified by the driver in
     # rounds 1-4 and by tools/verify_local.py every round. ---
+    "q29": extensions.q29_tokens_explode_count,
     "q30": extensions.q30_pivot_events,
     "q31": extensions.q31_sliding_window_batch,
     "q32": extensions.q32_dedup_exact,

@@ -482,3 +482,67 @@ def q64_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+# ---------------------------------------------------------------- Q65
+
+
+def q65_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline accounting (E15+E19
+    composition, oracled): the whole funnel in one lazy plan —
+
+    1. quality gate (integer-exact counters: ≥10 tokens, ≥50 chars,
+       ≥1 English stopword, digits < 20% of chars — the q55/q59
+       filters applied, not just computed);
+    2. exact-dup collapse on the md5 of whitespace-normalized
+       lowercase text (the hash-groupBy dedup);
+    3. chunk/token budgeting of the surviving corpus (q58's size-50
+       stride-40 arithmetic, closed form).
+
+    Returns ONE summary row: docs in → past quality → unique →
+    total chunks → total tokens. Every stage is codegen expressions
+    + two hash aggregations; no Python, no window, no join — the
+    funnel a 100 TB corpus pays exactly one scan plus one
+    dedup-keyed shuffle for.
+    """
+    from ..ops.text import STOPWORDS, tokens
+
+    c = F.col("text")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+        .cast("long")
+        .alias("n_stop_en"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long").alias("n_digit"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        ).alias("content_key"),
+    )
+    q = d.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars") >= 50)
+        & (F.col("n_stop_en") >= 1)
+        & (F.col("n_digit") * 5 < F.col("n_chars"))
+    )
+    uniq = q.groupBy("content_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs_in")).crossJoin(
+            q.agg(F.count(F.lit(1)).alias("n_docs_quality"))
+        )
+        .crossJoin(
+            uniq.agg(
+                F.count(F.lit(1)).alias("n_docs_unique"),
+                F.sum(
+                    F.floor((F.col("n_tokens") - 1) / 40) + 1
+                ).alias("n_chunks_total"),
+                F.sum("n_tokens").alias("n_tokens_total"),
+            )
+        )
+    )

@@ -58,6 +58,10 @@ ALLOWED = {
     # two 1-row summary aggregates crossJoined (BNLJ over one row) +
     # their global final merges; Arrow workers are the demo's point
     "arrow_native": {"bnlj", "single_part_exchange", "py_arrow"},
+    # pipeline funnel: three 1-row stage summaries crossJoined (1×1
+    # BNLJ) + their global final merges — q34's declared tiny-row
+    # pattern; the corpus-sized work is one scan + one dedup shuffle
+    "q65": {"bnlj", "single_part_exchange"},
     "udtf_tokens": {"py_row_udf", "py_arrow"},  # UDTF demo is per-row by design
 }
 
