@@ -1238,3 +1238,14 @@ SELECT
     AS n_chunks_total,
   (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM uniq) AS n_tokens_total
 """
+
+# Q66 — media-contract metadata (binary payload twin) ----------------
+
+ORACLES["q66"] = """
+SELECT
+  doc_id AS media_id,
+  'text/plain' AS format,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5
+FROM documents
+"""

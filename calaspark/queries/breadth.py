@@ -546,3 +546,34 @@ def q65_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------- Q66
+
+
+def q66_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media-contract metadata (E20, oracled core): run
+    documents through the REAL media table contract
+    (`ops.multimodal.as_media_table` — binary payload + typed meta
+    struct; payload = utf-8 bytes of the text, the deterministic
+    stand-in for image/audio bytes) and read back the metadata a
+    catalog query needs: format, byte size, payload content hash.
+
+    This oracles the schema/plumbing half of E20 (the codec half is
+    the documented plug point): Spark hashes the BINARY payload,
+    DuckDB hashes the VARCHAR — identical utf-8 bytes, identical
+    digest. Pure projection; binary never leaves the executors
+    (only the 32-char digest comes back).
+    """
+    from ..ops.multimodal import as_media_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload_bytes")
+    )
+    m = as_media_table(d, "doc_id", "payload_bytes", fmt="text/plain")
+    return m.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
