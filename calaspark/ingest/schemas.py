@@ -506,8 +506,13 @@ REGISTRY: dict[str, Table] = {
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "AGENT_NAML": Col("string", "Agent or independent contractor name"),
+            "AGENT_NAMF": Col("string", "Agent first name"),
+            "AGENT_NAMT": Col("string", "Agent name title or prefix"),
+            "AGENT_NAMS": Col("string", "Agent name suffix"),
             "PAYEE_NAML": Col("string", "Payee last name or business name"),
             "PAYEE_NAMF": Col("string", "Payee first name"),
+            "PAYEE_NAMT": Col("string", "Payee name title or prefix"),
+            "PAYEE_NAMS": Col("string", "Payee name suffix"),
             "PAYEE_CITY": Col("string", "Payee city"),
             "PAYEE_ST": Col("string", "Payee state"),
             "PAYEE_ZIP4": Col("string", "Payee ZIP+4"),
@@ -515,11 +520,22 @@ REGISTRY: dict[str, Table] = {
             "AGGREGATE": Col("decimal(14,2)", "Cumulative amount to date"),
             "EXPN_DSCR": Col("string", "Description of the payment"),
             "CAND_NAML": Col("string", "Candidate last name supported/opposed"),
+            "CAND_NAMF": Col("string", "Candidate first name"),
+            "CAND_NAMT": Col("string", "Candidate name title or prefix"),
+            "CAND_NAMS": Col("string", "Candidate name suffix"),
             "OFFICE_CD": Col("string", "Office sought code"),
+            "OFFIC_DSCR": Col("string", "Office sought, described"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "District number of the office"),
+            "OFF_S_H_CD": Col("string", "Office sought (S) or held (H) code"),
             "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
             "SUP_OPP_CD": Col("string", "Support or oppose code"),
             "MEMO_CODE": Col("yn", "Memo amount flag (not totaled)"),
             "MEMO_REFNO": Col("string", "Reference to accompanying text memo"),
+            "BAKREF_TID": Col("string", "Back-reference to a parent transaction"),
         },
     ),
     "S498_CD": Table(
@@ -827,9 +843,12 @@ REGISTRY: dict[str, Table] = {
             **_filing_cols(),
             "CLI_NAML": Col("string", "Client last name or business name"),
             "CLI_NAMF": Col("string", "Client first name"),
+            "CLI_NAMT": Col("string", "Client name title or prefix"),
+            "CLI_NAMS": Col("string", "Client name suffix"),
             "CLI_CITY": Col("string", "Client city"),
             "CLI_ST": Col("string", "Client state"),
             "CLI_ZIP4": Col("string", "Client ZIP+4"),
+            "CLI_PHON": Col("string", "Client phone number"),
             "EFF_DATE": Col("date_mdy", "Effective date of the engagement"),
             "CON_PERIOD": Col("string", "Contract period description"),
             "DESCRIP": Col("string", "Description of lobbying interests"),
