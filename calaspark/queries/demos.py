@@ -44,35 +44,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E18 at scale, quantizer family: IVF approximate top-10
-    neighbors of vec_id=0 — k-means-lite coarse cells (Arrow-matmul
-    assignment), exact cosine only inside the nprobe nearest cells.
-    The data-adaptive sibling of ann_lsh_topk.
-
-    Index-reuse shape: the index persists under a path keyed by the
-    corpus file (path + mtime) and quantizer params, so only the
-    FIRST call trains — every later call (bench re-runs, repeated
-    probes) is a pruned scan of the persisted inverted file. A stale
-    key self-invalidates when the corpus file changes.
-    """
+def _ivf_index_path(sf_dir: str, n_cells: int = 16, iters: int = 2) -> str:
+    """Shared on-disk IVF index location, keyed by the corpus file
+    (path + mtime) and quantizer params: only the FIRST caller
+    trains; every later call — bench re-runs, repeated probes, the
+    recall harness — is a pruned scan of the persisted inverted
+    file. A stale key self-invalidates when the corpus changes."""
     import hashlib
     import tempfile
     from pathlib import Path as _P
 
+    src = _P(sf_dir) / "embeddings.parquet"
+    key = hashlib.md5(
+        f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
+        f"|{n_cells}|{iters}".encode()
+    ).hexdigest()[:12]
+    return str(_P(tempfile.gettempdir()) / f"calaspark_ivf_{key}")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 at scale, quantizer family: IVF approximate top-10
+    neighbors of vec_id=0 — k-means-lite coarse cells (Arrow-matmul
+    assignment), exact cosine only inside the nprobe nearest cells.
+    The data-adaptive sibling of ann_lsh_topk. Index-reuse shape via
+    :func:`_ivf_index_path`.
+    """
     from ..ops.ann_ivf import ann_topk_ivf
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    src = _P(sf_dir) / "embeddings.parquet"
-    key = hashlib.md5(
-        f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}|16|2".encode()
-    ).hexdigest()[:12]
-    idx_path = str(_P(tempfile.gettempdir()) / f"calaspark_ivf_{key}")
     return ann_topk_ivf(
-        e, probe_id=0, k=10, n_cells=16, nprobe=4, index_path=idx_path
+        e, probe_id=0, k=10, n_cells=16, nprobe=4,
+        index_path=_ivf_index_path(sf_dir),
     )
 
 def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,7 +487,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         ivf = {
             r["vec_id"]
-            for r in ann_topk_ivf(e, probe_id=probe, k=10, n_cells=16, nprobe=4).collect()
+            for r in ann_topk_ivf(
+                e, probe_id=probe, k=10, n_cells=16, nprobe=4,
+                index_path=_ivf_index_path(sf_dir),
+            ).collect()
         }
         lsh = {
             r["vec_id"]
