@@ -39,9 +39,12 @@ CVR_CAMPAIGN_DISCLOSURE_CD (~86), LOAN_CD (49), SMRY_CD (12 = its
 entire public width), and (round 5) DEBT_CD (33), S497_CD (40),
 LEXP_CD (25), LCCM_CD (29), LPAY_CD (26), LOTH_CD (21),
 FILER_FILINGS_CD (16) — carry their FULL public CAL-ACCESS column
-sets; the remaining tables are representative column subsets (enough
-to exercise every kind per table family). The typing machinery is
-fully general, so widening a table is one dict entry per column.
+sets; S401_CD (37), CVR_REGISTRATION_CD (36) and
+CVR_LOBBY_DISCLOSURE_CD (37) are widened to the high-confidence
+public field blocks (name/signature/contact groups); the remaining
+tables are representative column subsets (enough to exercise every
+kind per table family). The typing machinery is fully general, so
+widening a table is one dict entry per column.
 """
 
 from __future__ import annotations
