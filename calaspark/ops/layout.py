@@ -40,6 +40,12 @@ def minmax_bucket(
     outside [lo, hi] clamp to the grid edges (skew-safe: a stray
     outlier cannot stretch everyone else's buckets).
     """
+    if not hi > lo:
+        # hi == lo would divide by 0.0 → NULL, and the null-skipping
+        # least/greatest clamp would silently park EVERY row in the
+        # max bucket — a degenerate constant dimension with no signal
+        # to the caller. Misuse must be loud.
+        raise ValueError(f"minmax_bucket needs hi > lo, got [{lo}, {hi}]")
     c = F.col(col) if isinstance(col, str) else col
     n = (1 << bits) - 1
     scaled = F.floor(

@@ -22,12 +22,20 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "zu", "in", "ist", "es", "den", "nicht"),
 }
 
+#: Whitespace class shared by Java regex (Spark) and RE2 (DuckDB
+#: oracles): Java's \s additionally matches \x0B where RE2's does
+#: not, so every oracled tokenization spells the class out instead —
+#: a document containing a vertical tab must tokenize identically in
+#: both engines or the value-hash gate flakes.
+WS = "[\t\n\f\r ]"
+
 #: BPE-ish token regex: words, numbers, or single non-space symbols —
 #: a deterministic stand-in for a real tokenizer's pre-tokenization.
-BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Whitespace spelled out (see WS) so Java and RE2 agree on \x0B.
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]"
 
 
-def tokens(text: str | Column, pattern: str = r"\s+") -> Column:
+def tokens(text: str | Column, pattern: str = WS + "+") -> Column:
     """Whitespace tokens with empties removed (array<string>)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, pattern), lambda x: x != "")

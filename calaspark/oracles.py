@@ -903,7 +903,8 @@ SELECT
   doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+  CAST(len(regexp_extract_all(text,
+    E'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]'))
        AS BIGINT) AS n_bpe_tokens
 FROM documents
 """

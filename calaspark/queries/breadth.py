@@ -518,8 +518,9 @@ def q65_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stop_en"),
         F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long").alias("n_digit"),
+        # ops.text.WS, not \s: Java's \s matches \x0B, RE2's doesn't
         F.md5(
-            F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+            F.lower(F.regexp_replace(F.trim(c), "[\t\n\f\r ]+", " "))
         ).alias("content_key"),
     )
     q = d.filter(

@@ -52,12 +52,24 @@ def merge_upsert(
     idempotently).
     """
     src = latest_per_key(batch, [key], version_cols)
-    tgt = read_upsert_table(spark, target_dir)
-    if tgt is None:
+    cur = _current_generation(target_dir)
+    if cur is None:
         merged = src
         gen = "gen0"
     else:
-        cur = (Path(target_dir) / "_CURRENT").read_text().strip()
+        tgt = spark.read.parquet(str(Path(target_dir) / cur))
+        # Schema drift is an explicit error, not a silent outcome:
+        # an unresolved batch column would kill the streaming query
+        # mid-foreachBatch with an opaque AnalysisException, and a
+        # target-only column would be silently dropped from every
+        # later generation. Evolution is a deliberate migration, not
+        # a side effect of one micro-batch.
+        if set(src.columns) != set(tgt.columns):
+            raise ValueError(
+                "merge_upsert schema drift: batch columns "
+                f"{sorted(src.columns)} != target columns "
+                f"{sorted(tgt.columns)}; migrate the target explicitly"
+            )
         gen = "gen1" if cur == "gen0" else "gen0"
         cols = [c for c in src.columns if c != key]
         t = tgt.alias("t")
@@ -82,13 +94,22 @@ def merge_upsert(
     tmp.replace(Path(target_dir) / "_CURRENT")  # atomic pointer flip
 
 
-def read_upsert_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
-    """Current generation of a :func:`merge_upsert` table, or None
-    before the first commit."""
+def _current_generation(target_dir: str) -> str | None:
+    """The `_CURRENT` pointer's generation name, or None before the
+    first commit — the single place the pointer file is parsed."""
     ptr = Path(target_dir) / "_CURRENT"
     if not ptr.exists():
         return None
-    return spark.read.parquet(str(Path(target_dir) / ptr.read_text().strip()))
+    return ptr.read_text().strip()
+
+
+def read_upsert_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Current generation of a :func:`merge_upsert` table, or None
+    before the first commit."""
+    gen = _current_generation(target_dir)
+    if gen is None:
+        return None
+    return spark.read.parquet(str(Path(target_dir) / gen))
 
 
 def foreach_batch_upsert(

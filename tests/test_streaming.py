@@ -363,3 +363,24 @@ def test_foreach_batch_upsert_cdc(spark, tmp_path):
     )
     t4 = {r["k"]: (r["ver"], r["payload"]) for r in read_upsert_table(spark, tgt).collect()}
     assert t4[2] == (6, None)
+
+
+def test_merge_upsert_rejects_schema_drift(spark, tmp_path):
+    """A batch whose columns differ from the target must raise the
+    explicit migration error, not crash unresolved or silently drop
+    target-only columns."""
+    import pytest as _pytest
+
+    from calaspark.streaming import merge_upsert
+
+    tgt = str(tmp_path / "drift_tgt")
+    schema = "k long, ver long, payload string"
+    merge_upsert(
+        spark, tgt, spark.createDataFrame([(1, 1, "a")], schema),
+        "k", [F.col("ver").desc()],
+    )
+    drifted = spark.createDataFrame(
+        [(1, 2, "b", "extra")], schema + ", extra_col string"
+    )
+    with _pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(spark, tgt, drifted, "k", [F.col("ver").desc()])
