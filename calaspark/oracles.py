@@ -1250,3 +1250,31 @@ SELECT
   md5(text) AS payload_md5
 FROM documents
 """
+
+# Q67 — deterministic hash-based dataset split ----------------------
+
+ORACLES["q67"] = r"""
+WITH d AS (
+  SELECT
+    CASE
+      WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 90
+        THEN 'train'
+      WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 95
+        THEN 'val'
+      ELSE 'test'
+    END AS split,
+    CAST(len(regexp_extract_all(text, E'[^\t\n\f\r ]+')) AS BIGINT)
+      AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM d
+GROUP BY split
+ORDER BY split
+"""

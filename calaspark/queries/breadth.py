@@ -578,3 +578,44 @@ def q66_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------- Q67
+
+
+def q67_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splitting (E13/E19, pipeline op):
+    every reproducible data pipeline splits by a HASH of a stable
+    key, never by `rand()` — the assignment survives reruns, joins,
+    and engine changes. Bucket = two md5 bytes of the stringified
+    doc_id folded to [0,100): buckets 0-89 train, 90-94 val, 95-99
+    test (a 90/5/5 split).
+
+    Output: per-split doc count, token sum, char sum — the numbers a
+    training run budgets against. One projection + one map-side-
+    combined aggregation; the split column is pure codegen, so at
+    100 TB assignment costs nothing beyond the scan.
+    """
+    from ..ops.text import token_count
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
