@@ -948,7 +948,8 @@ WITH t AS (
          price + CAST(10.00 AS DECIMAL(12,2)) AS s_price
   FROM t WHERE o_orderkey % 10 = 0
 ), ins AS (
-  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS s_status,
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM t) AS o_orderkey,
+         'N' AS s_status,
          price AS s_price
   FROM t WHERE o_orderkey % 1000 = 7
 ), src AS (
@@ -1112,8 +1113,8 @@ SELECT
   CAST(ROUND(SUM(v_dec), 2) AS DOUBLE) AS sum_dec,
   COUNT(v_ts) AS n_ts_ok,
   CAST(SUM(v_int) AS DOUBLE)
-    / NULLIF(CAST(COUNT(v_int) AS DOUBLE)
-             - CAST(COUNT(v_int) AS DOUBLE), 0) AS div_by_zero
+    / NULLIF(CAST(COUNT(*) FILTER (WHERE v_int IS NULL AND grp % 2 = 0)
+                  AS DOUBLE), 0) AS try_div
 FROM t
 GROUP BY grp
 ORDER BY grp
@@ -1257,11 +1258,11 @@ ORACLES["q67"] = r"""
 WITH d AS (
   SELECT
     CASE
-      WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 90
+      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 < 90
         THEN 'train'
-      WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 95
+      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 < 95
         THEN 'val'
       ELSE 'test'
     END AS split,

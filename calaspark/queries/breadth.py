@@ -39,12 +39,18 @@ def q56_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Change set (synthesized deterministically from the target):
     every 10th order gets status 'U' and +10.00 on the price; keys
-    ``o_orderkey % 1000 == 7`` arrive shifted by +10,000,000 as
-    brand-new rows.
+    ``o_orderkey % 1000 == 7`` arrive shifted past ``max(o_orderkey)``
+    as brand-new rows — the offset is derived from the data (one
+    map-side-combined MAX, broadcast to the insert branch), so insert
+    keys can never collide with real keys at ANY scale factor (a
+    fixed +10M constant collided once max key exceeded it, silently
+    reclassifying inserts as updates at sf ≳ 1.67).
 
     100 TB shape: one shuffle join on the merge key; when the change
     set is small (the usual CDC case) Catalyst broadcasts it and the
-    target is never shuffled at all. No driver-side state.
+    target is never shuffled at all. The MAX scalar is one extra
+    single-column scan-and-reduce, broadcast as a 1-row dim. No
+    driver-side state.
     """
     t = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -56,10 +62,15 @@ def q56_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("s_status"),
         (F.col("price") + F.lit(10.00).cast("decimal(12,2)")).alias("s_price"),
     )
-    ins = t.filter(F.col("o_orderkey") % 1000 == 7).select(
-        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
-        F.lit("N").alias("s_status"),
-        F.col("price").alias("s_price"),
+    mx = t.agg(F.max("o_orderkey").alias("_maxkey"))
+    ins = (
+        t.filter(F.col("o_orderkey") % 1000 == 7)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("_maxkey")).alias("o_orderkey"),
+            F.lit("N").alias("s_status"),
+            F.col("price").alias("s_price"),
+        )
     )
     src = upd.unionByName(ins)
     m = t.join(src, "o_orderkey", "full_outer")
@@ -296,7 +307,9 @@ def q61_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `try_cast` to INT and DECIMAL over a deterministic dirty-string
     mix ('', garbage, valid, signed), `try_to_timestamp` with the
     reference's 'M/d/yyyy' format over valid and impossible dates,
-    and `try_divide` where a group's denominator is zero. This is
+    and `try_divide` where the denominator is DATA-dependent — zero
+    for odd groups, nonzero for even ones — so both the NULL branch
+    and the value branch are oracle-checked. This is
     the modern form of the reference's quarantine-on-parse-failure
     contract (`fields.py §copy_template` CASE WHEN guards): bad
     values become NULL, the pipeline keeps moving, the counts say
@@ -336,12 +349,15 @@ def q61_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("v_dec").alias("n_dec_ok"),
             F.round(F.sum("v_dec"), 2).cast("double").alias("sum_dec"),
             F.count("v_ts").alias("n_ts_ok"),
-            # try_divide: NULL (not error) when a group has no parsed ints
+            # try_divide: denominator = #unparsed ints in EVEN groups
+            # only — zero for odd groups (NULL branch), nonzero for
+            # even groups (value branch); both paths data-exercised.
             F.try_divide(
                 F.sum("v_int").cast("double"),
-                F.count("v_int").cast("double")
-                - F.count("v_int").cast("double"),  # always 0 → NULL
-            ).alias("div_by_zero"),
+                F.count_if(
+                    F.col("v_int").isNull() & (F.col("grp") % 2 == 0)
+                ).cast("double"),
+            ).alias("try_div"),
         )
         .orderBy("grp")
     )
@@ -587,26 +603,23 @@ def q67_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test splitting (E13/E19, pipeline op):
     every reproducible data pipeline splits by a HASH of a stable
     key, never by `rand()` — the assignment survives reruns, joins,
-    and engine changes. Bucket = two md5 bytes of the stringified
-    doc_id folded to [0,100): buckets 0-89 train, 90-94 val, 95-99
-    test (a 90/5/5 split).
+    and engine changes. Bucket = the first 8 hex chars of
+    md5(doc_id) parsed as a 32-bit integer, mod 100: 2^32 uniform
+    residues, so each bucket's mass is within 2^-25 of 1/100 (an
+    earlier 2-hex-char fold had only 256 non-uniform residues and
+    delivered 87.1/6.6/6.3 — property-tested against now). Buckets
+    0-89 train, 90-94 val, 95-99 test (a true 90/5/5 split).
 
     Output: per-split doc count, token sum, char sum — the numbers a
     training run budgets against. One projection + one map-side-
     combined aggregation; the split column is pure codegen, so at
     100 TB assignment costs nothing beyond the scan.
     """
+    from ..ops.split import split_label
     from ..ops.text import token_count
 
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-    ) % 100
     d = load_table(spark, sf_dir, "documents").select(
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_label(F.col("doc_id"), 90, 5).alias("split"),
         token_count("text").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )

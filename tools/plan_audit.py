@@ -62,6 +62,10 @@ ALLOWED = {
     # BNLJ) + their global final merges — q34's declared tiny-row
     # pattern; the corpus-sized work is one scan + one dedup shuffle
     "q65": {"bnlj", "single_part_exchange"},
+    # collision-safe insert-key offset = MAX(o_orderkey): one global
+    # 1-row MAX (final merge) broadcast-crossJoined onto the small
+    # insert branch (1-row BNLJ) — scalar-subquery shape, as in q65
+    "q56": {"bnlj", "single_part_exchange"},
     "udtf_tokens": {"py_row_udf", "py_arrow"},  # UDTF demo is per-row by design
 }
 
