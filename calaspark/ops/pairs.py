@@ -65,3 +65,66 @@ def triangle_block_pairs(
         (F.col("a._pi") < F.col("a._pj"))
         | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥1 exact ``window``-token substring,
+    with the count of shared distinct windows — the decontamination /
+    boilerplate-removal signal set-Jaccard never sees (documents can
+    be set-dissimilar yet share verbatim passages).
+
+    Plan: per-doc window fingerprints (md5 of the joined window, so a
+    DuckDB oracle computes identical keys), ``array_distinct`` BEFORE
+    the explode (a window repeated inside one doc cannot inflate pair
+    counts), then a self-EQUI-join on the fingerprint — the standard
+    inverted index a decontamination pass materializes once.
+
+    ``max_df`` is the scale guard: a fingerprint appearing in more
+    than ``max_df`` docs is dropped BEFORE the self-join (one
+    groupBy + semi-shaped equi-join, no new plan pattern). Without
+    it, one boilerplate window shared by f docs emits f² join rows
+    through a single hot key — at 100 TB a ubiquitous header would
+    be a straggler that never finishes, and those windows are
+    boilerplate, not duplication signal. ``max_df=None`` keeps the
+    exact uncapped contract (the q64 oracle form).
+    """
+    from .text import tokens
+
+    w = window
+    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    d = d.filter(F.size("toks") >= w)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+            lambda i: F.md5(F.array_join(F.slice("toks", i, w), " ")),
+        )
+    )
+    e = d.select("doc_id", F.explode(wins).alias("wh"))
+    if max_df is not None:
+        # (doc_id, wh) is unique after array_distinct, so COUNT(*)
+        # per wh IS the document frequency.
+        keep = (
+            e.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("wh")
+        )
+        e = e.join(keep, "wh")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

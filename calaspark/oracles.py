@@ -1208,6 +1208,29 @@ FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
+# Q68 — substring-dup pairs with document-frequency cap (max_df=2) --
+
+ORACLES["q68"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 8 + 2),
+           i -> md5(array_to_string(toks[i : i + 7], ' '))))) AS wh
+  FROM t WHERE len(toks) >= 8
+), k AS (
+  SELECT wh FROM w GROUP BY wh HAVING COUNT(*) <= 2
+), wf AS (
+  SELECT w.doc_id, w.wh FROM w JOIN k USING (wh)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_windows
+FROM wf a JOIN wf b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
 # Q65 — end-to-end pipeline funnel counts ---------------------------
 
 ORACLES["q65"] = r"""

@@ -26,6 +26,7 @@ QUERIES: dict[str, QueryFn] = {
     # in earlier rounds — sit past the window and remain covered by
     # tools/verify_local.py and pytest.  Ordering is registration
     # metadata only; no plan changes.
+    "q68": breadth.q68_substring_dup_capped,
     "q67": breadth.q67_dataset_split,
     "q66": breadth.q66_media_meta,
     "q65": breadth.q65_pipeline_counts,

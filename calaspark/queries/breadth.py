@@ -461,42 +461,42 @@ def q64_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     be set-dissimilar overall yet share verbatim passages that
     set-Jaccard (q33) never sees.
 
-    Plan: per-doc window fingerprints (md5 of the joined window —
-    md5 so the oracle computes identical keys), `array_distinct`
-    BEFORE the explode so a window repeated inside one doc cannot
-    inflate pair counts, then a self-equi-join on the fingerprint —
-    bucketed shuffle join, no cartesian; at 100 TB the fingerprint
-    table is the standard inverted index a decontamination pass
-    materializes once.
+    Delegates to :func:`calaspark.ops.pairs.substring_dup_pairs`
+    with ``max_df=None`` — the exact uncapped contract (every shared
+    window counts). The at-scale form with the document-frequency
+    guard is q68.
     """
-    from ..ops.text import tokens
+    from ..ops.pairs import substring_dup_pairs
 
-    w = 8
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
+    return substring_dup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", window=8
     )
-    d = d.filter(F.size("toks") >= w)
-    wins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
-            lambda i: F.md5(
-                F.array_join(F.slice("toks", i, w), " ")
-            ),
-        )
-    )
-    e = d.select("doc_id", F.explode(wins).alias("wh"))
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.wh") == F.col("b.wh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+
+
+# ---------------------------------------------------------------- Q68
+
+
+def q68_substring_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64's substring-dup pairs with the document-frequency guard a
+    100 TB decontamination pass needs (E17 scale path): windows
+    appearing in more than ``max_df=2`` documents are dropped BEFORE
+    the self-join. A boilerplate window shared by f docs emits f²
+    join rows through one hot key — the cap bounds per-key fan-out at
+    max_df² and removes exactly the windows that are boilerplate, not
+    duplication signal.
+
+    Plan: one extra groupBy(wh) + equi-join against the kept-window
+    set; everything stays a pure equi-join (pytest asserts bounded
+    fan-out on a synthetic 50-doc boilerplate corpus).
+    """
+    from ..ops.pairs import substring_dup_pairs
+
+    return substring_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=8,
+        max_df=2,
     )
 
 

@@ -573,3 +573,33 @@ def test_split_fold_is_uniform_and_deterministic(spark):
     a = keys.select("k", split_label(F.col("k")).alias("s"))
     b = keys.repartition(7).select("k", split_label(F.col("k")).alias("s2"))
     assert a.join(b, "k").filter(F.col("s") != F.col("s2")).count() == 0
+
+
+def test_substring_dup_max_df_bounds_boilerplate_fanout(spark):
+    """A boilerplate window shared by 50 docs yields 50*49/2 = 1225
+    pairs uncapped; max_df=2 drops it before the self-join, leaving
+    only the genuine 2-doc duplication — and the plan stays pure
+    equi-join (no BNLJ / cartesian)."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.pairs import substring_dup_pairs
+
+    boiler = "subscribe to our newsletter for all the latest updates"  # 9 toks
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(50)]
+    # one real duplicated passage in exactly two docs
+    dup = "the quick brown fox jumps over the lazy dog indeed"
+    rows += [(100, f"{dup} alpha beta"), (101, f"{dup} gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = substring_dup_pairs(df, "doc_id", "text", window=8)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+    capped = substring_dup_pairs(df, "doc_id", "text", window=8, max_df=2)
+    got = capped.collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(100, 101)]
+    # the 2-doc passage survives with all its shared windows counted
+    assert got[0]["n_shared_windows"] > 0
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
