@@ -3,22 +3,33 @@
 
 Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
 one canonical doc per group of mutual near-dups). That is connected
-components on the similarity graph. Spark has no built-in; the
-distributed classic is iterative min-label propagation:
+components on the similarity graph. Spark has no built-in; this
+implements ALTERNATING STAR CONTRACTION (the large-star /
+small-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond", ACM SoCC'14 — public literature):
 
-    label(v) ← min(label(v), min over neighbors(label(u)))
+    large-star: every neighbor of n LARGER than n re-attaches to
+                min(Γ(n) ∪ {n})
+    small-star: every neighbor of n not larger than n (and n
+                itself) re-attaches to min(Γ≤(n) ∪ {n})
 
-repeated until fixpoint. Each iteration is one shuffle (groupBy on
-vertex); convergence takes O(diameter) iterations — near-dup cluster
-graphs are dense and shallow, so a handful. Lineage is cut each
-round via :func:`calaspark.ops.materialize.materialize` (reliable
+Each phase is one groupBy(min) + one equi-join; alternation
+converges in O(log²) rounds to vertex-disjoint STARS rooted at each
+component's minimum (the bigger→smaller edge orientation forces the
+root to be the star minimum, and both phases preserve
+connectivity). Two structural wins over plain min-label
+propagation: the edge set SHRINKS every round (after one
+alternation most edges already point at roots, so later rounds
+touch ~V rows, not 2E+V), and rounds scale with log diameter, not
+diameter. Lineage is cut each round via
+:func:`calaspark.ops.materialize.materialize` (reliable
 ``checkpoint()`` when the session has a checkpoint dir, else
 ``localCheckpoint``) or the plan tree grows exponentially (the
 classic iterative-DataFrame trap at scale).
 
 This is an honest iterative-algorithm demo: driver-side loop, but
 each step is fully distributed and the loop count is bounded by
-graph diameter, not data size.
+log² of component size, not data size.
 """
 
 from __future__ import annotations
@@ -40,67 +51,116 @@ def connected_components(
     """(vertex, component) with component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair once, either order).
-    Deterministic: min-label is order-independent.
+    Deterministic: star contraction's min choices are
+    order-independent.
 
-    Warns (without truncating the partial result) if labels have not
-    converged after ``max_iter`` rounds — a graph with diameter >
-    ``max_iter`` (e.g. a long near-dup chain) would otherwise return
-    silently-wrong components with no signal to the caller.
+    Warns (without truncating the partial result) if the edge set
+    has not converged to stars after ``max_iter`` alternations — a
+    pathological graph would otherwise return silently-wrong
+    components with no signal to the caller.
     """
-    # Materialize the edge list BEFORE symmetrizing: the union reads
-    # each direction from the materialized blocks, so an expensive
-    # edges lineage (e.g. an LSH candidate join) computes ONCE, not
-    # once per union branch.
-    e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # Self-loops fold "keep my own label" into the SAME min-aggregate
-    # as the neighbor labels, so each round is ONE join + ONE groupBy
-    # — the earlier formulation needed a second (left) join per round
-    # just to merge own-vs-neighbor labels.
-    sym = materialize(
-        sym.unionAll(
-            sym.select(F.col("u").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+    # Materialize the raw edge list FIRST: an expensive edges
+    # lineage (e.g. an LSH candidate join) computes ONCE; the vertex
+    # universe and the canonical edge set both read the materialized
+    # blocks.
+    raw = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    verts = raw.select(F.col("a").alias("v")).unionAll(
+        raw.select(F.col("b").alias("v"))
+    ).distinct()
+    # Canonical bigger→smaller orientation, self-pairs dropped. NO
+    # distinct / materialize here: duplicate edges change no min and
+    # round 0's own distinct collapses them — pre-shuffling the full
+    # edge list once more would only add a shuffle. Both phases
+    # preserve the orientation (every emitted edge (n, m) has m
+    # strictly below n).
+    e = raw.filter(F.col("a") != F.col("b")).select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
 
-    labels = materialize(
-        sym.select(F.col("u").alias("v"))
-        .distinct()
-        .withColumn("comp", F.col("v"))
-    )
+    def is_star_set(df: DataFrame) -> bool:
+        # EXACT convergence test (one alternation leaves a star set
+        # unchanged, and only star sets survive both phases): edges
+        # are vertex-disjoint stars ⟺ no vertex is both a source
+        # and a target (depth 1) AND every source has one target.
+        # Both phases preserve components and orient bigger→smaller,
+        # so stars ⟹ root = component minimum. ONE probe job (union
+        # + groupBy + limit 1) on the materialized
+        # (post-contraction, ≈vertex-sized) edge set — cheaper than
+        # the extra confirmation alternation a sum-stability probe
+        # needs, and half the jobs of separate depth/multi checks.
+        roles = df.select(
+            F.col("u").alias("id"), F.lit(1).alias("s"), F.lit(0).alias("t")
+        ).unionAll(
+            df.select(F.col("v").alias("id"), F.lit(0).alias("s"), F.lit(1).alias("t"))
+        )
+        bad = (
+            roles.groupBy("id")
+            .agg(F.sum("s").alias("n_src"), F.max("t").alias("any_tgt"))
+            .filter(
+                (F.col("n_src") > 1)
+                | ((F.col("n_src") > 0) & (F.col("any_tgt") > 0))
+            )
+            .limit(1)
+            .count()
+        )
+        return bad == 0
 
-    def label_sum(lbl: DataFrame):
-        # exact decimal so huge vertex-id sums cannot overflow a long
-        return lbl.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    # Convergence probe: min-label propagation only ever LOWERS a
-    # label, so the label sum strictly decreases until fixpoint and
-    # sum-equality ⟺ elementwise equality — one cheap aggregate over
-    # the materialized labels instead of a comparison join per round.
-    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iter):
-        labels = materialize(
-            sym.join(labels.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
+        # ---- large-star: emit (nbr, m) for every nbr > n, where
+        # m = min(Γ(n) ∪ {n}); one undirected edge → one output row.
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        cur_sum = label_sum(labels)
-        if cur_sum == prev_sum:
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least("mn", F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # ---- small-star: per source n (all targets below n), emit
+        # (t, m) for t ∈ targets(n) ∪ {n}, t ≠ m, m = min target.
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+        rewired = (
+            e1.join(mins2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        e2 = materialize(
+            rewired.unionAll(mins2.select("u", F.col("mn").alias("v")))
+            .distinct()
+        )
+        e = e2
+        if is_star_set(e):
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         warnings.warn(
             f"connected_components did not converge in max_iter={max_iter} "
-            "rounds; labels are a partial fixpoint (graph diameter exceeds "
-            "max_iter) — raise max_iter",
+            "alternations; labels are a partial contraction — raise "
+            "max_iter",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("v").alias("vertex"), "comp")
+    # Final stars: source → root; roots and isolated vertices (e.g.
+    # self-pair input) label themselves. The min-aggregate is a
+    # no-op on a converged star set (one target per source) but
+    # keeps the unconverged partial result one-row-per-vertex.
+    star = (
+        e.select(F.col("u").alias("v"), F.col("v").alias("comp"))
+        .groupBy("v")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return verts.join(star, "v", "left").select(
+        F.col("v").alias("vertex"),
+        F.coalesce("comp", F.col("v")).alias("comp"),
+    )
 
 
 def dedup_clusters(

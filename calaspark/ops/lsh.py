@@ -227,35 +227,55 @@ def neardup_pairs_lsh(
     explode+distinct vocabulary job just to learn "too big".
     """
     rows_per_band = num_hashes // bands
+    # integer admission: inter/un >= t  ⟺  inter >= t*un (t rational)
+    num, den = int(round(threshold * 10000)), 10000
     sigs = minhash_signatures(docs, id_col, tokens_col, num_hashes)
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
+
+    def size_prefilter(j: DataFrame, nt_a, nt_b) -> DataFrame:
+        # J = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so a size ratio
+        # below the threshold can never pass — drop the pair on two
+        # integers BEFORE paying the set intersection (the standard
+        # dedup size filter; exact, a necessary condition only).
+        return j.filter(F.least(nt_a, nt_b) * den >= F.greatest(nt_a, nt_b) * num)
+
     encoded = bitmask_encode(docs, id_col, tokens_col) if use_bitmask else None
     if encoded is not None:  # small-vocab fast path for verification
         enc, n_words = encoded
         a = enc.withColumnRenamed(id_col, "id_a").alias("va")
         b = enc.withColumnRenamed(id_col, "id_b").alias("vb")
         j = cand.join(a, "id_a").join(b, "id_b")
+        j = size_prefilter(j, F.col("va.nt"), F.col("vb.nt"))
         inter = popcount_inter(n_words, "va", "vb")
         un = F.col("va.nt") + F.col("vb.nt") - inter
     else:
+        # Large-vocab fallback: verify on 64-BIT-HASHED token sets,
+        # not the string arrays — the candidate join then shuffles
+        # fixed-width longs and `array_intersect` compares longs
+        # instead of strings. Jaccard over xxhash64-hashed sets
+        # equals Jaccard over the sets themselves up to hash
+        # collisions (≈ |toks|²·2⁻⁶⁴ per doc — the same standing
+        # assumption MinHash banding already makes).
         t = docs.select(
-            F.col(id_col), F.col(tokens_col), F.size(tokens_col).alias("nt")
-        )
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(F.col(tokens_col), lambda x: F.xxhash64(x))
+            ).alias("htoks"),
+        ).select(F.col(id_col), "htoks", F.size("htoks").alias("nt"))
         a = t.select(
             F.col(id_col).alias("id_a"),
-            F.col(tokens_col).alias("toks_a"),
+            F.col("htoks").alias("toks_a"),
             F.col("nt").alias("nt_a"),
         )
         b = t.select(
             F.col(id_col).alias("id_b"),
-            F.col(tokens_col).alias("toks_b"),
+            F.col("htoks").alias("toks_b"),
             F.col("nt").alias("nt_b"),
         )
         j = cand.join(a, "id_a").join(b, "id_b")
+        j = size_prefilter(j, F.col("nt_a"), F.col("nt_b"))
         inter = F.size(F.array_intersect("toks_a", "toks_b"))
         un = F.col("nt_a") + F.col("nt_b") - inter
-    # integer admission: inter/un >= t  ⟺  inter >= t*un (t rational)
-    num, den = int(round(threshold * 10000)), 10000
     return (
         j.select(
             "id_a",

@@ -215,7 +215,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     docs = spread(d).select(
-        "doc_id", F.array_sort(F.array_distinct(tokens("text", " "))).alias("toks")
+        "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
     )
     from ..ops.lsh import neardup_pairs_lsh
 
@@ -223,27 +223,51 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order): identical token sets form Jaccard-1 cliques, so feeding
     # them to LSH inflates the pair graph quadratically in clique
     # size. One linear groupBy elects a representative per distinct
-    # set. The group key is a SET FINGERPRINT (xxhash64 of the sorted
-    # tokens joined on an out-of-alphabet separator) PLUS the token
-    # count — the count is a free collision guard: a 64-bit hash
-    # collision (or a pathological token containing the separator)
-    # would otherwise silently merge different token sets under one
-    # representative. The collapse shuffle and the doc→rep mapping
-    # join still carry fixed-width keys — never the token arrays —
-    # and tokenization runs once (materialized). Modulo the remaining
-    # 2^-64 same-length-collision assumption, components are
-    # unchanged: identical sets share every band hash, so their
-    # edges were guaranteed anyway.
+    # set. The group key is a COMMUTATIVE SET FINGERPRINT — (sum,
+    # xor) folds of the per-token xxhash64 — PLUS the token count:
+    # order-independent, so the token array never needs the
+    # O(n log n)-per-doc `array_sort` the previous hash-of-joined-
+    # sorted-tokens key required (nothing downstream needs order
+    # either: minhash lanes and array_intersect are both
+    # commutative). Two different sets collide only if their hash
+    # multisets agree on size AND sum AND xor simultaneously
+    # (≈2^-128 per same-size pair) — same standing hash-collision
+    # assumption as MinHash banding itself. The collapse shuffle and
+    # the doc→rep mapping join still carry fixed-width keys — never
+    # the token arrays — and tokenization runs once (materialized).
+    # Components are unchanged: identical sets share every band
+    # hash, so their edges were guaranteed anyway.
+    hs = F.transform("toks", lambda t: F.xxhash64(t))
+    # sum fold in decimal(38,0): ANSI mode (Spark 4 default) raises
+    # on long overflow, and |toks| · 2⁶³ exceeds int64 — decimal is
+    # exact and still a fixed-width shuffle key
     hdocs = materialize(
-        docs.withColumn("fp", F.xxhash64(F.array_join("toks", "\x1f")))
+        docs.withColumn(
+            "fp",
+            F.aggregate(
+                hs, F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x
+            ),
+        )
+        .withColumn(
+            "fpx",
+            F.aggregate(
+                hs, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+            ),
+        )
         .withColumn("n_toks", F.size("toks"))
     )
-    groups = hdocs.groupBy("fp", "n_toks").agg(F.min("doc_id").alias("rep_id"))
-    rep_docs = hdocs.join(
-        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    ).select("doc_id", "toks")
-    rep_map = hdocs.select("doc_id", "fp", "n_toks").join(
-        groups, ["fp", "n_toks"]
+    groups = hdocs.groupBy("fp", "fpx", "n_toks").agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    # rep_docs feeds TWO consumers in neardup_pairs_lsh (signatures
+    # + verification) — materialize so the semi-join runs once.
+    rep_docs = materialize(
+        hdocs.join(
+            groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+        ).select("doc_id", "toks")
+    )
+    rep_map = hdocs.select("doc_id", "fp", "fpx", "n_toks").join(
+        groups, ["fp", "fpx", "n_toks"]
     ).select("doc_id", "rep_id")
 
     # Stage 2 — banded MinHash over representatives only. Tighter
