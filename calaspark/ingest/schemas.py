@@ -39,12 +39,15 @@ CVR_CAMPAIGN_DISCLOSURE_CD (~86), LOAN_CD (49), SMRY_CD (12 = its
 entire public width), and (round 5) DEBT_CD (33), S497_CD (40),
 LEXP_CD (25), LCCM_CD (29), LPAY_CD (26), LOTH_CD (21),
 FILER_FILINGS_CD (16) — carry their FULL public CAL-ACCESS column
-sets; S401_CD (37), CVR_REGISTRATION_CD (36) and
-CVR_LOBBY_DISCLOSURE_CD (37) are widened to the high-confidence
-public field blocks (name/signature/contact groups); the remaining
-tables are representative column subsets (enough to exercise every
-kind per table family). The typing machinery is fully general, so
-widening a table is one dict entry per column.
+sets; S401_CD (37) likewise carries the full public S401Cd field
+list; CVR_REGISTRATION_CD (70) and CVR_LOBBY_DISCLOSURE_CD (57)
+carry the full public cover blocks of the F601–F604 registration
+and F615–F645 disclosure forms (filer/address/classification/
+authorization/checkbox/signature groups per the public CAL-ACCESS
+format specification); the remaining tables are representative
+column subsets (enough to exercise every kind per table family).
+The typing machinery is fully general, so widening a table is one
+dict entry per column.
 """
 
 from __future__ import annotations
@@ -670,11 +673,45 @@ REGISTRY: dict[str, Table] = {
             "FILER_NAMF": Col("string", "Registrant first name"),
             "FILER_NAMT": Col("string", "Registrant name title or prefix"),
             "FILER_NAMS": Col("string", "Registrant name suffix"),
+            "REPORT_NUM": Col("string", "Report number (amendments count up)"),
+            "BUS_ADR1": Col("string", "Business address line 1"),
+            "BUS_ADR2": Col("string", "Business address line 2"),
             "BUS_CITY": Col("string", "Business address city"),
             "BUS_ST": Col("string", "Business address state"),
             "BUS_ZIP4": Col("string", "Business address ZIP+4"),
             "BUS_PHON": Col("string", "Business phone number"),
             "BUS_FAX": Col("string", "Business fax number"),
+            "MAIL_ADR1": Col("string", "Mailing address line 1"),
+            "MAIL_ADR2": Col("string", "Mailing address line 2"),
+            "MAIL_CITY": Col("string", "Mailing address city"),
+            "MAIL_ST": Col("string", "Mailing address state"),
+            "MAIL_ZIP4": Col("string", "Mailing address ZIP+4"),
+            "MAIL_PHON": Col("string", "Mailing address phone number"),
+            "FIRM_NAME": Col("string", "Lobbying firm or employer name"),
+            "BUS_CB": Col("string", "Business-entity classification checkbox"),
+            "BUS_CLASS": Col("string", "Business classification code"),
+            "BUS_DESCR": Col("string", "Business description, when class is other"),
+            "IND_CB": Col("string", "Industry classification checkbox"),
+            "IND_CLASS": Col("string", "Industry classification code"),
+            "IND_DESCR": Col("string", "Industry description, when class is other"),
+            "TRADE_CB": Col("string", "Trade association checkbox"),
+            "OTH_CB": Col("string", "Other classification checkbox"),
+            "C_LESS50": Col("string", "Fewer-than-50-members checkbox"),
+            "C_MORE50": Col("string", "Fifty-or-more-members checkbox"),
+            "INFLUEN_YN": Col("yn", "Will attempt to influence legislation flag"),
+            "ST_LEG_YN": Col("yn", "Will lobby the state legislature flag"),
+            "ST_AGENCY": Col("string", "State agencies to be lobbied"),
+            "LOBBY_INT": Col("string", "Description of lobbying interests"),
+            "L_FIRM_CB": Col("string", "Lobbying firm checkbox"),
+            "LBY_604_CB": Col("string", "Form 604 in-house lobbyist checkbox"),
+            "LBY_REG_CB": Col("string", "Registered lobbyist checkbox"),
+            "NEWCERT_CB": Col("string", "New certification checkbox"),
+            "AUTH_NAME": Col("string", "Authorizing firm or employer name"),
+            "AUTH_ADR1": Col("string", "Authorizing party address line 1"),
+            "AUTH_ADR2": Col("string", "Authorizing party address line 2"),
+            "AUTH_CITY": Col("string", "Authorizing party city"),
+            "AUTH_ST": Col("string", "Authorizing party state"),
+            "AUTH_ZIP4": Col("string", "Authorizing party ZIP+4"),
             "RPT_DATE": Col("date_mdy", "Date the registration was filed"),
             "EFF_DATE": Col("date_mdy", "Effective date of the registration"),
             "QUAL_DATE": Col("date_mdy", "Date the registrant qualified"),
@@ -711,16 +748,36 @@ REGISTRY: dict[str, Table] = {
             "FILER_NAMF": Col("string", "Filer first name"),
             "FILER_NAMT": Col("string", "Filer name title or prefix"),
             "FILER_NAMS": Col("string", "Filer name suffix"),
+            "REPORT_NUM": Col("string", "Report number (amendments count up)"),
             "FROM_DATE": Col("date_mdy", "Reporting period start date"),
             "THRU_DATE": Col("date_mdy", "Reporting period end date"),
             "RPT_DATE": Col("date_mdy", "Date the report was filed"),
             "CUM_BEG_DT": Col("date_mdy", "Cumulative-period beginning date"),
             "FIRM_ID": Col("string", "Firm ID, when filed for a firm"),
             "FIRM_NAME": Col("string", "Firm name"),
+            "FIRM_ADR1": Col("string", "Firm address line 1"),
+            "FIRM_ADR2": Col("string", "Firm address line 2"),
             "FIRM_CITY": Col("string", "Firm address city"),
             "FIRM_ST": Col("string", "Firm address state"),
             "FIRM_ZIP4": Col("string", "Firm address ZIP+4"),
             "FIRM_PHON": Col("string", "Firm phone number"),
+            "MAIL_ADR1": Col("string", "Mailing address line 1"),
+            "MAIL_ADR2": Col("string", "Mailing address line 2"),
+            "MAIL_CITY": Col("string", "Mailing address city"),
+            "MAIL_ST": Col("string", "Mailing address state"),
+            "MAIL_ZIP4": Col("string", "Mailing address ZIP+4"),
+            "MAIL_PHON": Col("string", "Mailing address phone number"),
+            "RCPCMTE_ID": Col("string", "Recipient committee ID"),
+            "RCPCMTE_NM": Col("string", "Recipient committee name"),
+            "LOBBY_Y_CB": Col("string", "Lobbying activity yes checkbox"),
+            "LOBBY_N_CB": Col("string", "Lobbying activity no checkbox"),
+            "CTRIB_Y_CB": Col("string", "Campaign contributions yes checkbox"),
+            "CTRIB_N_CB": Col("string", "Campaign contributions no checkbox"),
+            "PART1_1_CB": Col("string", "Part I section 1 checkbox"),
+            "PART1_2_CB": Col("string", "Part I section 2 checkbox"),
+            "NOPART1_CB": Col("string", "No Part I activity checkbox"),
+            "NOPART2_CB": Col("string", "No Part II activity checkbox"),
+            "RPT_ATT_CB": Col("string", "Report-attached checkbox"),
             "MAJOR_NAML": Col("string", "Major donor last name, if applicable"),
             "MAJOR_NAMF": Col("string", "Major donor first name"),
             "MAJOR_NAMT": Col("string", "Major donor name title or prefix"),
