@@ -1,0 +1,78 @@
+"""Reference-shaped queries over the ACTUAL CAL-ACCESS tables
+(SURVEY.md §2.4 R9/R10 exercised on the reference's own schemas, not
+the generic testdata twins).
+
+The reference's consumers run two idioms against every amendable
+table (`calaccess_raw/models/base.py §UNIQUE_KEY` encodes the
+convention; the reference delegates the SQL to its users):
+
+- **latest-amendment-wins** (R10): an amendment REPLACES the whole
+  filing, so the live itemization is "all lines of the max AMEND_ID
+  per FILING_ID" — note this is per-FILING max-and-keep-lines, not
+  per-line latest (amendments may add or drop lines);
+- **filer↔filing navigation** (R9): FILER_FILINGS_CD links
+  FILING_ID → FILER_ID (with published duplicate rows — the
+  reference declares no unique key for it), so per-filer rollups are
+  a dedup + equi-join away.
+
+Both run on the TYPED lake tables produced by
+:mod:`calaspark.ingest` (decimal amounts, int amendment ids), so the
+money math is exact.
+
+100 TB shape: the latest-amendment filter is one window max over
+FILING_ID (shuffle on the partition key — the natural layout key for
+an amendable filing table, so in a bucketed lake it's shuffle-free);
+the navigation join deduplicates the small link table and broadcasts
+it; the rollup is a map-side-combined hash aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def latest_filing_lines(
+    df: DataFrame,
+    filing_col: str = "FILING_ID",
+    amend_col: str = "AMEND_ID",
+) -> DataFrame:
+    """All lines of each filing's highest amendment (R10).
+
+    Window max + filter — no join, one shuffle on ``filing_col``;
+    amendments with fewer/more lines than the original are handled
+    correctly because selection is per filing, not per line.
+    """
+    w = Window.partitionBy(filing_col)
+    return (
+        df.withColumn("_max_amend", F.max(amend_col).over(w))
+        .filter(F.col(amend_col) == F.col("_max_amend"))
+        .drop("_max_amend")
+    )
+
+
+def filer_receipt_totals(
+    rcpt: DataFrame,
+    filer_filings: DataFrame,
+    amount_col: str = "AMOUNT",
+) -> DataFrame:
+    """Per-filer receipt totals over live (latest-amendment) lines
+    (R9 + R10 + R3 composed on the reference's own tables).
+
+    ``filer_filings`` may contain duplicate link rows (CAL-ACCESS
+    publishes them; the reference model declares no unique key) —
+    they are collapsed before the join so amounts are never double
+    counted. Totals stay exact decimal until the final round/cast.
+    """
+    live = latest_filing_lines(rcpt)
+    links = filer_filings.select("FILER_ID", "FILING_ID").distinct()
+    return (
+        live.join(F.broadcast(links), "FILING_ID")
+        .groupBy("FILER_ID")
+        .agg(
+            F.countDistinct("FILING_ID").alias("n_filings"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(amount_col), 2).cast("double").alias("total_amount"),
+        )
+        .orderBy("FILER_ID")
+    )
