@@ -38,7 +38,11 @@ def minmax_bucket(
     """Scale a numeric column into the integer grid [0, 2**bits):
     the per-dimension quantization step of a z-order key. Values
     outside [lo, hi] clamp to the grid edges (skew-safe: a stray
-    outlier cannot stretch everyone else's buckets).
+    outlier cannot stretch everyone else's buckets). NULL inputs
+    land in bucket 0 explicitly — without the coalesce, a NULL
+    propagates through the arithmetic and the null-skipping
+    least/greatest clamp would silently park the row in the MAX
+    bucket, clustering all missing values with the top edge.
     """
     if not hi > lo:
         # hi == lo would divide by 0.0 → NULL, and the null-skipping
@@ -53,7 +57,9 @@ def minmax_bucket(
         * F.lit(float(n))
         / F.lit(float(hi - lo))
     ).cast("long")
-    return F.greatest(F.least(scaled, F.lit(n)), F.lit(0))
+    return F.coalesce(
+        F.greatest(F.least(scaled, F.lit(n)), F.lit(0)), F.lit(0).cast("long")
+    )
 
 
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:

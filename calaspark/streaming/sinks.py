@@ -76,12 +76,19 @@ def merge_upsert(
         # source rows are whole records (CDC row images), so source
         # presence decides per ROW, not per cell — a non-null marker
         # column (never the payload: a legitimately-NULL source cell
-        # must still win) gates the whole row.
-        s = src.withColumn("_present", F.lit(1)).alias("s")
+        # must still win) gates the whole row. The marker name is
+        # derived to not collide with any batch column: withColumn
+        # REPLACES an existing column, so a batch legitimately
+        # carrying the marker name would otherwise have its merged
+        # values corrupted to the literal 1.
+        marker = "_present"
+        while marker in src.columns:
+            marker += "_"
+        s = src.withColumn(marker, F.lit(1)).alias("s")
         merged = t.join(s, key, "full_outer").select(
             F.col(key),
             *[
-                F.when(F.col("s._present").isNotNull(), F.col(f"s.{c}"))
+                F.when(F.col(f"s.{marker}").isNotNull(), F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
                 for c in cols

@@ -384,3 +384,27 @@ def test_merge_upsert_rejects_schema_drift(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="schema drift"):
         merge_upsert(spark, tgt, drifted, "k", [F.col("ver").desc()])
+
+
+def test_merge_upsert_tolerates_present_named_column(spark, tmp_path):
+    """A batch column legitimately named `_present` must merge with
+    its real values — the internal row-presence marker may not
+    clobber it (it once did: withColumn replaced the user column and
+    every merged value came back 1)."""
+    from calaspark.streaming import merge_upsert, read_upsert_table
+
+    tgt = str(tmp_path / "present_tgt")
+    schema = "k long, ver long, _present long"
+    merge_upsert(
+        spark, tgt, spark.createDataFrame([(1, 1, 7), (2, 1, None)], schema),
+        "k", [F.col("ver").desc()],
+    )
+    merge_upsert(
+        spark, tgt, spark.createDataFrame([(2, 2, 9)], schema),
+        "k", [F.col("ver").desc()],
+    )
+    got = {
+        r["k"]: (r["ver"], r["_present"])
+        for r in read_upsert_table(spark, tgt).collect()
+    }
+    assert got == {1: (1, 7), 2: (2, 9)}
