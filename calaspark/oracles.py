@@ -1302,3 +1302,65 @@ FROM d
 GROUP BY split
 ORDER BY split
 """
+
+# Q69 — sharded sequence packing (budget 2048, running cumsum) ------
+
+ORACLES["q69"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         unnest(range(0, len(toks), 40)) AS start_tok
+  FROM t WHERE len(toks) > 0
+), p AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+         doc_id, start_tok,
+         CAST(LEAST(50, n_toks - start_tok) AS BIGINT) AS chunk_toks
+  FROM c
+), q AS (
+  SELECT shard, chunk_toks,
+         CAST(FLOOR((SUM(chunk_toks) OVER (
+                PARTITION BY shard ORDER BY doc_id, start_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - chunk_toks) / 2048.0) AS BIGINT) AS pack_id
+  FROM p
+)
+SELECT shard, pack_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(chunk_toks) AS BIGINT) AS n_tokens
+FROM q
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+"""
+
+# Q70 — deterministic corpus mixture sampling -----------------------
+
+ORACLES["q70"] = r"""
+WITH d AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'web'
+         WHEN doc_id % 3 = 1 THEN 'books'
+         ELSE 'code' END AS corpus,
+    CAST(len(regexp_extract_all(text, E'[^\t\n\f\r ]+')) AS BIGINT)
+      AS n_tokens,
+    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % 10000 AS bucket
+  FROM documents
+), r AS (
+  SELECT corpus, n_tokens, bucket,
+         CASE corpus WHEN 'web' THEN 5000
+                     WHEN 'books' THEN 8000
+                     ELSE 2500 END AS rate
+  FROM d
+)
+SELECT corpus,
+       COUNT(*) AS n_docs_in,
+       CAST(COUNT(*) FILTER (WHERE bucket < rate) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept
+FROM r
+GROUP BY corpus
+ORDER BY corpus
+"""

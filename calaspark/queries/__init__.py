@@ -30,6 +30,8 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_local.py (which sweeps the FULL keyset by default)
     # and pytest.  Ordering is registration metadata only; no plan
     # changes.
+    "q70": breadth.q70_mixture_sample,
+    "q69": breadth.q69_sequence_packing,
     "q68": breadth.q68_substring_dup_capped,
     "q67": breadth.q67_dataset_split,
     "q61": breadth.q61_try_funcs,
@@ -77,12 +79,13 @@ QUERIES: dict[str, QueryFn] = {
     "q51": extensions.q51_local_supplier_volume,
     "q52": extensions.q52_interval_join,
     "q53": extensions.q53_small_order_revenue,
+    "q01": relational.q01_global_agg,
+    # --- position 51+ from here: oracled ids with 2+ consecutive
+    # driver-green rounds (q54/q55: r04-r05; q02-q26: r01-r05),
+    # verified by tools/verify_local.py (full-keyset sweep) every
+    # round. ---
     "q54": extensions.q54_token_stats,
     "q55": extensions.q55_quality_counts,
-    "q01": relational.q01_global_agg,
-    # --- position 51+ from here: oracled ids with 5 consecutive
-    # driver-green rounds (r01-r05), verified by tools/verify_local.py
-    # (full-keyset sweep) every round. ---
     "q02": relational.q02_filter_project,
     "q03": relational.q03_sort_multikey,
     "q04": relational.q04_limit_offset,

@@ -1,7 +1,8 @@
-"""Round-5 breadth queries (SURVEY.md §2.6): CDC merge-upsert,
+"""Round-5/6 breadth queries (SURVEY.md §2.6): CDC merge-upsert,
 time-series gap fill, LLM-pipeline document ops (chunking, repetition
-quality, PII redaction), error-tolerant typing (`try_*`), exact-sum
-statistical moments, and outer explode.
+quality, PII redaction, dataset split, sequence packing, mixture
+sampling, substring decontamination), error-tolerant typing
+(`try_*`), exact-sum statistical moments, and outer explode.
 
 Reference anchor: the reference's own surface stops at load + ORM SQL
 (SURVEY.md §2.3/§2.4); everything here is either a relational-surface
@@ -631,4 +632,121 @@ def q67_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
         .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------- Q69
+
+
+def q69_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (E19/E3, pipeline op): assign
+    q58's document chunks to fixed token-budget context windows
+    ("packs") by a running cumulative token count — the
+    tokenize-chunk-PACK stage that turns a corpus into training
+    sequences. A chunk goes to pack ``floor(tokens_before / budget)``
+    (budget 2048), the standard streaming first-fit.
+
+    Scale shape: packing is per SHARD (``pmod(doc_id, 8)``), not
+    global — a single global cumsum would serialize the corpus
+    through one window partition; sharded packing keeps every core
+    busy and is how a distributed packer actually ships (each shard
+    emits its own pack sequence). One explode + one windowed cumsum
+    (shuffle on shard) + one hash aggregate.
+    """
+    from ..ops.text import tokens
+
+    size, stride, budget = 50, 40, 2048
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+        ).alias("start_tok"),
+    )
+    chunk_toks = F.least(F.lit(size), F.col("n_toks") - F.col("start_tok"))
+    c = d.select(
+        "doc_id",
+        "start_tok",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+        chunk_toks.cast("long").alias("chunk_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "start_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = c.select(
+        "shard",
+        "chunk_toks",
+        F.floor(
+            (F.sum("chunk_toks").over(w) - F.col("chunk_toks"))
+            / F.lit(budget)
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_toks").alias("n_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------- Q70
+
+
+def q70_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling (E13/E19, pipeline op): down/up-weight
+    sub-corpora to target mixture rates — the data-mixing stage of
+    every pretraining run — with DETERMINISTIC hash-rate sampling:
+    keep a doc iff ``hash_bucket(salted key, 10000) < rate·10000``.
+    Same contract as q67's split: assignment is a pure function of
+    the key (never `rand()`), so the sampled mixture is reproducible
+    across reruns, engines, and partitionings, and a different salt
+    draws an independent sample.
+
+    Sub-corpus = ``doc_id % 3`` (the deterministic stand-in for a
+    source column); rates web 0.5 / books 0.8 / code 0.25. One
+    codegen projection + one map-side-combined aggregate — at 100 TB
+    the mixture costs nothing beyond the scan.
+    """
+    from ..ops.split import hash_bucket
+    from ..ops.text import token_count
+
+    corpus = (
+        F.when(F.col("doc_id") % 3 == 0, "web")
+        .when(F.col("doc_id") % 3 == 1, "books")
+        .otherwise("code")
+    )
+    rate = (
+        F.when(F.col("corpus") == "web", F.lit(5000))
+        .when(F.col("corpus") == "books", F.lit(8000))
+        .otherwise(F.lit(2500))
+    )
+    b = hash_bucket(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 10_000
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        corpus.alias("corpus"),
+        token_count("text").alias("n_tokens"),
+        b.alias("bucket"),
+    )
+    return (
+        d.groupBy("corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.count_if(F.col("bucket") < rate).alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("bucket") < rate, F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_tokens_kept"),
+        )
+        .orderBy("corpus")
     )

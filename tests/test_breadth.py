@@ -92,3 +92,39 @@ def test_gap_fill_spine_is_dense_and_filled(spark):
     # LOCF: after the first observed hour (spine starts at each user's
     # min observed hour, which has data) the filled value is never null
     assert g.filter(F.col("locf_sum_value").isNull()).count() == 0
+
+
+def test_sequence_packing_invariants(spark):
+    """Packs never exceed budget + one chunk's overhang (a chunk that
+    straddles the boundary opens the next pack), pack ids are
+    contiguous from 0 per shard, and chunk accounting matches q58."""
+    budget, size = 2048, 50
+    packs = breadth.q69_sequence_packing(spark, SF).collect()
+    by_shard = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        ids = [r["pack_id"] for r in sorted(rows, key=lambda r: r["pack_id"])]
+        assert ids == list(range(len(ids)))
+        # every pack except possibly the last is filled past budget
+        # minus one chunk; none exceeds budget + chunk overhang
+        for r in rows:
+            assert r["n_tokens"] < budget + size
+    total_chunks = sum(r["n_chunks"] for r in packs)
+    assert total_chunks == breadth.q58_doc_chunking(spark, SF).count()
+
+
+def test_mixture_sample_rates(spark):
+    """Kept fractions track the declared mixture rates within a 4-sigma
+    binomial bound at this corpus size, and are deterministic across
+    runs."""
+    rows = {r["corpus"]: r for r in breadth.q70_mixture_sample(spark, SF).collect()}
+    rates = {"web": 0.5, "books": 0.8, "code": 0.25}
+    for corpus, rate in rates.items():
+        r = rows[corpus]
+        bound = 4 * (rate * (1 - rate) / r["n_docs_in"]) ** 0.5
+        assert abs(r["n_docs_kept"] / r["n_docs_in"] - rate) < bound, (corpus, r)
+    again = {r["corpus"]: r for r in breadth.q70_mixture_sample(spark, SF).collect()}
+    assert {k: (v["n_docs_kept"], v["n_tokens_kept"]) for k, v in rows.items()} == {
+        k: (v["n_docs_kept"], v["n_tokens_kept"]) for k, v in again.items()
+    }
