@@ -107,8 +107,14 @@ def substring_dup_pairs(
     )
     e = d.select("doc_id", F.explode(wins).alias("wh"))
     if max_df is not None:
-        # (doc_id, wh) is unique after array_distinct, so COUNT(*)
-        # per wh IS the document frequency.
+        from .materialize import materialize
+
+        # Three consumers read the inverted index when the cap is on
+        # (the df groupBy + both self-join sides) — materialize it
+        # once instead of re-tokenizing and re-hashing the corpus per
+        # consumer. (doc_id, wh) is unique after array_distinct, so
+        # COUNT(*) per wh IS the document frequency.
+        e = materialize(e)
         keep = (
             e.groupBy("wh")
             .agg(F.count(F.lit(1)).alias("_df"))
