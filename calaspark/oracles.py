@@ -1364,3 +1364,30 @@ FROM r
 GROUP BY corpus
 ORDER BY corpus
 """
+
+# Q71 — exact batched k-NN: top-3 cosine per 8-query batch ----------
+
+ORACLES["q71"] = """
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, e FROM d WHERE vec_id >= 8
+), s AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(c.e, q.qe)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+  FROM c CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, sim
+FROM r WHERE rnk <= 3
+"""

@@ -750,3 +750,60 @@ def q70_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("corpus")
     )
+
+
+# ---------------------------------------------------------------- Q71
+
+
+def q71_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BATCHED k-NN (E18 oracled batch shape): top-3 cosine
+    neighbors for EACH of 8 query vectors in one plan — q34 is the
+    single-probe scan; this is the query-batch form an embedding
+    service actually runs.
+
+    Plan: broadcast the 8-row query batch against one corpus scan
+    (no shuffle of the big side), per-query TopK via
+    `row_number()` over (query_id) — Spark 3.5+/4.x rewrites
+    rn ≤ k to WindowGroupLimit, so no query group materializes its
+    full sorted neighbor list. At 100 TB with LARGE query batches
+    the right plan becomes IVF/LSH bucketing (`ops/ann_ivf.py`,
+    `ann_ivf_topk`); broadcast-batch brute force is correct up to
+    ~thousands of probes.
+
+    FP determinism (§2.6 rule 5): doubles before arithmetic,
+    index-ordered sequential fold ≡ DuckDB `list_dot_product`,
+    ROUND(4), total order (sim desc, vec_id).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), to_d.alias("qe")
+    )
+    d = emb.filter(F.col("vec_id") >= 8).select("vec_id", to_d.alias("e"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = F.round(
+        dot(F.col("e"), F.col("qe"))
+        / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        ),
+        4,
+    )
+    j = d.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "sim")
+    )

@@ -39,6 +39,7 @@ ALLOWED = {
     "q33": {"single_part_exchange"},
     "q38_cross": {"bnlj"},  # cross join demo (tiny dims)
     "q34": {"bnlj"},  # 1-row broadcast probe × corpus scan (single-probe ANN)
+    "q71": {"bnlj"},  # 8-row broadcast query batch × corpus scan (batch ANN)
     "q01": {"single_part_exchange"},  # global 1-row aggregate: final merge
     "q53": {"single_part_exchange"},  # global 1-row aggregate: final merge
     "approx_sketches": {"single_part_exchange"},  # global 1-row aggregate
