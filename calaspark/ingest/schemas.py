@@ -1216,6 +1216,25 @@ REGISTRY: dict[str, Table] = {
             "IMG_DT": Col("date_mdy", "Date of the image"),
         },
     ),
+    "HDR_CD": Table(
+        group="common",
+        unique_key=("FILING_ID", "AMEND_ID"),
+        forms=(),
+        docs="Electronic-filing header record (software/version/format)",
+        # Full public column set (reference
+        # calaccess_raw/models/common.py §HdrCd — 9 fields).
+        columns={
+            "FILING_ID": Col("long", "Unique filing identification number"),
+            "AMEND_ID": Col("int", "Amendment number; 0 is the original filing"),
+            "REC_TYPE": Col("string", "Record type (HDR)"),
+            "CAL_VER": Col("string", "CAL format version of the filing"),
+            "EF_TYPE": Col("string", "Electronic filing type"),
+            "STATE_CD": Col("string", "State code of the filing software"),
+            "SOFT_NAME": Col("string", "Filing software name"),
+            "SOFT_VER": Col("string", "Filing software version"),
+            "HDR_COMMENT": Col("string", "Filer comment from the header"),
+        },
+    ),
     "HEADER_CD": Table(
         group="other",
         unique_key=None,
@@ -1325,6 +1344,20 @@ REGISTRY: dict[str, Table] = {
             "CURRENT_QTR_AMT": Col("decimal(14,2)", "Amount for the current quarter"),
             "SESSION_TOTAL_AMT": Col("decimal(14,2)", "Total for the session"),
             "SESSION_ID": Col("int", "Legislative session of the snapshot"),
+        },
+    ),
+    "FILER_TYPE_PERIODS_CD": Table(
+        group="inactive",
+        unique_key=("ELECTION_TYPE", "FILER_ID", "FILER_TYPE", "PERIOD_ID"),
+        forms=(),
+        docs="Filer-type to filing-period links (inactive table)",
+        # Full public column set (reference
+        # calaccess_raw/models/inactive.py §FilerTypePeriodsCd — 4 fields).
+        columns={
+            "ELECTION_TYPE": Col("int", "Election type code"),
+            "FILER_ID": Col("long", "Filer identification number"),
+            "FILER_TYPE": Col("int", "Filer type code"),
+            "PERIOD_ID": Col("int", "Identifies the period the filing covers"),
         },
     ),
     "BALLOT_MEASURES_CD": Table(
