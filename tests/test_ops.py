@@ -603,3 +603,25 @@ def test_substring_dup_max_df_bounds_boilerplate_fanout(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Star contraction's diameter robustness: a 200-node path graph
+    (diameter 199 — far past the default 20-round budget of plain
+    min-label propagation) converges within max_iter=20 alternations
+    with no warning, labeling the whole chain to its minimum."""
+    import warnings as _warnings
+
+    from calaspark.ops.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        comp = {
+            r["vertex"]: r["comp"]
+            for r in connected_components(chain, max_iter=20).collect()
+        }
+        assert not any("did not converge" in str(x.message) for x in w)
+    assert len(comp) == 200 and set(comp.values()) == {0}
