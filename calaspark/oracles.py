@@ -1391,3 +1391,27 @@ WITH d AS (
 SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, sim
 FROM r WHERE rnk <= 3
 """
+
+# Q72 — blocked fuzzy name pairs (levenshtein <= 3) -----------------
+
+ORACLES["q72"] = """
+WITH u AS (
+  SELECT p_name, MIN(p_partkey) AS rep_id, COUNT(*) AS n_dup
+  FROM part GROUP BY p_name
+), p AS (
+  SELECT rep_id, p_name, n_dup,
+         string_split(p_name, ' ')[1] AS blk,
+         length(p_name) AS len
+  FROM u
+)
+SELECT a.rep_id AS id_a,
+       b.rep_id AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       a.n_dup AS n_dup_a,
+       b.n_dup AS n_dup_b
+FROM p a JOIN p b
+  ON a.blk = b.blk
+ AND a.rep_id < b.rep_id
+ AND abs(a.len - b.len) <= 3
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+"""

@@ -30,6 +30,7 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_local.py (which sweeps the FULL keyset by default)
     # and pytest.  Ordering is registration metadata only; no plan
     # changes.
+    "q72": breadth.q72_fuzzy_name_pairs,
     "q71": breadth.q71_ann_batch_topk,
     "q70": breadth.q70_mixture_sample,
     "q69": breadth.q69_sequence_packing,
@@ -78,12 +79,12 @@ QUERIES: dict[str, QueryFn] = {
     "q49": extensions.q49_string_agg,
     "q50": extensions.q50_bit_bool_aggs,
     "q51": extensions.q51_local_supplier_volume,
-    "q52": extensions.q52_interval_join,
     "q01": relational.q01_global_agg,
     # --- position 51+ from here: oracled ids with 2+ consecutive
-    # driver-green rounds (q53-q55: r04-r05; q02-q26: r01-r05),
+    # driver-green rounds (q52-q55: r04-r05; q02-q26: r01-r05),
     # verified by tools/verify_local.py (full-keyset sweep) every
     # round. ---
+    "q52": extensions.q52_interval_join,
     "q53": extensions.q53_small_order_revenue,
     "q54": extensions.q54_token_stats,
     "q55": extensions.q55_quality_counts,

