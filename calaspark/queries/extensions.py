@@ -264,6 +264,14 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a._pi") < F.col("a._pj"))
             | (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+        # size prefilter: J = |∩|/|∪| ≤ min(nt)/max(nt), so pairs
+        # whose set sizes differ 2× can never reach 0.5 — dropped on
+        # two integers BEFORE the per-pair intersection (a necessary
+        # condition only; the admitted pair set is unchanged)
+        .filter(
+            F.lit(2) * F.least(F.col("a.nt"), F.col("b.nt"))
+            >= F.greatest(F.col("a.nt"), F.col("b.nt"))
+        )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
