@@ -100,6 +100,21 @@ def test_registry_smoke_all_queries(spark):
         assert df.count() >= 0, qid
 
 
+def test_registry_oracle_consistency():
+    """Registry/oracle invariants the driver gate depends on: every
+    oracle id names a registered query (no dead oracle SQL), and the
+    driver's 50-slot correctness window holds ONLY oracled ids — a
+    rows-only demo drifting into the window would silently swap a
+    hash check for the weaker rows-only check."""
+    from calaspark.oracles import ORACLES
+
+    assert set(ORACLES) <= set(QUERIES), sorted(set(ORACLES) - set(QUERIES))
+    window = list(QUERIES)[:50]
+    assert all(q in ORACLES for q in window), [
+        q for q in window if q not in ORACLES
+    ]
+
+
 def test_q33_threshold_is_integer_exact(spark):
     """3·inter ≥ inter+union ⟺ Jaccard ≥ 0.5 on representative sets."""
     for inter, union in [(1, 2), (1, 3), (2, 4), (3, 10), (5, 10), (0, 7)]:
