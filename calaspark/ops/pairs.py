@@ -67,6 +67,132 @@ def triangle_block_pairs(
     )
 
 
+def grid_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    threshold: float = 0.95,
+    block_dims: int = 3,
+    prefilter_dims: int = 16,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (sim ≥ ``threshold``)
+    via guaranteed-recall grid blocking — the exact twin of
+    :func:`calaspark.ops.lsh.embedding_neardup_pairs` (whose SimHash
+    buckets have recall < 1 by construction).
+
+    Geometry: for unit-normalized vectors â, b̂,
+    ``cos(a,b) ≥ τ  ⟺  ‖â−b̂‖² ≤ 2−2τ = w²``, hence EVERY coordinate
+    satisfies ``|â_i−b̂_i| ≤ w``. Quantizing the first ``block_dims``
+    normalized coordinates into cells of width ``w·(1+slack)`` makes
+    "home cells within Chebyshev distance 1" a NECESSARY condition
+    for any qualifying pair (the slack absorbs FP rounding of the
+    division so two floors can never straddle by 2). The left role
+    is exploded into its 3^block_dims neighbor cells, the right role
+    keeps its single home cell, and a plain shuffle EQUI-join on the
+    cell key meets each unordered pair exactly once (the right side's
+    home cell is one cell). Exact cosine then verifies candidates
+    only — recall is 1 by the triangle bound, precision by the
+    verify, so the output equals the all-pairs answer.
+
+    Scale: replication is 3^block_dims on one side only; compare
+    work collapses from n²/2 to the sum over neighboring-cell
+    volume products. Selectivity improves as τ → 1 (w shrinks) and
+    on real, clustered corpora where the leading coordinates carry
+    variance (rotate by PCA upstream for the tightest cells); on a
+    near-uniform corpus the normalized coordinates concentrate near
+    0 and the grid degrades gracefully toward banded all-pairs —
+    still shuffle-balanced, never a cartesian. ``block_dims`` trades
+    replication against cell selectivity.
+
+    ``prefilter_dims``: the same triangle bound, applied as a CHEAP
+    necessary-condition conjunct before the O(dim) verify — a
+    qualifying pair's PARTIAL squared distance over the first k
+    normalized coordinates can never exceed w², since the omitted
+    terms are nonnegative. On a near-uniform corpus (where the grid
+    itself is weak) the partial sum over 16 coords has mean ≈ 0.5
+    for a random pair vs the w² = 0.1 bound at τ = 0.95, so ≳99.9 %
+    of candidates die on 16 scalar subtract-square-adds inside
+    whole-stage codegen and never reach the interpreted fold.
+    Conjunct order in the join condition is load-bearing: Spark's
+    ``And`` short-circuits left-to-right, so the fold only runs on
+    prefilter survivors (measured 40 s → ~2 s on 7.8M candidates at
+    sf0.1).
+    """
+    import math
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    w = math.sqrt(2.0 - 2.0 * threshold) * (1.0 + slack)
+    w2 = (2.0 - 2.0 * threshold) * (1.0 + slack)
+    nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    pts = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"), nrm.alias("_n")
+    ).filter(F.col("_n") > 0)
+    home = [
+        F.floor(F.col("_e")[i] / F.col("_n") / F.lit(w)).cast("int")
+        for i in range(block_dims)
+    ]
+    unit = [
+        (F.col("_e")[i] / F.col("_n")).alias(f"_u{i}")
+        for i in range(prefilter_dims)
+    ]
+    pts = pts.select(
+        "_id", "_e", "_n",
+        *[h.alias(f"_c{i}") for i, h in enumerate(home)],
+        *unit,
+    )
+    # Left role: all 3^block_dims neighbor cells, one explode of a
+    # literal offset grid. Right role: home cell only.
+    from itertools import product as _product
+
+    offsets = F.array(
+        *[
+            F.struct(*[F.lit(d).alias(f"d{i}") for i, d in enumerate(deltas)])
+            for deltas in _product((-1, 0, 1), repeat=block_dims)
+        ]
+    )
+    a = pts.withColumn("_off", F.explode(offsets)).select(
+        F.col("_id").alias("id_a"),
+        F.col("_e").alias("ea"),
+        F.col("_n").alias("na"),
+        *[
+            (F.col(f"_c{i}") + F.col("_off")[f"d{i}"]).alias(f"_g{i}")
+            for i in range(block_dims)
+        ],
+        *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
+    )
+    b = pts.select(
+        F.col("_id").alias("id_b"),
+        F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"),
+        *[F.col(f"_c{i}").alias(f"_g{i}") for i in range(block_dims)],
+        *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # One explicit condition, cheap-to-expensive: equi cells (become
+    # hash keys), id order, codegen partial-distance prefilter, then
+    # the interpreted exact-cosine fold on the survivors only.
+    cond = F.lit(True)
+    for i in range(block_dims):
+        cond = cond & (F.col(f"a._g{i}") == F.col(f"b._g{i}"))
+    cond = cond & (F.col("a.id_a") < F.col("b.id_b"))
+    if prefilter_dims > 0:
+        pdist = F.lit(0.0)
+        for i in range(prefilter_dims):
+            d = F.col(f"a._ua{i}") - F.col(f"b._ub{i}")
+            pdist = pdist + d * d
+        cond = cond & (pdist <= F.lit(w2))
+    cond = cond & (sim >= F.lit(threshold))
+    cand = a.alias("a").join(b.alias("b"), cond)
+    return cand.select("id_a", "id_b", sim.alias("sim"))
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

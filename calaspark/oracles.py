@@ -1415,3 +1415,87 @@ FROM p a JOIN p b
  AND abs(a.len - b.len) <= 3
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
 """
+
+# Q73 — exact embedding-cosine near-dup pairs (grid-blocked) --------
+# The oracle is the brute-force all-pairs definition; Spark's grid
+# blocking must be output-invisible (guaranteed recall) for the hash
+# to match. Perturbed twins are built in identical double arithmetic
+# (cast-to-double first, CAST(0.02 AS DOUBLE) bleed); candidate sims
+# are sequential index-order folds in both engines (q34 precedent).
+
+ORACLES["q73"] = """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(
+           list_zip(e, list_concat(e[2:64], e[1:1])),
+           s -> s[1] + CAST(0.02 AS DOUBLE) * s[2]
+         ) AS e
+  FROM d
+), u AS (
+  SELECT * FROM d UNION ALL SELECT * FROM pert
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+# Q74 — salted skew-safe join + two-stage agg -----------------------
+# The whole point: the oracle carries NO salt — plain JOIN + GROUP BY.
+# Salting and two-stage partials must be output-invisible (exact
+# decimal partials are associative), which the hash gate verifies.
+
+ORACLES["q74"] = f"""
+SELECT c.c_mktsegment,
+       {_MS.format(c='o.o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+# Q75 — skewness / excess kurtosis from exact power sums ------------
+# Same discipline as q62 taken to 3rd/4th moments: exact integer
+# sums (DuckDB SUM(BIGINT) is HUGEINT — cast to DOUBLE once, like
+# Spark's BIGINT sums), then ONE shared left-associative IEEE
+# expression per statistic in both engines.
+
+ORACLES["q75"] = """
+WITH s AS (
+  SELECT l_linestatus,
+         COUNT(*) AS n,
+         SUM(x) AS s1, SUM(x*x) AS s2,
+         SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+  FROM (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+  GROUP BY l_linestatus
+), d AS (
+  SELECT l_linestatus, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+  FROM s
+), m AS (
+  SELECT l_linestatus, n, nd,
+         s1/nd AS mu,
+         s2/nd - (s1/nd)*(s1/nd) AS m2,
+         s3/nd - 3.0*(s1/nd)*(s2/nd) + 2.0*(s1/nd)*(s1/nd)*(s1/nd) AS m3,
+         s4/nd - 4.0*(s1/nd)*(s3/nd) + 6.0*(s1/nd)*(s1/nd)*(s2/nd)
+               - 3.0*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd) AS m4
+  FROM d
+)
+SELECT l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       ROUND(sqrt(nd*(nd-1.0))/(nd-2.0) * (m3 / pow(m2, 1.5)), 6) AS skew_qty,
+       ROUND(m4/(m2*m2) - 3.0, 6) AS kurt_qty
+FROM m
+ORDER BY l_linestatus
+"""

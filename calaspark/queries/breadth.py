@@ -869,3 +869,163 @@ def q72_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n_dup").alias("n_dup_a"),
         F.col("b.n_dup").alias("n_dup_b"),
     ).filter((F.col("dist") >= 1) & (F.col("dist") <= 3))
+
+
+# ---------------------------------------------------------------- Q73
+
+
+def q73_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (E17×E18 oracled): every
+    pair with cosine ≥ 0.95, found WITHOUT an all-pairs compare via
+    :func:`calaspark.ops.pairs.grid_cosine_pairs` — guaranteed-recall
+    grid blocking on the first 3 normalized coordinates (a qualifying
+    pair's cells can differ by at most 1 per axis, by the triangle
+    bound ‖â−b̂‖ ≤ √(2−2τ)), exact cosine verify on candidates only.
+    The rows-only `embedding_neardup` demo runs the SimHash variant
+    whose recall < 1; this is the exact contract the oracle can
+    check against a brute-force all-pairs twin.
+
+    The corpus synthesizes its near-dups exactly like
+    `embedding_neardup` (the raw testdata vectors are near-random,
+    max natural cosine ≈ 0.51): each vector is unioned with a
+    deterministically perturbed copy (2% rotated-component bleed,
+    cosine ≈ 0.999, id + 100000). Both engines build the SAME
+    perturbed corpus in double arithmetic, so the candidate sims are
+    bit-identical index-ordered folds (§2.6 rule 5; q34 precedent).
+
+    100 TB: one 27× explode of the narrow (id, vec, norm) projection,
+    one shuffle equi-join on the cell key, fold-based verify — no
+    cartesian, no broadcast of the corpus.
+    """
+    from ..ops.pairs import grid_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
+    pert = F.zip_with("e", rot, lambda a, b: a + F.lit(0.02) * b)
+    dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
+    pairs = grid_cosine_pairs(
+        e.unionAll(dup), id_col="vec_id", vec_col="e", threshold=0.95
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------- Q74
+
+
+def q74_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation + salted broadcast-free join,
+    ORACLE-CHECKED (E24 made hash-verifiable; until now the salting
+    toolbox was pytest/plan-proven only). Semantics are plain
+    "revenue and order count per customer market segment over
+    open ('O') orders" — the salting must be output-invisible, and
+    the oracle proves it: the DuckDB twin is the ordinary JOIN +
+    GROUP BY with no salt anywhere.
+
+    Spark plan: (1) `salted_join` scatters each hot join key across
+    8 (key, salt) subkeys — the small side (customer, projected to 2
+    columns) is exploded 8×, the fact side sprays deterministically;
+    (2) the aggregation runs in two stages, partial sums per
+    (segment, salt) then final per segment — the standard hot-group
+    fix when one group would otherwise land on one reducer. Exact
+    decimal partials are associative (§2.6 rule 1), so regrouping
+    cannot change the answer — which is exactly what the hash gate
+    verifies.
+
+    At 100 TB this is the plan you force when AQE's runtime skew
+    splitting can't see the skew (e.g. pre-shuffled input); cost is
+    8× replication of the dim side and one extra (tiny) final
+    shuffle of 8·|groups| partial rows.
+    """
+    from ..ops.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(
+        orders.select("o_custkey", dec("o_totalprice").alias("p")).withColumnRenamed(
+            "o_custkey", "c_custkey"
+        ),
+        cust,
+        key="c_custkey",
+        n_salts=8,
+    )
+    agg_salt = F.pmod(F.xxhash64("c_custkey"), F.lit(8)).cast("int")
+    partial = (
+        j.withColumn("_asalt", agg_salt)
+        .groupBy("c_mktsegment", "_asalt")
+        .agg(F.sum("p").alias("ps"), F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        partial.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("ps"), 2).cast("double").alias("revenue"),
+            F.sum("pn").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- Q75
+
+
+def q75_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments from EXACT power sums (E13
+    completion; q62 stops at second moments): per `l_linestatus` —
+    sample skewness (g1 with the bias correction) and excess
+    kurtosis (g2) of `l_quantity`. Engine-native `skewness/kurtosis`
+    accumulate doubles in partition order AND disagree on the
+    population/sample correction across engines, so both engines
+    compute identical closed forms from exact integer power sums
+    Σx..Σx⁴ (quantity ≤ 50 ⇒ Σx⁴ ≤ n·6.25e6 < 2^53 far beyond these
+    scale factors — every sum is exactly representable), each cast
+    to double once, one shared IEEE expression per statistic.
+
+    One map-side-combined aggregation, constant-time finishing
+    arithmetic per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    m = s1 / n
+    # Central moments from raw power sums (identical expansion order
+    # in both engines; see the oracle twin).
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    g1 = (
+        F.sqrt(n * (n - F.lit(1.0)))
+        / (n - F.lit(2.0))
+        * (m3 / F.pow(m2, F.lit(1.5)))
+    )
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return s.select(
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(g1, 6).alias("skew_qty"),
+        F.round(g2, 6).alias("kurt_qty"),
+    ).orderBy("l_linestatus")

@@ -625,3 +625,48 @@ def test_connected_components_long_chain_converges_fast(spark):
         }
         assert not any("did not converge" in str(x.message) for x in w)
     assert len(comp) == 200 and set(comp.values()) == {0}
+
+
+def test_grid_cosine_pairs_equals_brute_force(spark):
+    """Exact-recall property: the grid-blocked plan must return the
+    identical pair set as brute-force all-pairs cosine — including
+    pairs whose normalized coords straddle a cell boundary (the
+    slack-width guarantee) — on a synthetic corpus with planted
+    near-dups in several directions."""
+    import itertools
+    import math
+
+    from calaspark.ops.pairs import grid_cosine_pairs
+
+    dim, tau = 8, 0.95
+    base = []
+    # spread points across the sphere-ish; plant twins for some
+    for i in range(40):
+        v = [math.sin(0.7 * i + j) + 0.1 * j for j in range(dim)]
+        base.append((i, v))
+        if i % 5 == 0:  # planted near-dup: tiny rotation bleed
+            w = [v[j] + 0.02 * v[(j + 1) % dim] for j in range(dim)]
+            base.append((1000 + i, w))
+    df = spark.createDataFrame(base, "vec_id: long, e: array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {
+        (ia, ib)
+        for (ia, va), (ib, vb) in itertools.combinations(base, 2)
+        if cos(va, vb) >= tau
+        for ia, ib in [(min(ia, ib), max(ia, ib))]
+    }
+    assert expected, "test corpus must contain qualifying pairs"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in grid_cosine_pairs(
+            df, id_col="vec_id", vec_col="e", threshold=tau,
+            block_dims=2, prefilter_dims=4,
+        ).collect()
+    }
+    assert got == expected
