@@ -1499,3 +1499,57 @@ SELECT l_linestatus,
 FROM m
 ORDER BY l_linestatus
 """
+
+# Q76 — train/eval decontamination report ---------------------------
+# Same window-fingerprint contract as q64 (md5 of 8-token windows,
+# per-doc distinct); synthesized verbatim leak (+200001 shifts the
+# id mod 50) guarantees the detector real signal.
+
+ORACLES["q76"] = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200001 AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
+), t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM corpus
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 8 + 2),
+           i -> md5(array_to_string(toks[i : i + 7], ' ')))) AS ws
+  FROM t WHERE len(toks) >= 8
+), ev AS (
+  SELECT DISTINCT unnest(ws) AS wh FROM w WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, unnest(ws) AS wh FROM w WHERE doc_id % 50 <> 0
+), h AS (
+  SELECT tr.doc_id, COUNT(*) AS n_hits
+  FROM tr JOIN ev USING (wh)
+  GROUP BY tr.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.ws) AS INTEGER) AS n_windows,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM w b LEFT JOIN h USING (doc_id)
+WHERE b.doc_id % 50 <> 0
+ORDER BY b.doc_id
+"""
+
+# Q77 — BPE step-one adjacent character-pair counts ------------------
+
+ORACLES["q77"] = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, length(tok)), i -> tok[i : i + 1])) AS pair
+  FROM t WHERE length(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM p
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 30
+"""

@@ -30,6 +30,8 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_local.py (which sweeps the FULL keyset by default)
     # and pytest.  Ordering is registration metadata only; no plan
     # changes.
+    "q76": breadth.q76_decontaminate_report,
+    "q77": breadth.q77_bpe_pair_counts,
     "q73": breadth.q73_embedding_dup_pairs,
     "q74": breadth.q74_salted_skew_agg,
     "q75": breadth.q75_skew_kurtosis,
@@ -77,14 +79,14 @@ QUERIES: dict[str, QueryFn] = {
     "q44": extensions.q44_grouping_sets,
     "q45": extensions.q45_array_funcs,
     "q46": extensions.q46_map_funcs,
-    "q47": extensions.q47_histogram_bins,
-    "q48": extensions.q48_calendar_spine,
     "q01": relational.q01_global_agg,
     # --- position 51+ from here: oracled ids with 2+ consecutive
     # driver-green rounds (q44-q55: r04-r05; q02-q26: r01-r05 —
-    # q49-q51 rotated below the cut when q73-q75 entered the window),
+    # q47-q51 rotated below the cut when q73-q77 entered the window),
     # verified by tools/verify_local.py (full-keyset sweep) every
     # round. ---
+    "q47": extensions.q47_histogram_bins,
+    "q48": extensions.q48_calendar_spine,
     "q49": extensions.q49_string_agg,
     "q50": extensions.q50_bit_bool_aggs,
     "q51": extensions.q51_local_supplier_volume,

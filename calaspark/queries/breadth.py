@@ -1029,3 +1029,115 @@ def q75_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g1, 6).alias("skew_qty"),
         F.round(g2, 6).alias("kurt_qty"),
     ).orderBy("l_linestatus")
+
+
+# ---------------------------------------------------------------- Q76
+
+
+def q76_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination REPORT (E17/E19 — the audit pass a
+    training-data pipeline runs before release): for every train
+    document, how many of its distinct 8-token windows appear
+    anywhere in the held-out eval set. q64 finds train↔train
+    duplication; this is the train↔EVAL direction — benchmark
+    leakage — plus the per-doc contamination flag a filter stage
+    would key on.
+
+    Eval set = docs with ``doc_id % 50 == 0``. To guarantee the
+    detector has real signal, the corpus synthesizes a leak the way
+    q32/q73 synthesize dups: every eval doc re-enters as a "train"
+    doc under ``doc_id + 200001`` with VERBATIM text (the offset
+    shifts the id mod 50, so a leak is never classified eval). Those
+    rows must come back 100 % contaminated; organic window overlap
+    adds the sparse tail.
+
+    Plan: one window-fingerprint projection (md5 of each 8-token
+    window, `array_distinct` per doc), materialized once for its
+    three consumers (eval dictionary, hit join, per-doc totals);
+    the hit count is a fingerprint equi-join against the DISTINCT
+    eval windows (inverted-index shape, no pair blowup), LEFT-joined
+    back so clean docs keep 0. At 100 TB the eval dictionary is
+    benchmark-sized → broadcast; the corpus is scanned once.
+    """
+    from ..ops.materialize import materialize
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    leak = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 200001).alias("doc_id"), "text"
+    )
+    corpus = d.unionAll(leak)
+    toks = corpus.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 7),
+            lambda i: F.md5(F.array_join(F.slice("toks", i, 8), " ")),
+        )
+    )
+    w = materialize(toks.select("doc_id", wins.alias("ws")))
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_wh = (
+        w.filter(is_eval).select(F.explode("ws").alias("wh")).distinct()
+    )
+    train = w.filter(~is_eval)
+    hits = (
+        train.select("doc_id", F.explode("ws").alias("wh"))
+        .join(eval_wh, "wh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id", F.size("ws").alias("n_windows"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q77
+
+
+def q77_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, step one (E19 — tokenizer training
+    prep at corpus scale): global frequency of every adjacent
+    CHARACTER PAIR inside word tokens — exactly the statistic the
+    first byte-pair-encoding merge maximizes. Top-30 pairs under a
+    total deterministic order (count desc, pair asc).
+
+    Plan: tokenize (shared `\\S+` contract with the oracle), explode
+    tokens, explode each token's `len−1` adjacent 2-grams via
+    `sequence`+`substr` (pure codegen, no Python), one
+    map-side-combined count. The pair space is bounded (alphabet²),
+    so the final agg is dictionary-sized no matter the corpus — the
+    exact shape of a distributed tokenizer-training counter at
+    100 TB (the real trainer iterates this with a merge table;
+    the per-iteration counter is this query).
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") >= 2)
+    )
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(30)
+    )
