@@ -1553,3 +1553,24 @@ GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 30
 """
+
+# Q78 — hierarchy rollup: recursive CTE twin of pointer jumping -----
+# parent(i) = i DIV 3 (ternary tree rooted at 0). The oracle is the
+# declarative recursion; Spark's log-depth pointer-jumping loop must
+# produce identical depths for the hash to match.
+
+ORACLES["q78"] = """
+WITH RECURSIVE r AS (
+  SELECT doc_id AS id, 0 AS depth FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, r.depth + 1
+  FROM documents d JOIN r ON (d.doc_id // 3) = r.id
+  WHERE d.doc_id > 0
+)
+SELECT r.depth,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM r JOIN documents d ON d.doc_id = r.id
+GROUP BY r.depth
+ORDER BY r.depth
+"""

@@ -30,6 +30,7 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_local.py (which sweeps the FULL keyset by default)
     # and pytest.  Ordering is registration metadata only; no plan
     # changes.
+    "q78": breadth.q78_tree_rollup,
     "q76": breadth.q76_decontaminate_report,
     "q77": breadth.q77_bpe_pair_counts,
     "q73": breadth.q73_embedding_dup_pairs,
@@ -78,11 +79,11 @@ QUERIES: dict[str, QueryFn] = {
     "q66": breadth.q66_media_meta,
     "q44": extensions.q44_grouping_sets,
     "q45": extensions.q45_array_funcs,
-    "q46": extensions.q46_map_funcs,
     "q01": relational.q01_global_agg,
+    "q46": extensions.q46_map_funcs,
     # --- position 51+ from here: oracled ids with 2+ consecutive
     # driver-green rounds (q44-q55: r04-r05; q02-q26: r01-r05 —
-    # q47-q51 rotated below the cut when q73-q77 entered the window),
+    # q46-q51 rotated below the cut when q73-q78 entered the window),
     # verified by tools/verify_local.py (full-keyset sweep) every
     # round. ---
     "q47": extensions.q47_histogram_bins,

@@ -1141,3 +1141,45 @@ def q77_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------- Q78
+
+
+def q78_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening + per-level rollup, ORACLE-CHECKED — the
+    org-chart/category-tree query SQL engines answer with
+    ``WITH RECURSIVE`` and Spark has no native recursion for. The
+    DuckDB twin IS a recursive CTE; Spark computes the identical
+    depths via :func:`calaspark.ops.components.pointer_jump_depths`
+    — pointer jumping (path doubling), log(depth) self-joins instead
+    of one join per level — so the green hash proves the iterative
+    plan equals the declarative recursion. (Connected components
+    next door is the same iterative family but not SQL-expressible;
+    this query is the family's oracled representative.)
+
+    The hierarchy is derived deterministically from the corpus:
+    node = doc_id, parent = doc_id DIV 3 (a ternary tree rooted at
+    0 — depth ≲ log₃ N at every scale factor, so the fixed 6
+    doublings cover any corpus below 3⁶⁴ docs). Output: per depth
+    level — node count and exact total characters (the "rollup
+    metrics by org level" shape).
+    """
+    from ..ops.components import pointer_jump_depths
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nodes = d.select(
+        "doc_id", F.expr("doc_id DIV 3").alias("parent"), "n_chars"
+    )
+    depths = pointer_jump_depths(
+        nodes.select("doc_id", "parent"), id_col="doc_id", parent_col="parent"
+    )
+    return (
+        depths.join(d, depths["id"] == d["doc_id"])
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("depth")
+    )

@@ -670,3 +670,25 @@ def test_grid_cosine_pairs_equals_brute_force(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_pointer_jump_depths_chain_and_forest(spark):
+    """Pointer jumping must flatten (a) a pure chain — the worst
+    case for path doubling, depth = n-1 — and (b) a two-tree forest,
+    labeling every node with its true root and depth."""
+    from calaspark.ops.components import pointer_jump_depths
+
+    # chain 0 <- 1 <- 2 ... <- 9 (root 0), plus tree rooted at 100
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 10)]
+    rows += [(100, 100), (101, 100), (102, 100), (103, 101)]
+    df = spark.createDataFrame(rows, "id: long, parent: long")
+    got = {
+        r["id"]: (r["root"], r["depth"])
+        for r in pointer_jump_depths(df, max_doublings=4).collect()
+    }
+    for i in range(10):
+        assert got[i] == (0, i), (i, got[i])
+    assert got[100] == (100, 0)
+    assert got[101] == (100, 1)
+    assert got[102] == (100, 1)
+    assert got[103] == (100, 2)
