@@ -1574,3 +1574,250 @@ FROM r JOIN documents d ON d.doc_id = r.id
 GROUP BY r.depth
 ORDER BY r.depth
 """
+
+# ------------------------------------------------------------------
+# Round-6 advanced queries (calaspark/queries/advanced.py)
+# ------------------------------------------------------------------
+
+# Q79 — SCD Type-2 history build --------------------------------------
+# Gaps-and-islands versioning under the (floored-epoch, event_id)
+# total order; valid_to = next version's valid_from (NULL = current).
+
+ORACLES["q79"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), c AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+), v AS (
+  SELECT *,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM c
+), g AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         MIN(event_type) AS state,
+         MIN(ep) AS valid_from_ep,
+         COUNT(*) AS n_events
+  FROM v GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_ep,
+       lead(valid_from_ep) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_ep,
+       n_events,
+       CAST(lead(valid_from_ep) OVER (PARTITION BY user_id ORDER BY version)
+              IS NULL AS INTEGER) AS is_current
+FROM g
+ORDER BY user_id, version
+"""
+
+# Q80 — 3-iteration exact-integer PageRank ---------------------------
+# Unrolled twin of the Spark join-aggregate loop. All arithmetic is
+# bigint: contributions r // outdeg, damping 150000 + (85*s) // 100.
+# '//' (DuckDB) and 'div' (Spark) agree on positive operands.
+
+_PR_STEP = """
+{out} AS (
+  SELECT nodes.id,
+         CAST(150000 + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, SUM(p.r // e.outdeg) AS s
+    FROM {prev} p JOIN ed e ON p.id = e.src
+    GROUP BY e.dst
+  ) t ON nodes.id = t.dst
+)"""
+
+ORACLES["q80"] = (
+    """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst
+    FROM documents WHERE doc_id > 0
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+  )
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+    + _PR_STEP.format(out="r1", prev="r0")
+    + ","
+    + _PR_STEP.format(out="r2", prev="r1")
+    + ","
+    + _PR_STEP.format(out="r3", prev="r2")
+    + """
+SELECT id, r AS rank_e6
+FROM r3
+ORDER BY rank_e6 DESC, id ASC
+LIMIT 20
+"""
+)
+
+# Q81 — Markov transition matrix -------------------------------------
+
+ORACLES["q81"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM e
+), g AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM g
+ORDER BY prev_type, next_type
+"""
+
+# Q82 — trailing 7-day RANGE-frame rolling aggregates ----------------
+# Value-based frame over floored epoch seconds; peers included by
+# definition in both engines; money in exact decimal (rule 1).
+
+ORACLES["q82"] = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ep,
+       COUNT(*) OVER w AS n_7d,
+       CAST(ROUND(SUM(v) OVER w, 2) AS DOUBLE) AS sum_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+# Q83 — gaps-and-islands over o_orderkey -----------------------------
+# The oracle is the CLASSIC single-window idiom (k - row_number);
+# the Spark side must reproduce it from the bucketed distributed
+# plan (ops/islands.py) for the hash to match.
+
+ORACLES["q83"] = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+),
+g AS (
+  SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k
+)
+SELECT MIN(k) AS start_key,
+       MAX(k) AS end_key,
+       COUNT(*) AS n_keys
+FROM g
+GROUP BY grp
+ORDER BY n_keys DESC, start_key ASC
+LIMIT 20
+"""
+
+# Q84 — consistent stratified sampling (top-5-by-md5 per source) -----
+
+ORACLES["q84"] = """
+WITH d AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+  FROM d
+)
+SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, h
+FROM r
+WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+# Q85 — 2-D skyline via window sweep ---------------------------------
+
+ORACLES["q85"] = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         MAX(o_totalprice) AS best_price
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT d, best_price,
+         MAX(best_price) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM o
+)
+SELECT d, best_price
+FROM s
+WHERE m IS NULL OR best_price > m
+ORDER BY d
+"""
+
+# Q86 — max concurrent intervals per user (sweep line) ---------------
+# Explicit FLOOR on the decimal duration: decimal->int CASTS
+# disagree across engines (Spark truncates, DuckDB rounds).
+
+ORACLES["q86"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(FLOOR(CAST(value AS DECIMAL(12,2)) * 60) AS BIGINT) AS t_end
+  FROM events
+), deltas AS (
+  SELECT user_id, s AS t, 1 AS d FROM e
+  UNION ALL
+  SELECT user_id, t_end AS t, -1 AS d FROM e
+), net AS (
+  SELECT user_id, t, SUM(d) AS net FROM deltas GROUP BY user_id, t
+), conc AS (
+  SELECT user_id, t,
+         SUM(net) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+)
+SELECT user_id,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       COUNT(*) AS n_points
+FROM conc
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# Q87 — per-group z-score outliers from exact power sums -------------
+# Same exact-sum discipline as q62/q75: decimal s1, s2; ONE shared
+# IEEE expression for mu/sigma/z in both engines; ROUND(z, 4).
+
+ORACLES["q87"] = """
+WITH e AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(v * v) AS DOUBLE) AS s2
+  FROM e GROUP BY event_type
+), st AS (
+  SELECT event_type,
+         s1 / n AS mu,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+  FROM s
+)
+SELECT e.event_id, e.event_type,
+       CAST(e.v AS DOUBLE) AS value,
+       ROUND((CAST(e.v AS DOUBLE) - st.mu) / st.sigma, 4) AS z
+FROM e JOIN st ON e.event_type = st.event_type
+WHERE ABS(ROUND((CAST(e.v AS DOUBLE) - st.mu) / st.sigma, 4)) > 2.5
+ORDER BY e.event_id
+"""

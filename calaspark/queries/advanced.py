@@ -1,0 +1,410 @@
+"""Round-6 advanced relational / pipeline queries (SURVEY.md §2.6):
+SCD Type-2 history construction, exact-integer PageRank, Markov
+transition matrices, time-range rolling windows, distributed
+gaps-and-islands, consistent-hash sampling, skyline (Pareto
+frontier), interval-overlap sweeps, and exact z-score outliers.
+
+Reference anchor: the reference's query surface is ORM lookups over
+versioned filing tables (SURVEY.md §2.4) — SCD-2 (q79) and islands
+(q83) are the warehouse-grade completions of its latest-amendment /
+FILING_ID-sequence semantics; the rest are north-star pipeline ops
+(SURVEY §2.5). Every query follows the §2.6 determinism rules:
+exact decimal/integer arithmetic into the hash gate, floored
+epoch-second bigints instead of raw timestamps, total orders before
+every LIMIT, shared IEEE expression order for any double math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load_table
+from ._util import dec
+
+
+def _ep(col: str = "ts") -> F.Column:
+    """Floored epoch seconds (bigint) — rule-2 timestamp handling,
+    identical to DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)``."""
+    return F.unix_timestamp(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------- Q79
+
+
+def q79_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (E16 completion; R10's general form):
+    compress each user's event stream into *versioned validity
+    intervals* of their current ``event_type`` state — the
+    slowly-changing-dimension table a warehouse maintains so any
+    fact can be joined to "the state the user was in at that time".
+
+    Plan: one partitioned window pass per user (change-flag via
+    ``lag``, version id via running sum — the gaps-and-islands
+    idiom), one map-side-combined aggregation per (user, version),
+    and one more partitioned window for the ``valid_to`` horizon
+    (``lead`` of the next version's start). Zero global windows,
+    zero shuffles beyond the two user-keyed ones; at 100 TB the
+    user key partitions the whole computation.
+
+    Total order within a user is (epoch-second, event_id) — floored
+    seconds per rule 2, event_id as the deterministic tie-break.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _ep("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    chg = (
+        F.when(F.lag("event_type").over(w).isNull(), 1)
+        .when(F.lag("event_type").over(w) != F.col("event_type"), 1)
+        .otherwise(0)
+    )
+    v = e.withColumn("_chg", chg).withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ep").alias("valid_from_ep"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        g.withColumn("valid_to_ep", F.lead("valid_from_ep").over(wv))
+        .select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "state",
+            "valid_from_ep",
+            "valid_to_ep",
+            "n_events",
+            F.col("valid_to_ep").isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------- Q80
+
+
+def q80_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank in EXACT integer arithmetic (the
+    iterative-graph-algorithm contract, oracled bit-for-bit against
+    an unrolled recursive-CTE twin). Graph: nodes = ``doc_id``;
+    edges = the ternary-tree parent pointer ``i -> i div 3`` (i>0)
+    plus a mixing edge ``i -> (7i+1) mod N`` — deterministic,
+    derived from the data, out-degree 1–2.
+
+    Floating PageRank cannot be hash-gated (per-target contribution
+    sums are order-dependent IEEE adds), so ranks live in integer
+    micro-units: r₀ = 1_000_000; each step
+    ``r' = 150000 + (85 * Σ (r div outdeg)) div 100`` — integer
+    division and exact bigint sums are associative, so ANY shuffle
+    or AQE replan produces the identical result, which is exactly
+    what the oracle hash verifies.
+
+    Spark plan per iteration: one equi-join rank⋈edges (edge table
+    carries its precomputed outdeg) + one map-side-combined sum by
+    dst + one left join back to nodes — the standard distributed
+    PageRank step. 3 iterations = 3 shuffle rounds; at 100 TB you
+    checkpoint each round (as dedup_clusters_lsh does) — at
+    query-contract scale the lineage is 3 deep and fine.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n_df = docs.agg(F.count(F.lit(1)).alias("_n"))
+    tree = docs.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), F.expr("id div 3").alias("dst")
+    )
+    mix = docs.crossJoin(F.broadcast(n_df)).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") * 7 + 1, F.col("_n")).alias("dst"),
+    )
+    edges = tree.unionByName(mix).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src")
+
+    r = docs.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(3):
+        contrib = r.join(ed, r["id"] == ed["src"]).select(
+            "dst", F.expr("r div outdeg").alias("c")
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = docs.join(s, docs["id"] == s["dst"], "left").select(
+            docs["id"],
+            (
+                F.lit(150_000).cast("long")
+                + F.expr("(85 * coalesce(s, cast(0 as bigint))) div 100")
+            ).alias("r"),
+        )
+    return (
+        r.select("id", F.col("r").alias("rank_e6"))
+        .orderBy(F.col("rank_e6").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q81
+
+
+def q81_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (E3/E19 — the session-model statistic behind next-event
+    prediction and bot detection): for every ordered pair of
+    consecutive events of one user, count (previous type → current
+    type) and the row-normalized transition probability.
+
+    One user-partitioned ``lag`` window under the (epoch, event_id)
+    total order, one 25-row aggregation, one window sum for the
+    normalizer — the per-prev normalization runs over the *grouped*
+    25-row result, not the event stream, so its single-partition
+    window is model-sized. Probability = n/total in double with one
+    shared expression, ROUND(.,6) into the hash.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _ep("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("_tot", F.sum("n").over(wp))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------- Q82
+
+
+def q82_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user rolling aggregates via a RANGE frame
+    over epoch seconds (E3 completion — q17/q37 cover ROWS frames;
+    time-RANGE frames are the shape monitoring and feature pipelines
+    actually need: "this user's spend over the last 7 days *as of
+    each event*").
+
+    ``rangeBetween(-604800, 0)`` over ``ORDER BY ep`` — value-based
+    bounds, peers included by definition in both engines, so ties in
+    the floored epoch second are frame-identical. Money in exact
+    decimal (rule 1). The window is user-partitioned: fully parallel
+    at any scale, no global sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ep("ts").alias("ep"), dec("value").alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-604_800, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ep",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.round(F.sum("v").over(w), 2).cast("double").alias("sum_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- Q83
+
+
+def q83_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the ``o_orderkey`` values of finished
+    ('F') orders — the sequence-integrity check the reference's
+    users run over FILING_ID ranges after a load (R10-adjacent; V1
+    family): which key ranges are complete, where are the holes?
+    The status filter makes the key set genuinely sparse (~3.3k
+    islands at sf0.01; the unfiltered key space is dense). Top-20
+    longest runs of consecutive keys, deterministically ordered.
+
+    The point is the PLAN: the classic ``k - ROW_NUMBER() OVER
+    (ORDER BY k)`` idiom (the oracle twin) is a single-partition
+    global window — exactly what dies at 100 TB. The Spark side uses
+    :func:`calaspark.ops.islands.islands`: bucketed parallel run
+    detection + tiny boundary-stitch pass (property-tested ≡ the
+    naive form in tests/test_ops.py). Same answer, distributed plan.
+    """
+    from ..ops.islands import islands
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    isl = islands(orders, "o_orderkey", bucket_size=4096)
+    return isl.select(
+        "start_key", "end_key", "n_keys"
+    ).orderBy(F.col("n_keys").desc(), F.col("start_key").asc()).limit(20)
+
+
+# ---------------------------------------------------------------- Q84
+
+
+def q84_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent (hash-ordered) stratified sampling: the 5 documents
+    per source with the smallest ``md5(doc_id)`` (E13 completion —
+    q47 covers fraction sampling, q67 hash splits; this is the
+    *top-k-by-hash* form whose sample is STABLE under corpus growth:
+    a doc's rank can only be displaced by a new smaller hash, never
+    by reordering — the property that makes eval panels and
+    holdouts reproducible across snapshots).
+
+    Plan: per-source window top-k (rank over hash order), i.e. one
+    partitioned shuffle; no global sort, no rand(). Hash is the hex
+    md5 of the decimal string of the key — identical bytes in both
+    engines; doc_id tie-break keeps the order total.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "h")
+        .orderBy("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------- Q85
+
+
+def q85_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (E2-adjacent analytics): the
+    order dates that set a new all-time-high daily max order price —
+    i.e. the (date, price) points not dominated by any earlier-date,
+    higher-or-equal-price point. The naive formulation is a
+    ``NOT EXISTS`` self-theta-join (quadratic); the plan here is the
+    sweep: pre-aggregate to one row per date (max price — an exact
+    double MAX, comparison only, no summation), then one window max
+    over ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` under the date
+    order and keep rows exceeding it. O(n log n), one aggregation
+    shuffle + one ordered window instead of an O(n²) join.
+
+    The date-ordered window is global but runs over the per-DATE
+    aggregate (~2.4k rows/7 years — bounded by the calendar, not the
+    data); at 100 TB the date-grain aggregate is still calendar-
+    sized, so the plan holds.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"), "o_totalprice")
+        .groupBy("d")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        o.withColumn("_m", F.max("best_price").over(w))
+        .filter(F.col("_m").isNull() | (F.col("best_price") > F.col("_m")))
+        .select("d", "best_price")
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------- Q86
+
+
+def q86_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent intervals per user — the sweep-line plan
+    (E1-range-join-adjacent; capacity planning / sessionization
+    diagnostics: "how many of this user's activities overlap at
+    peak?"). Each event opens an interval of ``value`` minutes
+    (duration = ``floor(decimal(value) * 60)`` seconds — exact
+    decimal, explicit FLOOR in both engines because decimal→int
+    CASTS disagree: Spark truncates, DuckDB rounds).
+
+    Plan: explode each interval into (+1 at start, −1 at end)
+    deltas, net them per (user, t) — half-open semantics: an
+    interval ending exactly when another starts does not overlap it
+    — then one user-partitioned running sum gives the concurrency
+    profile, and a max per user finishes. Two user-keyed shuffles,
+    no self-join: the sweep replaces the O(n²) overlap join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        _ep("ts").alias("s"),
+        (F.unix_timestamp(F.col("ts").cast("timestamp"))
+         + F.floor(dec("value") * 60).cast("long")).alias("t_end"),
+    )
+    deltas = e.select("user_id", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        e.select("user_id", F.col("t_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("user_id", "t").agg(F.sum("d").alias("net"))
+    w = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    conc = net.withColumn("conc", F.sum("net").over(w))
+    return (
+        conc.groupBy("user_id")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- Q87
+
+
+def q87_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection from EXACT power sums
+    (E13/E19 — the data-quality gate before training: flag events
+    whose ``value`` sits > 2.5σ from its event-type mean). Same
+    discipline as q62/q75: μ and σ derive from exact decimal sums
+    (Σv, Σv² — decimal(12,2) and its square are exact, sums
+    associative), cast to double once, ONE shared IEEE expression
+    for z in both engines, ROUND(.,4) into the hash.
+
+    Plan: one map-side-combined stats aggregation (5 rows), a
+    broadcast join of the stats back onto the scan, one filter —
+    two passes over the fact table at worst, no shuffle of the
+    fact rows at all (the stats side broadcasts).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", dec("value").alias("v")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    st = stats.select(
+        "event_type",
+        (s1 / n).alias("mu"),
+        F.sqrt(s2 / n - (s1 / n) * (s1 / n)).alias("sigma"),
+    )
+    z = (F.col("v").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").cast("double").alias("value"),
+            "z",
+        )
+        .orderBy("event_id")
+    )

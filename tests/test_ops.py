@@ -692,3 +692,60 @@ def test_pointer_jump_depths_chain_and_forest(spark):
     assert got[101] == (100, 1)
     assert got[102] == (100, 1)
     assert got[103] == (100, 2)
+
+
+def test_islands_matches_naive_global_window(spark):
+    """The bucketed distributed islands plan (per-bucket runs +
+    boundary stitch) must equal the classic single-window idiom on
+    randomized key sets — including islands that span MANY buckets
+    (bucket_size=8 forces heavy stitching) and singleton islands."""
+    import random
+
+    from calaspark.ops.islands import islands
+
+    rng = random.Random(79)
+    keys = set()
+    # long runs crossing many 8-key buckets, plus scattered singles
+    for _ in range(12):
+        start = rng.randrange(0, 2000)
+        keys.update(range(start, start + rng.randrange(1, 60)))
+    keys.update(rng.randrange(0, 2500) for _ in range(80))
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+
+    def naive(sorted_keys):
+        out, s, prev = [], None, None
+        for k in sorted_keys:
+            if s is None:
+                s = prev = k
+            elif k == prev + 1:
+                prev = k
+            else:
+                out.append((s, prev, prev - s + 1))
+                s = prev = k
+        out.append((s, prev, prev - s + 1))
+        return sorted(out)
+
+    got = sorted(
+        (r["start_key"], r["end_key"], r["n_keys"])
+        for r in islands(df, "k", bucket_size=8).collect()
+    )
+    assert got == naive(sorted(keys))
+    # duplicates must not change the result
+    dup = df.unionByName(df.limit(40))
+    got_dup = sorted(
+        (r["start_key"], r["end_key"], r["n_keys"])
+        for r in islands(dup, "k", bucket_size=8).collect()
+    )
+    assert got_dup == got
+
+
+def test_islands_single_run_and_empty_buckets(spark):
+    """One dense run spanning the whole key range collapses to ONE
+    island through the stitch pass; keys exactly on bucket edges."""
+    from calaspark.ops.islands import islands
+
+    df = spark.createDataFrame([(k,) for k in range(16, 48)], "k: long")
+    rows = islands(df, "k", bucket_size=16).collect()
+    assert [(r["start_key"], r["end_key"], r["n_keys"]) for r in rows] == [
+        (16, 47, 32)
+    ]

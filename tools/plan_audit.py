@@ -68,6 +68,17 @@ ALLOWED = {
     # insert branch (1-row BNLJ) — scalar-subquery shape, as in q65
     "q56": {"bnlj", "single_part_exchange"},
     "udtf_tokens": {"py_row_udf", "py_arrow"},  # UDTF demo is per-row by design
+    # scalar-subquery shape: 1-row broadcast N (= COUNT(documents))
+    # crossJoined onto the edge derivation (1-row BNLJ) + its global
+    # 1-row final merge — same declared pattern as q56/tfidf
+    "q80": {"bnlj", "single_part_exchange"},
+    # boundary-stitch pass of ops/islands.py: global lag-window over
+    # the ~2-islands-per-bucket boundary set (model-sized by
+    # construction; the data-scale run detection is bucket-partitioned)
+    "q83": {"single_part_exchange"},
+    # skyline sweep window over the per-DATE aggregate — bounded by
+    # the calendar (~2.4k rows/7 years), not the data
+    "q85": {"single_part_exchange"},
 }
 
 
