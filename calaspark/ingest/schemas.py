@@ -44,8 +44,14 @@ list; CVR_REGISTRATION_CD (70) and CVR_LOBBY_DISCLOSURE_CD (57)
 carry the full public cover blocks of the F601–F604 registration
 and F615–F645 disclosure forms (filer/address/classification/
 authorization/checkbox/signature groups per the public CAL-ACCESS
-format specification); the remaining tables are representative
-column subsets (enough to exercise every kind per table family).
+format specification); round 6 adds the full public widths of
+CVR_SO_CD (~53: committee classification/bank/treasurer/82013
+blocks), CVR2_CAMPAIGN_DISCLOSURE_CD (~42), CVR2_SO_CD (~42) and
+LOBBY_AMENDMENTS_CD (~38: the three add/delete amendment blocks).
+The remaining tables are either full-width already (most narrow
+lookup/junction tables ARE this narrow in CAL-ACCESS) or
+representative column subsets (enough to exercise every kind per
+table family).
 The typing machinery is fully general, so widening a table is one
 dict entry per column.
 """
@@ -347,17 +353,67 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID"),
         forms=("F400", "F402", "F410"),
         docs="Cover page of statements of organization (committee registration)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §CvrSoCd): filer identity,
+        # committee classification checkboxes (F410 part 3), bank,
+        # treasurer, mailing and §82013 blocks.
         columns={
             **_filing_cols(line_item=False),
             "FILER_ID": Col("string", "Filer identification number"),
+            "ENTITY_CD": Col("string", "Filer entity type code"),
             "FILER_NAML": Col("string", "Committee name or filer last name"),
-            "COM82013ID": Col("string", "Committee ID under section 82013"),
+            "FILER_NAMF": Col("string", "Filer first name"),
+            "FILER_NAMT": Col("string", "Filer name title or prefix"),
+            "FILER_NAMS": Col("string", "Filer name suffix"),
             "CITY": Col("string", "Committee street address city"),
             "ST": Col("string", "Committee street address state"),
             "ZIP4": Col("string", "Committee street address ZIP+4"),
+            "COUNTY_RES": Col("string", "County of residence or domicile"),
+            "COUNTY_ACT": Col("string", "County of principal activity"),
             "PHONE": Col("string", "Committee phone number"),
+            "CMTE_FAX": Col("string", "Committee fax number"),
+            "CMTE_EMAIL": Col("string", "Committee e-mail address"),
+            "MAIL_CITY": Col("string", "Mailing address city"),
+            "MAIL_ST": Col("string", "Mailing address state"),
+            "MAIL_ZIP4": Col("string", "Mailing address ZIP+4"),
+            "CMTE_ID": Col("string", "Committee identification number"),
             "QUALFY_DT": Col("date_mdy", "Date the committee qualified"),
+            "QUAL_CB": Col("string", "Qualified-committee checkbox (X)"),
+            "SMCONT_QUALDT": Col(
+                "date_mdy", "Date qualified as a small-contributor committee"
+            ),
+            "GENPURP_CB": Col("string", "General-purpose committee checkbox (X)"),
+            "GPC_DESCR": Col("string", "General-purpose committee description"),
+            "PRIMFC_CB": Col(
+                "string", "Primarily-formed candidate committee checkbox (X)"
+            ),
+            "BRDBASE_CB": Col("string", "Broad-based committee checkbox (X)"),
+            "SPONSOR_CB": Col("string", "Sponsored committee checkbox (X)"),
+            "CONTROL_CB": Col("string", "Controlled committee checkbox (X)"),
+            "BANK_NAM": Col("string", "Depository bank name"),
+            "BANK_ADR1": Col("string", "Depository bank street address line 1"),
+            "BANK_ADR2": Col("string", "Depository bank street address line 2"),
+            "BANK_CITY": Col("string", "Depository bank city"),
+            "BANK_ST": Col("string", "Depository bank state"),
+            "BANK_ZIP4": Col("string", "Depository bank ZIP+4"),
+            "BANK_PHON": Col("string", "Depository bank phone number"),
+            "ACCT_OPENDT": Col("date_mdy", "Date the bank account was opened"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
+            "TRES_PHON": Col("string", "Treasurer phone number"),
+            "COM82013ID": Col("string", "Committee ID under section 82013"),
+            "COM82013NM": Col("string", "Name of the section 82013 committee"),
+            "COM82013YN": Col("yn", "Section 82013 committee flag"),
+            "REPORT_NUM": Col("string", "Report number (amendments)"),
+            "RPT_DATE": Col("date_mdy", "Date the statement was filed"),
             "EFFECT_DT": Col("date_mdy", "Effective date of the statement"),
+            "TERM_DATE": Col("date_mdy", "Date the committee terminated"),
+            "SURPLUSDSP": Col("string", "Disposition of surplus funds"),
             "ACTIVITY_LVL": Col("string", "Level of activity code"),
         },
     ),
@@ -460,14 +516,49 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F460", "F450", "F425", "F465"),
         docs="Cover page continuation lines (additional committee/officer names)",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §Cvr2CampaignDisclosureCd):
+        # listed entity identity/contact, controlled-committee and
+        # ballot-measure blocks, treasurer block.
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Entity type of the listed party"),
             "ENTY_NAML": Col("string", "Listed entity last name or business name"),
             "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "ENTY_NAMT": Col("string", "Listed entity name title or prefix"),
+            "ENTY_NAMS": Col("string", "Listed entity name suffix"),
+            "ENTY_CITY": Col("string", "Listed entity city"),
+            "ENTY_ST": Col("string", "Listed entity state"),
+            "ENTY_ZIP4": Col("string", "Listed entity ZIP+4"),
+            "ENTY_PHON": Col("string", "Listed entity phone number"),
+            "ENTY_FAX": Col("string", "Listed entity fax number"),
+            "ENTY_EMAIL": Col("string", "Listed entity e-mail address"),
+            "F460_PART": Col("string", "Part of Form 460 the line relates to"),
             "TITLE": Col("string", "Title of the listed officer"),
+            "MAIL_CITY": Col("string", "Mailing address city"),
+            "MAIL_ST": Col("string", "Mailing address state"),
+            "MAIL_ZIP4": Col("string", "Mailing address ZIP+4"),
             "CMTE_ID": Col("string", "Committee ID, if the entity is a committee"),
+            "CONTROL_YN": Col("yn", "Controlled-committee flag"),
+            "OFFICE_CD": Col("string", "Office sought or held code"),
+            "OFFIC_DSCR": Col("string", "Office sought or held description"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "Office district number"),
+            "OFF_S_H_CD": Col("string", "Office sought/held code (S or H)"),
+            "SEEK_OFFICE": Col("string", "Office sought, if checked"),
+            "BAL_NAME": Col("string", "Ballot measure name"),
+            "BAL_NUM": Col("string", "Ballot measure number or letter"),
+            "BAL_JURIS": Col("string", "Ballot measure jurisdiction"),
+            "SUP_OPP_CD": Col("string", "Support or opposition code"),
+            "TRES_NAML": Col("string", "Treasurer last name"),
+            "TRES_NAMF": Col("string", "Treasurer first name"),
+            "TRES_NAMT": Col("string", "Treasurer name title or prefix"),
+            "TRES_NAMS": Col("string", "Treasurer name suffix"),
+            "TRES_CITY": Col("string", "Treasurer city"),
+            "TRES_ST": Col("string", "Treasurer state"),
+            "TRES_ZIP4": Col("string", "Treasurer ZIP+4"),
         },
     ),
     "CVR2_SO_CD": Table(
@@ -475,16 +566,46 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "LINE_ITEM", "REC_TYPE", "FORM_TYPE"),
         forms=("F400", "F410"),
         docs="Statement-of-organization continuation lines",
+        # Full public column set (reference
+        # calaccess_raw/models/campaign.py §Cvr2SoCd): listed entity
+        # identity/contact, office/party/ballot blocks of F410 part 4.
         columns={
             **_filing_cols(),
             "TRAN_ID": Col("string", "Permanent transaction ID"),
             "ENTITY_CD": Col("string", "Entity type of the listed party"),
             "ENTY_NAML": Col("string", "Listed entity last name or business name"),
             "ENTY_NAMF": Col("string", "Listed entity first name"),
+            "ENTY_NAMT": Col("string", "Listed entity name title or prefix"),
+            "ENTY_NAMS": Col("string", "Listed entity name suffix"),
             "ITEM_CD": Col("string", "Section of the form the line belongs to"),
             "ENTY_CITY": Col("string", "Listed entity city"),
             "ENTY_ST": Col("string", "Listed entity state"),
             "ENTY_ZIP4": Col("string", "Listed entity ZIP+4"),
+            "ENTY_PHON": Col("string", "Listed entity phone number"),
+            "ENTY_FAX": Col("string", "Listed entity fax number"),
+            "ENTY_EMAIL": Col("string", "Listed entity e-mail address"),
+            "MAIL_CITY": Col("string", "Mailing address city"),
+            "MAIL_ST": Col("string", "Mailing address state"),
+            "MAIL_ZIP4": Col("string", "Mailing address ZIP+4"),
+            "DAY_PHONE": Col("string", "Daytime phone number"),
+            "FAX_PHONE": Col("string", "Fax number"),
+            "EMAIL_ADR": Col("string", "E-mail address"),
+            "CITY": Col("string", "Street address city"),
+            "ST": Col("string", "Street address state"),
+            "ZIP4": Col("string", "Street address ZIP+4"),
+            "F460_PART": Col("string", "Part of Form 460 the line relates to"),
+            "OFFICE_CD": Col("string", "Office sought or held code"),
+            "OFFIC_DSCR": Col("string", "Office sought or held description"),
+            "JURIS_CD": Col("string", "Office jurisdiction code"),
+            "JURIS_DSCR": Col("string", "Office jurisdiction description"),
+            "DIST_NO": Col("string", "Office district number"),
+            "OFF_S_H_CD": Col("string", "Office sought/held code (S or H)"),
+            "SEEK_OFFICE": Col("string", "Office sought, if checked"),
+            "NON_PTY_CB": Col("string", "Non-partisan checkbox (X)"),
+            "PARTY_CB": Col("string", "Partisan checkbox (X)"),
+            "OTH_PTY_CB": Col("string", "Other-party checkbox (X)"),
+            "PARTY_CD": Col("string", "Political party code"),
+            "PARTY_NAME": Col("string", "Political party name"),
             "EFFECT_DT": Col("date_mdy", "Effective date of the line"),
         },
     ),
@@ -995,15 +1116,46 @@ REGISTRY: dict[str, Table] = {
         unique_key=("FILING_ID", "AMEND_ID", "REC_TYPE", "FORM_TYPE"),
         forms=("F605",),
         docs="Amendments to lobbying registrations (what changed)",
+        # Full public column set (reference
+        # calaccess_raw/models/lobbying.py §LobbyAmendmentsCd): one
+        # add/delete block (checkbox, effective date, name quartet)
+        # per amendable party class — lobbyists (L), employers (LE),
+        # firms (LF).
         columns={
             **_filing_cols(line_item=False),
             "EXEC_DATE": Col("date_mdy", "Date the amendment was executed"),
             "FROM_DATE": Col("date_mdy", "Amended period start date"),
             "THRU_DATE": Col("date_mdy", "Amended period end date"),
-            "ADD_L_CB": Col("yn", "Lobbyists-added checkbox"),
-            "DEL_L_CB": Col("yn", "Lobbyists-deleted checkbox"),
-            "ADD_LE_CB": Col("yn", "Employers-added checkbox"),
-            "DEL_LE_CB": Col("yn", "Employers-deleted checkbox"),
+            "ADD_L_CB": Col("string", "Lobbyists-added checkbox (X)"),
+            "ADD_L_EFF": Col("date_mdy", "Lobbyist-addition effective date"),
+            "A_L_NAML": Col("string", "Added lobbyist last name"),
+            "A_L_NAMF": Col("string", "Added lobbyist first name"),
+            "A_L_NAMT": Col("string", "Added lobbyist name title or prefix"),
+            "A_L_NAMS": Col("string", "Added lobbyist name suffix"),
+            "DEL_L_CB": Col("string", "Lobbyists-deleted checkbox (X)"),
+            "DEL_L_EFF": Col("date_mdy", "Lobbyist-deletion effective date"),
+            "D_L_NAML": Col("string", "Deleted lobbyist last name"),
+            "D_L_NAMF": Col("string", "Deleted lobbyist first name"),
+            "D_L_NAMT": Col("string", "Deleted lobbyist name title or prefix"),
+            "D_L_NAMS": Col("string", "Deleted lobbyist name suffix"),
+            "ADD_LE_CB": Col("string", "Employers-added checkbox (X)"),
+            "ADD_LE_EFF": Col("date_mdy", "Employer-addition effective date"),
+            "A_LE_NAML": Col("string", "Added employer last name or business name"),
+            "A_LE_NAMF": Col("string", "Added employer first name"),
+            "A_LE_NAMT": Col("string", "Added employer name title or prefix"),
+            "A_LE_NAMS": Col("string", "Added employer name suffix"),
+            "DEL_LE_CB": Col("string", "Employers-deleted checkbox (X)"),
+            "DEL_LE_EFF": Col("date_mdy", "Employer-deletion effective date"),
+            "D_LE_NAML": Col("string", "Deleted employer last name or business name"),
+            "D_LE_NAMF": Col("string", "Deleted employer first name"),
+            "D_LE_NAMT": Col("string", "Deleted employer name title or prefix"),
+            "D_LE_NAMS": Col("string", "Deleted employer name suffix"),
+            "ADD_LF_CB": Col("string", "Firms-added checkbox (X)"),
+            "ADD_LF_EFF": Col("date_mdy", "Firm-addition effective date"),
+            "A_LF_NAME": Col("string", "Added firm business name"),
+            "DEL_LF_CB": Col("string", "Firms-deleted checkbox (X)"),
+            "DEL_LF_EFF": Col("date_mdy", "Firm-deletion effective date"),
+            "D_LF_NAME": Col("string", "Deleted firm business name"),
             "OTHER_DESC": Col("string", "Description of other changes"),
         },
     ),
