@@ -75,6 +75,7 @@ def grid_cosine_pairs(
     block_dims: int = 3,
     prefilter_dims: int = 16,
     slack: float = 1e-6,
+    n_salts: int = 8,
 ) -> DataFrame:
     """EXACT embedding-cosine near-dup pairs (sim ≥ ``threshold``)
     via guaranteed-recall grid blocking — the exact twin of
@@ -118,6 +119,15 @@ def grid_cosine_pairs(
     ``And`` short-circuits left-to-right, so the fold only runs on
     prefilter survivors (measured 40 s → ~2 s on 7.8M candidates at
     sf0.1).
+
+    Two measured structural rules (sf0.1, 7.8M candidates): (1) the
+    candidate join must run on the NARROW projection — joining with
+    the dim-sized arrays in the row doubled the whole query (every
+    candidate copies ~1 KB of array bytes whether or not it
+    survives); vectors are re-fetched by id for the ~3k survivors.
+    (2) per-candidate arithmetic is secondary — the floor cost is
+    the join's pair enumeration itself, so candidates (not filter
+    flops) are what to optimize next on a degraded corpus.
     """
     import math
 
@@ -142,8 +152,15 @@ def grid_cosine_pairs(
         (F.col("_e")[i] / F.col("_n")).alias(f"_u{i}")
         for i in range(prefilter_dims)
     ]
-    pts = pts.select(
-        "_id", "_e", "_n",
+    # The candidate join runs on a NARROW projection only — ids,
+    # cell keys, flat prefilter coordinates. Carrying the full
+    # vectors through the join would materialize two dim-sized
+    # arrays PER CANDIDATE (millions of rows × ~1 KB on a
+    # concentrated corpus — measured as the dominant cost, ~8 s of
+    # pure row copying at sf0.1); the vectors are fetched by id for
+    # the (tiny) survivor set afterwards instead.
+    narrow = pts.select(
+        "_id",
         *[h.alias(f"_c{i}") for i, h in enumerate(home)],
         *unit,
     )
@@ -157,40 +174,74 @@ def grid_cosine_pairs(
             for deltas in _product((-1, 0, 1), repeat=block_dims)
         ]
     )
-    a = pts.withColumn("_off", F.explode(offsets)).select(
+    # ``n_salts`` splits each cell's join group so a corpus
+    # concentrated in few cells (the near-uniform worst case puts
+    # ~everything in ~2^block_dims cells) cannot cap parallelism at
+    # the occupied-cell count: the exploded side carries ONE
+    # deterministic sub-bucket (hash(id) mod S), the compact side is
+    # exploded across all S — each unordered pair still meets in
+    # exactly one (cells, salt) group, candidates are unchanged, and
+    # the pair-enumeration work fans out S× wider.
+    a = narrow.withColumn("_off", F.explode(offsets)).select(
         F.col("_id").alias("id_a"),
-        F.col("_e").alias("ea"),
-        F.col("_n").alias("na"),
+        F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_salt"),
         *[
             (F.col(f"_c{i}") + F.col("_off")[f"d{i}"]).alias(f"_g{i}")
             for i in range(block_dims)
         ],
         *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
     )
-    b = pts.select(
+    b = narrow.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    ).select(
         F.col("_id").alias("id_b"),
-        F.col("_e").alias("eb"),
-        F.col("_n").alias("nb"),
+        "_salt",
         *[F.col(f"_c{i}").alias(f"_g{i}") for i in range(block_dims)],
         *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
     )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     # One explicit condition, cheap-to-expensive: equi cells (become
-    # hash keys), id order, codegen partial-distance prefilter, then
-    # the interpreted exact-cosine fold on the survivors only.
-    cond = F.lit(True)
+    # hash keys), id order, then the codegen partial-distance
+    # prefilter — ALL on flat scalar columns inside one
+    # whole-stage-codegen span.
+    cond = F.col("a._salt") == F.col("b._salt")
     for i in range(block_dims):
         cond = cond & (F.col(f"a._g{i}") == F.col(f"b._g{i}"))
     cond = cond & (F.col("a.id_a") < F.col("b.id_b"))
     if prefilter_dims > 0:
-        pdist = F.lit(0.0)
-        for i in range(prefilter_dims):
-            d = F.col(f"a._ua{i}") - F.col(f"b._ub{i}")
-            pdist = pdist + d * d
-        cond = cond & (pdist <= F.lit(w2))
-    cond = cond & (sim >= F.lit(threshold))
-    cand = a.alias("a").join(b.alias("b"), cond)
-    return cand.select("id_a", "id_b", sim.alias("sim"))
+        # Staged: the partial distance over the first half is ALSO a
+        # necessary condition (omitted terms nonnegative) — And
+        # short-circuits, so ~all candidates die on half the ops.
+        for k in (prefilter_dims // 2, prefilter_dims):
+            if k == 0:
+                continue
+            pdist = F.lit(0.0)
+            for i in range(k):
+                d = F.col(f"a._ua{i}") - F.col(f"b._ub{i}")
+                pdist = pdist + d * d
+            cond = cond & (pdist <= F.lit(w2))
+    surv = (
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .select("id_a", "id_b")
+    )
+    # Exact verify on survivors only: fetch the two vectors by id
+    # (two equi-joins on the id — AQE broadcasts the survivor side
+    # when it is small) and run the SAME index-ordered fold the
+    # oracle computes, so borderline sims are bit-identical.
+    va = pts.select(
+        F.col("_id").alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na")
+    )
+    vb = pts.select(
+        F.col("_id").alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb")
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        surv.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
 
 
 def substring_dup_pairs(
