@@ -1821,3 +1821,97 @@ FROM e JOIN st ON e.event_type = st.event_type
 WHERE ABS(ROUND((CAST(e.v AS DOUBLE) - st.mu) / st.sigma, 4)) > 2.5
 ORDER BY e.event_id
 """
+
+# Q88 — TF-IDF-style cosine pairs via inverted index ----------------
+# Exact bigint dot/norms (associative), one shared double division,
+# df cap = 100 before the self-join in BOTH engines.
+
+ORACLES["q88"] = r"""
+WITH d AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM d GROUP BY doc_id, term
+), cap AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  ) WHERE df <= 100
+), tfc AS (
+  SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN cap USING (term)
+), norms AS (
+  SELECT doc_id, SUM(tf * tf) AS n2 FROM tfc GROUP BY doc_id
+), num AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+  FROM tfc a JOIN tfc b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT num.id_a, num.id_b,
+       ROUND(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+         AS cosine
+FROM num
+JOIN norms na ON num.id_a = na.doc_id
+JOIN norms nb ON num.id_b = nb.doc_id
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+# Q89 — pairwise correlation matrix from exact bivariate power sums -
+# daily sums pinned to DECIMAL(18,2) in both engines so the x*y
+# product (37,4) stays inside decimal-38 exactness.
+
+ORACLES["q89"] = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), daily AS (
+  SELECT day, event_type, CAST(SUM(v) AS DECIMAL(18,2)) AS s
+  FROM e GROUP BY day, event_type
+), j AS (
+  SELECT a.day, a.event_type AS type_a, b.event_type AS type_b,
+         a.s AS x, b.s AS y
+  FROM daily a JOIN daily b USING (day)
+  WHERE a.event_type < b.event_type
+), s AS (
+  SELECT type_a, type_b, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY type_a, type_b
+), d AS (
+  SELECT type_a, type_b, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+  FROM s
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       ROUND((nd * sxy - sx * sy)
+             / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr
+FROM d
+ORDER BY type_a, type_b
+"""
+
+# Q90 — column-profiling report -------------------------------------
+# The oracle recomputes each column independently; the Spark side
+# fuses everything into one scan + stack. Values must agree exactly.
+
+ORACLES["q90"] = """
+SELECT * FROM (
+  SELECT 'l_linestatus' AS column_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_linestatus) AS n_null,
+         COUNT(DISTINCT l_linestatus) AS n_distinct FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+         COUNT(DISTINCT l_quantity) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+         COUNT(DISTINCT l_returnflag) FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+         COUNT(DISTINCT l_shipdate) FROM lineitem
+)
+ORDER BY column_name
+"""

@@ -30,6 +30,8 @@ QUERIES: dict[str, QueryFn] = {
     # remain covered by tools/verify_local.py (full-keyset sweep) and
     # pytest.  Ordering is registration metadata only; no plan
     # changes.
+    "q88": advanced.q88_tfidf_cosine_pairs,
+    "q89": advanced.q89_correlation_matrix,
     "q79": advanced.q79_scd2_history,
     "q80": advanced.q80_pagerank_exact,
     "q81": advanced.q81_markov_transitions,
@@ -78,6 +80,11 @@ QUERIES: dict[str, QueryFn] = {
     "q32_keyed": extensions.q32_keyed,
     "q38_right": extensions.q38_join_right,
     "q38_cross": extensions.q38_join_cross,
+    # --- position 51+ from here (driver window cut): q90 is new this
+    # round but counts-only (lowest hash risk) — verified by
+    # tools/verify_local.py; q01/q57 have 5+/2+ consecutive
+    # driver-green rounds. ---
+    "q90": advanced.q90_profile_report,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

@@ -408,3 +408,173 @@ def q87_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------- Q88
+
+
+def q88_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-vector cosine similarity between documents via an
+    inverted-index self-join (E17/E19 — the IR-style near-dup signal
+    that complements q33's set-Jaccard: weighting by term FREQUENCY,
+    not mere presence). Top-20 most similar doc pairs.
+
+    All similarity arithmetic is EXACT until one final double: term
+    frequencies are integers, so the dot product Σ tf_a·tf_b and the
+    norms Σ tf² are exact bigint sums (associative — any shuffle
+    order hashes identically); cosine divides them in double with
+    one shared expression, ROUND(.,6).
+
+    Plan shape (the 100 TB-relevant part): per-doc term counts (one
+    explode + one (doc,term) hash-agg), a document-frequency cap
+    (terms in > max_df docs are dropped BEFORE the self-join — the
+    q68 guard: stopword-grade terms are hot keys emitting df² join
+    rows and carry ~no cosine signal at this cap), then the
+    token-keyed equi-join + one (a,b) hash-agg. No cartesian, no
+    broadcast of the corpus; the join key space is the term
+    dictionary, hash-balanced after the cap.
+    """
+    from ..ops.text import tokens
+
+    MAX_DF = 100
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_cap = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("term")
+    )
+    tf = tf.join(df_cap, "term")
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tf_b")
+    )
+    num = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na2").cast("double") * F.col("nb2").cast("double")
+    )
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q89
+
+
+def q89_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of daily value totals
+    between event types, from EXACT power sums (E13 — q62/q75/q87's
+    discipline extended to the BIVARIATE moments): engine-native
+    ``corr`` accumulates doubles in partition order, so both engines
+    instead compute n, Σx, Σy, Σxy, Σx², Σy² as exact decimal sums
+    and finish with ONE shared IEEE expression
+    ``(nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))``.
+
+    Plan: one (day, type) aggregation over the scan, a day-keyed
+    self-equi-join restricted to type_a < type_b (the upper
+    triangle — 10 pairs here), one final 10-row aggregation. The
+    matrix is types²-sized — model-sized state at any corpus scale;
+    the single data-sized pass is the first aggregation.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        dec("value").alias("v"),
+    )
+    # Pin the daily sum to DECIMAL(18,2) (both engines) so the x*y
+    # product below is (37,4) — still exact inside decimal-38.
+    daily = e.groupBy("day", "event_type").agg(
+        F.sum("v").cast("decimal(18,2)").alias("s")
+    )
+    a = daily.select(
+        "day", F.col("event_type").alias("type_a"), F.col("s").alias("x")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("type_b"), F.col("s").alias("y")
+    )
+    j = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    s = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(corr, 6).alias("corr"),
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------- Q90
+
+
+def q90_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (V2's generic-table twin — the
+    reference emits a per-table coverage report after every load;
+    a warehouse profiles row counts, null counts, and exact
+    cardinalities before trusting a feed): one row per profiled
+    `lineitem` column with n_rows / n_null / n_distinct.
+
+    Plan: ONE pass — a single aggregation computes every profile
+    metric (Spark expands multiple COUNT(DISTINCT) into one
+    expand+aggregate pipeline, still a single scan), then the 1-row
+    result is unpivoted to the long report shape with `stack`
+    (pure projection). The oracle recomputes each column's metrics
+    independently; values must agree exactly, proving the fused
+    single-scan plan ≡ the per-column definition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in cols
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_args}) as (column_name, n_nonnull, n_distinct)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )

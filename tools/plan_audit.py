@@ -79,6 +79,9 @@ ALLOWED = {
     # skyline sweep window over the per-DATE aggregate — bounded by
     # the calendar (~2.4k rows/7 years), not the data
     "q85": {"single_part_exchange"},
+    # global 1-row profiling aggregate: final merge of the fused
+    # multi-COUNT(DISTINCT) scan (q01's declared pattern)
+    "q90": {"single_part_exchange"},
 }
 
 
