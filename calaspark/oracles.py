@@ -1915,3 +1915,32 @@ SELECT * FROM (
 )
 ORDER BY column_name
 """
+
+# Q91 — prefix-filtered exact SHINGLE Jaccard --------------------
+# 3-token shingles (q64/q76's window construction at width 3), same
+# integer admission test as q33. The oracle is the naive all-pairs
+# form — the driver hash proves the prefix-filter plan computes the
+# exact same pair set.
+ORACLES["q91"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(rawt) - 1),
+           i -> array_to_string(rawt[i : i + 2], ' '))) AS toks
+  FROM t WHERE len(rawt) >= 3
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+         CAST(len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4) AS sim
+FROM p
+WHERE 3 * n_inter >= n_union + n_inter
+"""

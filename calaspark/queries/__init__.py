@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_local.py; q01/q57 have 5+/2+ consecutive
     # driver-green rounds. ---
     "q90": advanced.q90_profile_report,
+    "q91": advanced.q91_jaccard_prefix_filter,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

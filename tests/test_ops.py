@@ -749,3 +749,63 @@ def test_islands_single_run_and_empty_buckets(spark):
     assert [(r["start_key"], r["end_key"], r["n_keys"]) for r in rows] == [
         (16, 47, 32)
     ]
+
+
+def test_ssjoin_count_join_equals_prefix_filter_and_bruteforce(spark):
+    """The two exact SSJoin plans (inverted-index count join and
+    prefix filtering) must produce the identical pair set — and both
+    must equal a Python brute force — on a corpus engineered to have
+    shared phrases, near-misses, and size mismatches."""
+    from calaspark.ops.ssjoin import (
+        jaccard_count_join,
+        jaccard_prefix_filter,
+        shingle_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base + " extra tail words here"),  # superset
+        (3, "the quick brown fox sleeps all day long every day"),
+        (4, "completely different text with no shared phrases at all ok"),
+        (5, "over the lazy dog again and again said the quick brown fox"),
+        (6, "tiny doc here"),  # exactly one shingle
+        (7, "tiny doc here"),  # its dup
+        (8, "ab cd"),  # < k tokens: no shingle set
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = shingle_rows(df, k=3)
+
+    def norm(res):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"])
+            for r in res.collect()
+        )
+
+    got_cj = norm(jaccard_count_join(sh, 1, 2))
+    got_pf = norm(jaccard_prefix_filter(sh, 1, 2))
+    assert got_cj == got_pf
+
+    # brute force
+    def shingles(t):
+        toks = [x for x in t.split(" ") if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs if len(t.split()) >= 3}
+    expect = []
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if 3 * i >= u + i:
+                    expect.append((a, b, i, u))
+    assert got_cj == sorted(expect)
+    assert (0, 1, 10, 10) in got_cj  # the exact dup survives intact
+
+    # higher threshold (tau = 4/5) still agrees across plans
+    got_cj8 = norm(jaccard_count_join(sh, 4, 5))
+    got_pf8 = norm(jaccard_prefix_filter(sh, 4, 5))
+    assert got_cj8 == got_pf8
+    assert set(got_cj8) <= set(got_cj)
