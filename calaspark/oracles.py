@@ -1944,3 +1944,88 @@ SELECT doc_a, doc_b, n_inter, n_union,
 FROM p
 WHERE 3 * n_inter >= n_union + n_inter
 """
+
+# Q92 — text-quality features (oracled twin of the rows-only demo) --
+# Shared Java∩RE2 regex classes; each ratio is ONE int/int double
+# division + ROUND(.,4).
+
+ORACLES["q92"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT)
+         AS n_bpe_ish,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 4)
+         AS mean_token_len,
+       ROUND(CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                  AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it','that','for'],
+                lower(x)))) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 4)
+         AS stopword_ratio_en
+FROM t
+ORDER BY doc_id
+"""
+
+# Q93 — language-ID confusion grid (oracled twin) -------------------
+# Scores are int/int divisions — bit-identical across engines, so
+# the argmax + lexicographic tie-break CASE is deterministic.
+
+ORACLES["q93"] = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it','that','for'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_en,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','que','en','un','es','se','no'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_es,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['le','la','de','et','que','en','un','est','se','ne'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_fr,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','zu','in','ist','es','den','nicht'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_de
+  FROM t
+), p AS (
+  SELECT lang,
+         CASE
+           WHEN greatest(score_en, score_es, score_fr, score_de) <= 0
+             THEN 'unknown'
+           WHEN score_de = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'de'
+           WHEN score_en = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'en'
+           WHEN score_es = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'es'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM p
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""

@@ -86,6 +86,8 @@ QUERIES: dict[str, QueryFn] = {
     # driver-green rounds. ---
     "q90": advanced.q90_profile_report,
     "q91": advanced.q91_jaccard_prefix_filter,
+    "q92": advanced.q92_text_quality,
+    "q93": advanced.q93_langid_confusion,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

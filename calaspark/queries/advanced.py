@@ -615,3 +615,63 @@ def q91_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return jaccard_count_join(shingle_rows(d), tau_num=1, tau_den=2)
+
+
+# ---------------------------------------------------------------- Q92
+
+
+def q92_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED text-quality features (E19): the rows-only
+    `text_quality` demo's exact semantics promoted to the hash gate.
+    Every ratio is one shared double division of two INTEGERS
+    (character/token/stopword counts — exact in both engines), so
+    the only FP step is the final division + ROUND(.,4).
+
+    Regex classes are the Java∩RE2 subset (ops/text.py WS/BPE_ISH
+    discipline: whitespace spelled out, ASCII ranges only) so both
+    engines tokenize and strip identically. Pure scan-speed
+    projection — zero shuffles beyond the output sort.
+    """
+    from ..ops.text import bpe_ish_count, quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_features(d.select("doc_id", "text"))
+    return (
+        out.select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            bpe_ish_count("text").alias("n_bpe_ish"),
+            F.round("mean_token_len", 4).alias("mean_token_len"),
+            F.round("punct_ratio", 4).alias("punct_ratio"),
+            F.round("digit_ratio", 4).alias("digit_ratio"),
+            F.round("stopword_ratio_en", 4).alias("stopword_ratio_en"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q93
+
+
+def q93_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED language-ID confusion grid (E19): the rows-only
+    `text_langid` demo promoted to the hash gate. Per-language
+    scores are integer-count ratios (stopword hits / tokens); the
+    argmax with lexicographic tie-break and the 'unknown' floor are
+    CASE logic over those doubles — and since both engines derive
+    each score from the SAME integer division, score equality is
+    bit-exact and the argmax is deterministic.
+
+    One scan + one 16-cell aggregation: the confusion matrix of
+    predicted vs labeled language.
+    """
+    from ..ops.text import langid_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = langid_scores(d.select("doc_id", "lang", "text"))
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
