@@ -2029,3 +2029,110 @@ FROM p
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
 """
+
+# Q94 — oracled SimHash near-dup pairs ------------------------------
+# 60-bit md5-derived token hashes; every step integer (bit sums,
+# sign-bit fingerprint, 15-bit bands, bit_count(xor) Hamming).
+
+ORACLES["q94"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' zzzq xq' AS text
+  FROM documents
+), tr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+  FROM corpus
+), e AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, len(rawt) - 1),
+             i -> array_to_string(rawt[i : i + 2], ' ')))) AS g
+    FROM tr WHERE len(rawt) >= 3
+  )
+), s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+         SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+         SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+         SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3,
+         SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s4,
+         SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s5,
+         SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s6,
+         SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s7,
+         SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s8,
+         SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s9,
+         SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s10,
+         SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s11,
+         SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s12,
+         SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s13,
+         SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s14,
+         SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s15,
+         SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS s16,
+         SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS s17,
+         SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS s18,
+         SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS s19,
+         SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS s20,
+         SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS s21,
+         SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS s22,
+         SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS s23,
+         SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS s24,
+         SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS s25,
+         SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS s26,
+         SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS s27,
+         SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS s28,
+         SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS s29,
+         SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS s30,
+         SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS s31,
+         SUM(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS s32,
+         SUM(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS s33,
+         SUM(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS s34,
+         SUM(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS s35,
+         SUM(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS s36,
+         SUM(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS s37,
+         SUM(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS s38,
+         SUM(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS s39,
+         SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS s40,
+         SUM(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS s41,
+         SUM(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS s42,
+         SUM(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS s43,
+         SUM(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS s44,
+         SUM(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS s45,
+         SUM(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS s46,
+         SUM(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS s47,
+         SUM(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS s48,
+         SUM(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS s49,
+         SUM(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS s50,
+         SUM(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS s51,
+         SUM(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS s52,
+         SUM(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS s53,
+         SUM(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS s54,
+         SUM(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS s55,
+         SUM(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS s56,
+         SUM(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS s57,
+         SUM(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS s58,
+         SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS s59
+  FROM e GROUP BY doc_id
+), f AS (
+  SELECT doc_id,
+         (CASE WHEN s0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN s1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN s2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN s3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN s4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN s5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN s6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN s7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN s8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN s9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN s10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN s11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN s12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN s13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN s14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN s15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN s16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN s17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN s18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN s19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN s20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN s21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN s22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN s23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN s24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN s25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN s26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN s27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN s28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN s29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN s30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) + (CASE WHEN s31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END) + (CASE WHEN s32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END) + (CASE WHEN s33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END) + (CASE WHEN s34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END) + (CASE WHEN s35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END) + (CASE WHEN s36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END) + (CASE WHEN s37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END) + (CASE WHEN s38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END) + (CASE WHEN s39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END) + (CASE WHEN s40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END) + (CASE WHEN s41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END) + (CASE WHEN s42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END) + (CASE WHEN s43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END) + (CASE WHEN s44 > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END) + (CASE WHEN s45 > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END) + (CASE WHEN s46 > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END) + (CASE WHEN s47 > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END) + (CASE WHEN s48 > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END) + (CASE WHEN s49 > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END) + (CASE WHEN s50 > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END) + (CASE WHEN s51 > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END) + (CASE WHEN s52 > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END) + (CASE WHEN s53 > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END) + (CASE WHEN s54 > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END) + (CASE WHEN s55 > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END) + (CASE WHEN s56 > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END) + (CASE WHEN s57 > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END) + (CASE WHEN s58 > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END) + (CASE WHEN s59 > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END) AS fp
+  FROM s
+), bands AS (
+  SELECT doc_id, fp, k, (fp >> (15 * k)) & 32767 AS bb
+  FROM f, (SELECT unnest([0, 1, 2, 3]) AS k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bb = b.bb
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+ORDER BY doc_a, doc_b
+"""

@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "q91": advanced.q91_jaccard_prefix_filter,
     "q92": advanced.q92_text_quality,
     "q93": advanced.q93_langid_confusion,
+    "q94": advanced.q94_simhash_pairs,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

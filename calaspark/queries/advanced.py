@@ -675,3 +675,104 @@ def q93_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------- Q94
+
+
+def q94_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED SimHash near-dup pairs (E17): the banded-SimHash
+    algorithm itself under the hash gate — until now the SimHash
+    path (`simhash_neardup`, xxhash64-based) was rows-only because
+    DuckDB lacks xxhash64. This twin derives each token's 60-bit
+    hash from md5 (both engines: first 15 hex chars parsed to
+    bigint — Spark `conv(...,16,10)`, DuckDB `('0x'||…)::BIGINT`),
+    so EVERY step is integer arithmetic: per-bit ±1 sums, sign-bit
+    fingerprint assembly, 4×15-bit band keys, Hamming via
+    `bit_count(xor)`. Zero floating point anywhere — the strongest
+    possible parity proof for an LSH family member.
+
+    Corpus: each document unioned with a near-duplicate (id+300000,
+    text + two extra tokens — the q64/q76 synthesized-signal
+    pattern), so the detector has real positives. Hashes are of
+    3-token SHINGLES, not unigrams — the q91 lesson again, measured:
+    unigram simhashes of ~50-token docs drawn from a small
+    vocabulary collapse (75k exact-fingerprint collisions and 7.6M
+    band candidates at sf0.1); shingle simhashes spread (11.8k
+    candidates, 2.9k qualifying pairs).
+
+    Banding is EXACT here, not approximate: 3 differing bits cannot
+    touch all 4 bands (pigeonhole), so every Hamming ≤ 3 pair
+    shares ≥1 band — the output is the complete hd ≤ 3 pair set.
+
+    Plan: shingle explode → one 60-column map-side-combined bit-sum
+    aggregation per doc → band explode (4 rows/doc) → band-bucket
+    self-equi-join (candidates only from band collisions — never
+    all-pairs) → exact Hamming verify ≤ 3 on the distinct
+    candidates. The same shape `simhash_neardup` runs at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 300_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzq xq")).alias("text"),
+        )
+    )
+    from ..ops.ssjoin import shingle_rows
+
+    e = shingle_rows(corpus, k=3).select("doc_id", F.col("g").alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    e = e.select("doc_id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(60)
+    ]
+    agg = e.groupBy("doc_id").agg(*sums)
+    fp = None
+    for b in range(60):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    from ..ops.materialize import materialize
+
+    # Both band-join sides read the fingerprints — materialize the
+    # (tiny: one row per doc) table once instead of re-running the
+    # shingle explode + 60-column aggregation per side.
+    fps = materialize(agg.select("doc_id", fp.alias("fp")))
+
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(f"(fp >> {15 * k}) & 32767").alias("bb"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", F.col("band.k").alias("k"), F.col("band.bb").alias("bb"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "k", "bb"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "k", "bb"
+    )
+    cand = (
+        a.join(b_, ["k", "bb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hd = F.bit_count(F.expr("fp_a ^ fp_b"))
+    return (
+        cand.select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
