@@ -2136,3 +2136,78 @@ FROM cand
 WHERE bit_count(xor(fp_a, fp_b)) <= 3
 ORDER BY doc_a, doc_b
 """
+
+# Q95 — banded MinHash LSH pairs, oracled end to end ----------------
+# 16 integer permutations over md5-60-bit shingle hashes mod the
+# Mersenne prime 2^31-1; the oracle reproduces candidate generation
+# AND the exact-Jaccard verify, so the hash checks LSH's actual
+# output (recall semantics included).
+
+ORACLES["q95"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' zzzq xq' AS text
+  FROM documents
+), tr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+  FROM corpus
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(rawt) - 1),
+           i -> array_to_string(rawt[i : i + 2], ' '))) AS gs
+  FROM tr WHERE len(rawt) >= 3
+), e AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sets)
+), sig AS (
+  SELECT doc_id,
+         MIN((3 * h + 1000003) % 2147483647) AS m0,
+         MIN((5 * h + 2000006) % 2147483647) AS m1,
+         MIN((7 * h + 3000009) % 2147483647) AS m2,
+         MIN((9 * h + 4000012) % 2147483647) AS m3,
+         MIN((11 * h + 5000015) % 2147483647) AS m4,
+         MIN((13 * h + 6000018) % 2147483647) AS m5,
+         MIN((15 * h + 7000021) % 2147483647) AS m6,
+         MIN((17 * h + 8000024) % 2147483647) AS m7,
+         MIN((19 * h + 9000027) % 2147483647) AS m8,
+         MIN((21 * h + 10000030) % 2147483647) AS m9,
+         MIN((23 * h + 11000033) % 2147483647) AS m10,
+         MIN((25 * h + 12000036) % 2147483647) AS m11,
+         MIN((27 * h + 13000039) % 2147483647) AS m12,
+         MIN((29 * h + 14000042) % 2147483647) AS m13,
+         MIN((31 * h + 15000045) % 2147483647) AS m14,
+         MIN((33 * h + 16000048) % 2147483647) AS m15
+  FROM e GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.* FROM sig,
+  LATERAL (VALUES
+    (0, m0, m1, m2, m3),
+    (1, m4, m5, m6, m7),
+    (2, m8, m9, m10, m11),
+    (3, m12, m13, m14, m15)
+  ) AS b(bk, x0, x1, x2, x3)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.x0 = b.x0 AND a.x1 = b.x1
+   AND a.x2 = b.x2 AND a.x3 = b.x3
+  WHERE a.doc_id < b.doc_id
+), v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS n_inter,
+         CAST(len(sa.gs) + len(sb.gs)
+              - len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN sets sa ON c.doc_a = sa.doc_id
+  JOIN sets sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4) AS sim
+FROM v
+WHERE 3 * n_inter >= n_union + n_inter
+ORDER BY doc_a, doc_b
+"""

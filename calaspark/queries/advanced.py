@@ -776,3 +776,137 @@ def q94_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------- Q95
+
+#: MinHash permutation constants (q95): h_k = (A[k]·h + B[k]) mod M
+#: over the md5-60-bit shingle hash reduced mod M first. M is the
+#: Mersenne prime 2^31−1, so every product fits bigint (< 2^62) and
+#: Spark/DuckDB integer arithmetic agrees exactly.
+_MH_M = 2_147_483_647
+_MH_A = [2 * k + 3 for k in range(16)]
+_MH_B = [1_000_003 * (k + 1) % _MH_M for k in range(16)]
+
+
+def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs ORACLED end to end (E17 —
+    the companion to q94: the LAST major rows-only family,
+    `lsh_minhash_pairs`, gets a hash-gated twin). Every step is
+    integer arithmetic, so the oracle reproduces the ENTIRE
+    pipeline bit for bit — including the candidate generation,
+    which is the part of LSH that defines its recall: the contract
+    is "the pairs LSH finds", not "all J ≥ 0.5 pairs".
+
+    Signature: 16 permutations ``h_k = (A_k·h + B_k) mod (2³¹−1)``
+    over md5-60-bit shingle hashes (reduced mod M first so products
+    stay under 2⁶²), min per permutation per doc; 4 bands × 4 rows.
+    Candidates: pairs agreeing on ALL 4 minima of ≥1 band (plain
+    equi-join on the band columns). Verify: exact shingle-set
+    Jaccard on candidates only, q33's integer admission test
+    (3·|∩| ≥ |A|+|B|).
+
+    Plan: one shingle explode → 16-column min aggregation per doc
+    (map-side combined) → 4-row band explode → band equi-join →
+    distinct candidates → array-intersect verify (candidate count
+    is LSH-bounded, so arrays never ride a data-sized shuffle).
+    The doc-side signature table is materialized once (tiny) for
+    both join sides, as in q94.
+    """
+    from ..ops.materialize import materialize
+    from ..ops.ssjoin import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 300_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzq xq")).alias("text"),
+        )
+    )
+    # Materialized once: BOTH the signature aggregation and the
+    # verify-side set rebuild read the shingle rows.
+    e = materialize(shingle_rows(corpus, k=3))
+    h0 = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"),
+        F.lit(_MH_M),
+    )
+    eh = e.select("doc_id", "nt", h0.alias("h"))
+    mins = [
+        F.min(
+            F.pmod(F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B[k]), F.lit(_MH_M))
+        ).alias(f"m{k}")
+        for k in range(16)
+    ]
+    sig = materialize(eh.groupBy("doc_id").agg(F.max("nt").alias("nt"), *mins))
+
+    bands = sig.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bk"),
+                        *[
+                            F.col(f"m{4 * b + j}").alias(f"x{j}")
+                            for j in range(4)
+                        ],
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "doc_id",
+        "nt",
+        F.col("bd.bk").alias("bk"),
+        *[F.col(f"bd.x{j}").alias(f"x{j}") for j in range(4)],
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"),
+        "bk", "x0", "x1", "x2", "x3",
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"),
+        "bk", "x0", "x1", "x2", "x3",
+    )
+    cand = (
+        a.join(b_, ["bk", "x0", "x1", "x2", "x3"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_ = e.groupBy("doc_id").agg(
+        F.collect_list("g").alias("gs"), F.max("nt").alias("nt")
+    )
+    sa = sets_.select(
+        F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"),
+        F.col("nt").alias("na"),
+    )
+    sb = sets_.select(
+        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"),
+        F.col("nt").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            (F.col("na") + F.col("nb") - inter).cast("long").alias("n_union"),
+        )
+        .filter(
+            F.lit(3) * F.col("n_inter") >= F.col("n_union") + F.col("n_inter")
+        )
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
