@@ -2211,3 +2211,47 @@ FROM v
 WHERE 3 * n_inter >= n_union + n_inter
 ORDER BY doc_a, doc_b
 """
+
+# Q96 — connected components vs recursive-CTE transitive closure ----
+# Same deterministic graph both engines (same-lang chain edges +
+# i — i² mod N mixer); label = min reachable doc_id; rollup of node
+# count + character mass per component. Vertices are those touched
+# by >=1 edge (the operator's contract).
+
+ORACLES["q96"] = """
+WITH RECURSIVE nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), chain AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
+), mix AS (
+  SELECT doc_id AS src,
+         (doc_id * doc_id) % (SELECT n FROM nn) AS dst
+  FROM documents
+  WHERE doc_id % 7 = 0
+    AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
+), es AS (
+  SELECT src AS a, dst AS b FROM chain
+  UNION
+  SELECT dst, src FROM chain
+  UNION
+  SELECT src, dst FROM mix
+  UNION
+  SELECT dst, src FROM mix
+), verts AS (
+  SELECT DISTINCT a AS v FROM es
+), r AS (
+  SELECT v AS id, v AS lab FROM verts
+  UNION
+  SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
+), comp AS (
+  SELECT id, MIN(lab) AS comp FROM r GROUP BY id
+)
+SELECT c.comp AS component,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM comp c JOIN documents d ON d.doc_id = c.id
+GROUP BY c.comp
+ORDER BY component
+"""

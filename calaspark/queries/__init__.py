@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "q93": advanced.q93_langid_confusion,
     "q94": advanced.q94_simhash_pairs,
     "q95": advanced.q95_minhash_lsh_pairs,
+    "q96": advanced.q96_components_rollup,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

@@ -910,3 +910,56 @@ def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------- Q96
+
+
+def q96_components_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components ORACLED (E17's clustering backbone — the
+    iterative fixpoint at the heart of `dedup_clusters_lsh`, until
+    now proven only by property tests): per-component node count and
+    character mass over a deterministic document graph, hash-checked
+    against a DuckDB RECURSIVE-CTE transitive closure. Like q78/q80,
+    the point is that an ITERATIVE distributed algorithm (alternating
+    star contraction, log-diameter rounds, lineage cut per round —
+    `ops/components.py`) provably equals the declarative recursion.
+
+    Graph (same construction in both engines): chain edges
+    ``i — i+1`` when consecutive docs share a language (short runs —
+    the LSH-cluster shape), plus a sparse mixer edge
+    ``i — i² mod N`` on every 7th doc (long-range merges — the
+    adversarial shape for label propagation; ~93 components, max
+    size 16 at sf0.01). Component label = min reachable doc_id, exactly
+    the operator's contract.
+    """
+    from ..ops.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
+    chain = a.join(b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))).select(
+        "src", "dst"
+    )
+    mix = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = chain.unionByName(mix)
+
+    cc = connected_components(edges, src="src", dst="dst")
+    return (
+        cc.join(d.select(F.col("doc_id").alias("vertex"), "n_chars"), "vertex")
+        .groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("component")
+    )
