@@ -2255,3 +2255,44 @@ FROM comp c JOIN documents d ON d.doc_id = c.id
 GROUP BY c.comp
 ORDER BY component
 """
+
+# Q97 — grouped exact interpolated percentiles ----------------------
+# Spark percentile(array) ↔ DuckDB quantile_cont(list): same linear
+# interpolation (q19 precedent, 5 driver-green rounds), ROUND(.,4).
+
+ORACLES["q97"] = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# Q98 — exact weighted median (cumulative decimal weights) ----------
+# Membership decided by 2*cum >= total on exact decimal sums — no
+# division, no interpolation, no FP anywhere in the decision.
+
+ORACLES["q98"] = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT l_returnflag, price,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+)
+SELECT l_returnflag,
+       MIN(price) AS weighted_median_price,
+       CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_qty
+FROM c
+WHERE 2 * cum >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -94,6 +94,8 @@ QUERIES: dict[str, QueryFn] = {
     "q94": advanced.q94_simhash_pairs,
     "q95": advanced.q95_minhash_lsh_pairs,
     "q96": advanced.q96_components_rollup,
+    "q97": advanced.q97_grouped_percentiles,
+    "q98": advanced.q98_weighted_median,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

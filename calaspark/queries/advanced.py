@@ -963,3 +963,83 @@ def q96_components_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------- Q97
+
+
+def q97_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles PER GROUP (E14's exact twin,
+    grouped — q19 covers the global form): quartiles of `l_quantity`
+    per `l_returnflag`. Spark `percentile(col, array(...))` and
+    DuckDB `quantile_cont(col, [...])` share the same linear-
+    interpolation definition; q19 has held this pairing green for
+    five consecutive driver rounds, and ROUND(.,4) guards the last
+    ulp. One map-side-combined aggregation (Spark's percentile is a
+    single-pass typed aggregate, not a sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("x")
+    )
+    pct = F.percentile("x", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pct[0], 4).alias("p25"),
+            F.round(pct[1], 4).alias("p50"),
+            F.round(pct[2], 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- Q98
+
+
+def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group, float-free (E13 — the
+    statistic `percentile` cannot give you: "the price below which
+    half the shipped QUANTITY sits"): per `l_returnflag`, the
+    smallest `l_extendedprice` whose cumulative quantity weight
+    reaches half the group total.
+
+    Everything that decides membership is exact: weights are
+    decimal quantity sums, the cumulative and total are decimal
+    window sums, and the half test is ``2·cum ≥ total`` — integer-
+    scaled decimal comparison, no division anywhere. The reported
+    median is a stored value (not an aggregate), so it passes
+    through untouched; the group total is rounded decimal→double
+    per rule 1.
+
+    Plan: one (flag, price) pre-aggregation (collapses duplicate
+    prices so the window is over distinct points), one partitioned
+    cumulative window, one final min-per-flag aggregation. The
+    window is flag-partitioned — parallel at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        dec("l_quantity").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.round(F.max("tot"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
