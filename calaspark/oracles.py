@@ -2296,3 +2296,86 @@ WHERE 2 * cum >= tot
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+# Q99 — snapshot diff / reconciliation report -----------------------
+# Snapshot B derived identically (drop %101, +1.00 on %97, re-insert
+# past MAX(o_orderkey)); full-outer + null-safe per-column flags.
+
+ORACLES["q99"] = """
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+), mx AS (SELECT MAX(o_orderkey) AS m FROM a),
+b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price,
+         od
+  FROM a WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + (SELECT m FROM mx) + 1, 'N', price, od
+  FROM a WHERE o_orderkey % 101 = 0
+), j AS (
+  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+         a.o_orderstatus AS sa, b.o_orderstatus AS sb,
+         a.price AS pa, b.price AS pb,
+         a.od AS da, b.od AS db
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+), f AS (
+  SELECT
+    CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 'removed'
+         WHEN ka IS NULL AND kb IS NOT NULL THEN 'added'
+         WHEN sa IS DISTINCT FROM sb OR pa IS DISTINCT FROM pb
+              OR da IS DISTINCT FROM db THEN 'changed'
+         ELSE 'unchanged' END AS change_type,
+    CAST(ka IS NOT NULL AND kb IS NOT NULL
+         AND sa IS DISTINCT FROM sb AS INTEGER) AS c_status,
+    CAST(ka IS NOT NULL AND kb IS NOT NULL
+         AND pa IS DISTINCT FROM pb AS INTEGER) AS c_price,
+    CAST(ka IS NOT NULL AND kb IS NOT NULL
+         AND da IS DISTINCT FROM db AS INTEGER) AS c_date
+  FROM j
+)
+SELECT change_type,
+       COUNT(*) AS n_keys,
+       CAST(SUM(c_status) AS BIGINT) AS n_status_changed,
+       CAST(SUM(c_price) AS BIGINT) AS n_price_changed,
+       CAST(SUM(c_date) AS BIGINT) AS n_date_changed
+FROM f
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+# Q100 — vocabulary coverage / OOV report ---------------------------
+# Vocab = corpus top-1000 tokens by (freq desc, token asc); all
+# counts integer, one double division + ROUND(.,6).
+
+ORACLES["q100"] = r"""
+WITH e AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS f FROM e GROUP BY tok
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+    FROM freq
+  ) WHERE r <= 1000
+)
+SELECT e.source,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (v.tok IS NULL) AS n_oov,
+       COUNT(DISTINCT CASE WHEN freq.f <= 2 THEN e.tok END)
+         AS n_rare_distinct,
+       ROUND(CAST(COUNT(*) FILTER (v.tok IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM e
+JOIN freq ON e.tok = freq.tok
+LEFT JOIN vocab v ON e.tok = v.tok
+GROUP BY e.source
+ORDER BY e.source
+"""

@@ -1043,3 +1043,139 @@ def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------- Q99
+
+
+def q99_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF / reconciliation report (V1/V2-adjacent — the
+    check the reference's users run between two CAL-ACCESS load
+    versions: what changed since last month's dump?): classify every
+    key as added / removed / changed / unchanged between snapshot A
+    (`orders`) and a deterministically-derived snapshot B, and count
+    which COLUMNS changed.
+
+    Snapshot B (same derivation in both engines): drop keys
+    ``%101 == 0`` (deletes), bump `o_totalprice` by +1.00 exact
+    decimal on keys ``%97 == 0`` (updates), re-insert dropped keys
+    shifted past ``MAX(o_orderkey)`` with status 'N' (adds — the
+    q56 collision-free offset pattern).
+
+    Plan: ONE full outer join on the key + codegen per-column
+    comparison flags + one aggregation — the standard reconciliation
+    shape; at 100 TB both sides shuffle once on the key (or zero
+    times if both are bucketed by it, ops/skew.py). Null-safe
+    equality (`<=>` / IS NOT DISTINCT FROM) keeps NULL columns from
+    reading as changes.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    mx = a.agg(F.max("o_orderkey").alias("_mx"))
+    kept = a.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.col("price") + F.lit(1).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "od",
+    )
+    added = (
+        a.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("_mx") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("price"),
+            "od",
+        )
+    )
+    b = kept.unionByName(added)
+
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    in_a = F.col("a.o_orderkey").isNotNull()
+    in_b = F.col("b.o_orderkey").isNotNull()
+    chg_status = ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+    chg_price = ~F.col("a.price").eqNullSafe(F.col("b.price"))
+    chg_date = ~F.col("a.od").eqNullSafe(F.col("b.od"))
+    klass = (
+        F.when(in_a & ~in_b, "removed")
+        .when(~in_a & in_b, "added")
+        .when(chg_status | chg_price | chg_date, "changed")
+        .otherwise("unchanged")
+    )
+    both = in_a & in_b
+    return (
+        j.select(
+            klass.alias("change_type"),
+            (both & chg_status).cast("int").alias("c_status"),
+            (both & chg_price).cast("int").alias("c_price"),
+            (both & chg_date).cast("int").alias("c_date"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c_status").alias("n_status_changed"),
+            F.sum("c_price").alias("n_price_changed"),
+            F.sum("c_date").alias("n_date_changed"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------- Q100
+
+
+def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV report (E19 — the statistic that
+    drives tokenizer and quality decisions before training): define
+    the vocabulary as the corpus's top-1000 tokens by (frequency
+    desc, token asc), then report per document-source: total token
+    occurrences, occurrences outside the vocabulary (OOV), distinct
+    rare tokens (corpus frequency ≤ 2), and the OOV rate — every
+    numerator and denominator an exact integer, one final double
+    division + ROUND(.,6).
+
+    Plan: one token explode feeding (1) the corpus-frequency
+    dictionary (vocab-sized hash agg; top-1000 via one window over
+    the DICTIONARY, not the corpus) and (2) the per-source rollup
+    after a frequency join. Dictionary-sized state only; the corpus
+    is scanned once per consumer and never collected.
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select("source", F.explode(tokens("text")).alias("tok"))
+    freq = e.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    wv = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    vocab = (
+        freq.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= 1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    ef = e.join(freq, "tok").join(vocab, "tok", "left")
+    return (
+        ef.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("f") <= 2, F.col("tok"))
+            ).alias("n_rare_distinct"),
+            F.round(
+                F.count_if(F.col("in_vocab").isNull()).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

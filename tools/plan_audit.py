@@ -82,6 +82,13 @@ ALLOWED = {
     # global 1-row profiling aggregate: final merge of the fused
     # multi-COUNT(DISTINCT) scan (q01's declared pattern)
     "q90": {"single_part_exchange"},
+    # q56's collision-free insert-key shape: one global 1-row MAX
+    # (final merge) broadcast-crossJoined onto the small added-keys
+    # branch (1-row BNLJ)
+    "q99": {"bnlj", "single_part_exchange"},
+    # top-1000 vocab rank runs over the DICTIONARY (vocab-sized, not
+    # corpus-sized) — same declared pattern as q33's token→bit window
+    "q100": {"single_part_exchange"},
 }
 
 
