@@ -160,6 +160,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_native": demos.arrow_native,
     "sampling_stratified": demos.sampling_stratified,
     "approx_sketches": demos.approx_sketches,
+    "sketch_error": demos.sketch_error,
     "multimodal_features": demos.multimodal_features,
     "text_quality": demos.text_quality,
     "text_langid": demos.text_langid,

@@ -525,3 +525,56 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, probe_id long, recall_at_10 int"
     ).orderBy("method", "probe_id")
+
+
+def sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 accuracy harness — the sketch counterpart of `ann_recall`
+    (measure, don't guess): HLL `approx_count_distinct` relative
+    error vs the exact distinct count, across cardinality regimes
+    and rsd settings, in one report.
+
+    Regimes come from the data: per-`o_orderpriority` distinct
+    custkeys (~1k-10k range), per-`o_orderstatus` (2 big + 1 small
+    group), and the global count — each measured at rsd 0.05 and
+    0.01. The number that matters is `rel_err` against the
+    configured `rsd`: a sketch whose measured error blows past its
+    contract is misconfigured for the data, and this is the query
+    that would catch it before a 100 TB run trusts the sketch.
+    Approximate by design → rows-only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def report(grouped, label_col):
+        return grouped.agg(
+            F.count_distinct("o_custkey").alias("nd_exact"),
+            F.approx_count_distinct("o_custkey", 0.05).alias("nd_rsd05"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("nd_rsd01"),
+        ).select(
+            F.col(label_col).alias("group_label"),
+            "nd_exact",
+            "nd_rsd05",
+            "nd_rsd01",
+            F.round(
+                F.abs(F.col("nd_rsd05") - F.col("nd_exact")).cast("double")
+                / F.col("nd_exact").cast("double"),
+                6,
+            ).alias("rel_err_rsd05"),
+            F.round(
+                F.abs(F.col("nd_rsd01") - F.col("nd_exact")).cast("double")
+                / F.col("nd_exact").cast("double"),
+                6,
+            ).alias("rel_err_rsd01"),
+        )
+
+    by_prio = report(
+        o.withColumn("g", F.concat(F.lit("prio:"), "o_orderpriority")).groupBy("g"),
+        "g",
+    )
+    by_status = report(
+        o.withColumn("g", F.concat(F.lit("status:"), "o_orderstatus")).groupBy("g"),
+        "g",
+    )
+    overall = report(o.withColumn("g", F.lit("all")).groupBy("g"), "g")
+    return by_prio.unionByName(by_status).unionByName(overall).orderBy(
+        "group_label"
+    )
