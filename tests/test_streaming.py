@@ -408,3 +408,42 @@ def test_merge_upsert_tolerates_present_named_column(spark, tmp_path):
         for r in read_upsert_table(spark, tgt).collect()
     }
     assert got == {1: (1, 7), 2: (2, 9)}
+
+
+def test_stream_static_broadcast_enrich(spark, events_dir):
+    """Stream-static join (E23's enrichment shape): a micro-batched
+    stream joins a small STATIC dimension — Spark broadcasts the
+    static side into every micro-batch, no state store involved.
+    The drained result must equal the batch join on the same input."""
+    from calaspark.streaming import read_stream, run_available_now
+
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    stream = read_stream(spark, events_dir, SCHEMA)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+    )
+    q = run_available_now(enriched, "t_enrich", output_mode="complete")
+    got = {
+        r["tier"]: (r["n"], float(r["s"]))
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    q.stop()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+    )
+    expect = {r["tier"]: (r["n"], float(r["s"])) for r in batch.collect()}
+    assert got == expect and len(got) == 3
