@@ -76,3 +76,51 @@ def filer_receipt_totals(
         )
         .orderBy("FILER_ID")
     )
+
+
+def employer_payment_totals(
+    lpay: DataFrame,
+    fee_col: str = "FEES_AMT",
+    reimb_col: str = "REIMB_AMT",
+    total_col: str = "PER_TOTAL",
+) -> DataFrame:
+    """Per-employer lobbying payment totals over live lines (the
+    lobbying-side twin of :func:`filer_receipt_totals` — R10 + R3 on
+    `LPAY_CD`, the F625/F635 payment itemization).
+
+    Same latest-amendment-wins discipline; grouped by the employer
+    identity pair (EMPLR_ID when present, else the normalized name),
+    with exact decimal fee/reimbursement/period sums. The reported-
+    total reconciliation column (`Σ fees+reimb − Σ PER_TOTAL`) is the
+    data-quality check the reference's consumers run — CAL-ACCESS
+    period totals are self-reported and drift from the itemized sum.
+    """
+    live = latest_filing_lines(lpay)
+    key = F.coalesce(
+        F.col("EMPLR_ID"), F.upper(F.trim(F.col("EMPLR_NAML")))
+    ).alias("employer_key")
+    return (
+        live.select(
+            key,
+            F.col(fee_col).alias("_fees"),
+            F.col(reimb_col).alias("_reimb"),
+            F.col(total_col).alias("_per"),
+            "FILING_ID",
+        )
+        .groupBy("employer_key")
+        .agg(
+            F.countDistinct("FILING_ID").alias("n_filings"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("_fees"), 2).cast("double").alias("total_fees"),
+            F.round(F.sum("_reimb"), 2).cast("double").alias("total_reimb"),
+            F.round(
+                F.sum(F.coalesce("_fees", F.lit(0).cast("decimal(14,2)")))
+                + F.sum(F.coalesce("_reimb", F.lit(0).cast("decimal(14,2)")))
+                - F.sum(F.coalesce("_per", F.lit(0).cast("decimal(14,2)"))),
+                2,
+            )
+            .cast("double")
+            .alias("itemized_minus_reported"),
+        )
+        .orderBy("employer_key")
+    )

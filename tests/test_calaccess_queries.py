@@ -123,3 +123,65 @@ def test_amount_is_exact_decimal(calaccess_tables):
         .collect()[0]["s"]
     )
     assert float(s) == 149.00
+
+
+@pytest.fixture(scope="module")
+def lpay_table(spark, tmp_path_factory):
+    from calaspark.ingest.schemas import SCHEMAS
+
+    LPAY_CD = SCHEMAS["LPAY_CD"]
+    d = tmp_path_factory.mktemp("calaccess_lpay")
+
+    def lpay(filing, amend, line, emplr_id, naml, fees, reimb, per):
+        return {
+            "FILING_ID": str(filing),
+            "AMEND_ID": str(amend),
+            "LINE_ITEM": str(line),
+            "REC_TYPE": "LPAY",
+            "FORM_TYPE": "F625P2",
+            "EMPLR_ID": emplr_id,
+            "EMPLR_NAML": naml,
+            "FEES_AMT": fees,
+            "REIMB_AMT": reimb,
+            "PER_TOTAL": per,
+        }
+
+    rows = [
+        # filing 500: amend 1 replaces amend 0 (fees 100 -> 120)
+        lpay(500, 0, 1, "E1", "Acme", "100.00", "10.00", "110.00"),
+        lpay(500, 1, 1, "E1", "Acme", "120.00", "10.00", "130.00"),
+        # filing 600: no EMPLR_ID -> normalized-name key; reported
+        # total drifts from the itemized sum by 0.50
+        lpay(600, 0, 1, "", "  beta corp ", "50.00", "0.00", "49.50"),
+        # second employer line on the same filing
+        lpay(600, 0, 2, "E1", "Acme", "5.00", "0.00", "5.00"),
+    ]
+    res = split_clean(
+        spark, _tsv(d / "LPAY_CD.TSV", LPAY_CD, rows), list(LPAY_CD)
+    )
+    assert res.quarantine.count() == 0
+    from calaspark.ingest.schemas import REGISTRY
+    from calaspark.ingest.clean import type_table as _tt
+
+    return _tt(res.good, LPAY_CD)
+
+
+def test_employer_payment_totals_lobbying(lpay_table):
+    from calaspark.queries.calaccess import employer_payment_totals
+
+    out = {
+        r["employer_key"]: (
+            r["n_filings"],
+            r["n_lines"],
+            r["total_fees"],
+            r["total_reimb"],
+            r["itemized_minus_reported"],
+        )
+        for r in employer_payment_totals(lpay_table).collect()
+    }
+    # E1: live lines = filing 500 amend 1 (120+10) + filing 600 line 2
+    # (5+0); reported totals 130 + 5 -> drift 0.00
+    assert out["E1"] == (2, 2, 125.0, 10.0, 0.0)
+    # beta corp: name-normalized key, reported total short by 0.50
+    assert out["BETA CORP"] == (1, 1, 50.0, 0.0, 0.5)
+    assert len(out) == 2
