@@ -275,3 +275,88 @@ def test_chunking_tiles_any_length(spark, n_toks):
         assert r["maxlen"] <= size
         import math
         assert r["n_chunks"] == max(1, math.ceil(n / stride) if n % stride else n // stride)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(st.integers(0, 400), min_size=1, max_size=120),
+    bucket=st.sampled_from([3, 8, 64]),
+)
+def test_islands_property(spark, keys, bucket):
+    """Bucketed islands ≡ the sequential run scan for ANY key set
+    and bucket size (singletons, runs across many buckets, keys on
+    bucket edges)."""
+    from calaspark.ops.islands import islands
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    got = sorted(
+        (r["start_key"], r["end_key"], r["n_keys"])
+        for r in islands(df, "k", bucket_size=bucket).collect()
+    )
+    runs, s, prev = [], None, None
+    for k in sorted(keys):
+        if s is None:
+            s = prev = k
+        elif k == prev + 1:
+            prev = k
+        else:
+            runs.append((s, prev, prev - s + 1))
+            s = prev = k
+    runs.append((s, prev, prev - s + 1))
+    assert got == sorted(runs)
+
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(_WORDS, min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ssjoin_plans_agree_on_random_corpora(spark, texts):
+    """Count-join ≡ prefix-filter ≡ brute force on random tiny-vocab
+    corpora (dense shingle collisions — the adversarial case for
+    both candidate schemes)."""
+    from calaspark.ops.ssjoin import (
+        jaccard_count_join,
+        jaccard_prefix_filter,
+        shingle_rows,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = shingle_rows(df, k=3)
+
+    def norm(res):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"])
+            for r in res.collect()
+        )
+
+    got_cj = norm(jaccard_count_join(sh, 1, 2))
+    assert got_cj == norm(jaccard_prefix_filter(sh, 1, 2))
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    expect = sorted(
+        (a, b, len(sets[a] & sets[b]), len(sets[a] | sets[b]))
+        for a in sets
+        for b in sets
+        if a < b and 3 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b]) + len(sets[a] & sets[b])
+    )
+    assert got_cj == expect
