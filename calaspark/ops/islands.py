@@ -48,12 +48,18 @@ def islands(df: DataFrame, key: str, bucket_size: int = 4096) -> DataFrame:
 
     Returns columns ``start_key, end_key, n_keys`` (all bigint).
     ``n_keys == end_key - start_key + 1`` by construction (keys are
-    deduplicated before run detection). Keys must be non-negative
-    (``div`` truncates toward zero, so negative keys would straddle
-    bucket boundaries incorrectly).
+    deduplicated before run detection). Negative keys are handled:
+    the bucket id is a FLOOR division (``div`` alone truncates
+    toward zero, which would make negative keys straddle bucket
+    boundaries), so every bucket spans exactly
+    ``[_b*B, _b*B + B - 1]`` for any sign of ``k``.
     """
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    B_ = int(bucket_size)
     k = df.select(F.col(key).cast("long").alias("k")).distinct()
-    b = k.withColumn("_b", F.expr(f"k div {int(bucket_size)}"))
+    # floor division for all signs: shift the remainder first
+    b = k.withColumn("_b", F.expr(f"(k - pmod(k, {B_})) div {B_}"))
 
     # Stage 1: runs WITHIN each bucket (parallel windows).
     w = Window.partitionBy("_b").orderBy("k")

@@ -52,19 +52,25 @@ def shingle_rows(
 
     Built with ``posexplode`` + ``lead`` windows (pure codegen) —
     see the module docstring for why not array higher-order
-    functions.
+    functions. ``k=1`` degenerates to plain token sets (no window
+    needed — exactly q33's unigram contract).
     """
+    if k < 1:
+        raise ValueError(f"shingle width k must be >= 1, got {k}")
     raw = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     tr = df.select(F.col(id_col).alias("_sid"), F.posexplode(raw).alias("pos", "tok"))
-    w = Window.partitionBy("_sid").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    g = F.concat_ws(" ", F.col("tok"), *leads)
-    sh = (
-        tr.select("_sid", g.alias("g"), leads[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("_sid", "g")
-        .distinct()
-    )
+    if k == 1:
+        sh = tr.select("_sid", F.col("tok").alias("g")).distinct()
+    else:
+        w = Window.partitionBy("_sid").orderBy("pos")
+        leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+        g = F.concat_ws(" ", F.col("tok"), *leads)
+        sh = (
+            tr.select("_sid", g.alias("g"), leads[-1].alias("_last"))
+            .filter(F.col("_last").isNotNull())
+            .select("_sid", "g")
+            .distinct()
+        )
     nt = sh.groupBy("_sid").agg(F.count(F.lit(1)).alias("nt"))
     return sh.join(nt, "_sid").select(
         F.col("_sid").alias(id_col), "nt", "g"
@@ -99,6 +105,46 @@ def _finish(pairs: DataFrame) -> DataFrame:
             4,
         ),
     )
+
+
+def verify_candidates(
+    shingles: DataFrame,
+    cand: DataFrame,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Exact-Jaccard verify of ``cand`` (doc_a, doc_b) pairs against
+    the shingle rows — arrays are rebuilt ONLY for docs that appear
+    in a candidate (semi-join before ``collect_list``), so the
+    array build and the verify joins are candidate-bounded, never
+    corpus-sized. Shared by :func:`jaccard_prefix_filter` and the
+    q95 MinHash pipeline."""
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = (
+        shingles.join(cand_ids, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("gs"), F.max("nt").alias("nt"))
+    )
+    sa = sets_.select(
+        F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"),
+        F.col("nt").alias("na"),
+    )
+    sb = sets_.select(
+        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"),
+        F.col("nt").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", inter.alias("n_inter"))
+        .filter(_admit(F.col("n_inter"), F.col("na"), F.col("nb"), tau_num, tau_den))
+    )
+    return _finish(verified)
 
 
 def jaccard_count_join(
@@ -160,22 +206,4 @@ def jaccard_prefix_filter(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets_ = shingles.groupBy("doc_id").agg(
-        F.collect_list("g").alias("gs"), F.max("nt").alias("nt")
-    )
-    sa = sets_.select(
-        F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"),
-        F.col("nt").alias("na"),
-    )
-    sb = sets_.select(
-        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"),
-        F.col("nt").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "na", "nb", inter.alias("n_inter"))
-        .filter(_admit(F.col("n_inter"), F.col("na"), F.col("nb"), p, q))
-    )
-    return _finish(verified)
+    return verify_candidates(shingles, cand, p, q)

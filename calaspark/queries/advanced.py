@@ -677,6 +677,20 @@ def q93_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_corpus(d):
+    """Shared synthesized near-dup corpus for the LSH contracts
+    (q94/q95): each document unioned with an id+300000 copy carrying
+    two appended tokens — the q64/q76 signal pattern, mirrored
+    verbatim in both oracles. The +300000 offset clears max(doc_id)
+    up to sf ~60 (doc ids = 5e4·sf)."""
+    return d.select("doc_id", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 300_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzq xq")).alias("text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- Q94
 
 
@@ -711,15 +725,9 @@ def q94_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs) → exact Hamming verify ≤ 3 on the distinct
     candidates. The same shape `simhash_neardup` runs at scale.
     """
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", "text").unionByName(
-        d.select(
-            (F.col("doc_id") + 300_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzzq xq")).alias("text"),
-        )
-    )
     from ..ops.ssjoin import shingle_rows
 
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
     e = shingle_rows(corpus, k=3).select("doc_id", F.col("g").alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     e = e.select("doc_id", h.alias("h"))
@@ -814,15 +822,9 @@ def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides, as in q94.
     """
     from ..ops.materialize import materialize
-    from ..ops.ssjoin import shingle_rows
+    from ..ops.ssjoin import shingle_rows, verify_candidates
 
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", "text").unionByName(
-        d.select(
-            (F.col("doc_id") + 300_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzzq xq")).alias("text"),
-        )
-    )
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
     # Materialized once: BOTH the signature aggregation and the
     # verify-side set rebuild read the shingle rows.
     e = materialize(shingle_rows(corpus, k=3))
@@ -876,40 +878,7 @@ def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets_ = e.groupBy("doc_id").agg(
-        F.collect_list("g").alias("gs"), F.max("nt").alias("nt")
-    )
-    sa = sets_.select(
-        F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"),
-        F.col("nt").alias("na"),
-    )
-    sb = sets_.select(
-        F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"),
-        F.col("nt").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("n_inter"),
-            (F.col("na") + F.col("nb") - inter).cast("long").alias("n_union"),
-        )
-        .filter(
-            F.lit(3) * F.col("n_inter") >= F.col("n_union") + F.col("n_inter")
-        )
-        .withColumn(
-            "sim",
-            F.round(
-                F.col("n_inter").cast("double")
-                / F.col("n_union").cast("double"),
-                4,
-            ),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return verify_candidates(e, cand, 1, 2).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------- Q96

@@ -160,7 +160,6 @@ def lpay_table(spark, tmp_path_factory):
         spark, _tsv(d / "LPAY_CD.TSV", LPAY_CD, rows), list(LPAY_CD)
     )
     assert res.quarantine.count() == 0
-    from calaspark.ingest.schemas import REGISTRY
     from calaspark.ingest.clean import type_table as _tt
 
     return _tt(res.good, LPAY_CD)

@@ -809,3 +809,35 @@ def test_ssjoin_count_join_equals_prefix_filter_and_bruteforce(spark):
     got_pf8 = norm(jaccard_prefix_filter(sh, 4, 5))
     assert got_cj8 == got_pf8
     assert set(got_cj8) <= set(got_cj)
+
+
+def test_islands_negative_keys_and_guards(spark):
+    """Floor-division bucketing keeps runs crossing 0 and negative
+    bucket boundaries intact; bad bucket_size raises."""
+    import pytest as _pytest
+
+    from calaspark.ops.islands import islands
+
+    keys = set(range(-10, 4)) | {-20, -19, 30}
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    got = sorted(
+        (r["start_key"], r["end_key"], r["n_keys"])
+        for r in islands(df, "k", bucket_size=4).collect()
+    )
+    assert got == [(-20, -19, 2), (-10, 3, 14), (30, 30, 1)]
+    with _pytest.raises(ValueError):
+        islands(df, "k", bucket_size=0)
+
+
+def test_shingle_rows_k1_is_token_sets(spark):
+    """k=1 degenerates to distinct token sets (q33's unigram
+    contract) instead of crashing."""
+    from calaspark.ops.ssjoin import shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c")], "doc_id: long, text: string"
+    )
+    got = {
+        (r["doc_id"], r["g"], r["nt"]) for r in shingle_rows(df, k=1).collect()
+    }
+    assert got == {(1, "a", 2), (1, "b", 2), (2, "c", 1)}
