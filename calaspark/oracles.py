@@ -2379,3 +2379,43 @@ LEFT JOIN vocab v ON e.tok = v.tok
 GROUP BY e.source
 ORDER BY e.source
 """
+
+# Q101 — largest-remainder exact money proration --------------------
+# Integer cents only; allocations sum exactly to the order total by
+# construction; remainder cents distributed by (frac desc, line asc).
+
+ORACLES["q101"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 = 0
+), li AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), j0 AS (
+  SELECT li.o_orderkey, li.l_linenumber, o.cents, li.q
+  FROM li JOIN o USING (o_orderkey)
+), tot AS (
+  SELECT o_orderkey, SUM(q) AS qq FROM j0 GROUP BY o_orderkey
+), j AS (
+  SELECT j0.o_orderkey, j0.l_linenumber, j0.q, j0.cents,
+         (j0.cents * j0.q) // tot.qq AS share,
+         (j0.cents * j0.q) % tot.qq AS frac
+  FROM j0 JOIN tot USING (o_orderkey)
+), rem AS (
+  SELECT o_orderkey, MAX(cents) - CAST(SUM(share) AS BIGINT) AS r
+  FROM j GROUP BY o_orderkey
+), ranked AS (
+  SELECT j.o_orderkey, j.l_linenumber, j.q, j.share, rem.r,
+         ROW_NUMBER() OVER (PARTITION BY j.o_orderkey
+                            ORDER BY j.frac DESC, j.l_linenumber ASC,
+                                     j.q ASC) AS rn
+  FROM j JOIN rem USING (o_orderkey)
+)
+SELECT o_orderkey, l_linenumber, q,
+       CAST(share + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM ranked
+ORDER BY o_orderkey, l_linenumber, q
+"""

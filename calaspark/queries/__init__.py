@@ -99,6 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "q98": advanced.q98_weighted_median,
     "q99": advanced.q99_snapshot_diff,
     "q100": advanced.q100_vocab_coverage,
+    "q101": advanced.q101_largest_remainder,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

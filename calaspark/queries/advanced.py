@@ -1148,3 +1148,79 @@ def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- Q101
+
+
+def q101_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money proration by the largest-remainder method (the
+    reference's SPLT_CD domain shape — splitting one filed amount
+    across allocation lines — done the way money must be split:
+    integer cents, allocations that sum EXACTLY to the total, no
+    floating point anywhere).
+
+    Per order (keys %10 == 0 to bound output): allocate
+    ``o_totalprice`` across its lineitems proportional to
+    ``l_quantity``. Base share = ``(cents·qᵢ) div Q`` (floor), then
+    the leftover ``R = cents − Σ shares`` cents (0 ≤ R < n_lines) go
+    one each to the R lines with the largest remainders
+    ``(cents·qᵢ) mod Q`` — tie-broken by (line number, quantity):
+    this testdata's `l_linenumber` is NOT unique within an order
+    (discovered the hash-mismatch way), and rows that still tie on
+    all three keys are identical in every output column, so the
+    allocation MULTISET is a total deterministic function of the
+    data even when row_number splits them arbitrarily. Everything
+    is bigint (cents < 6e7, qᵢ ≤ 50 ⟹ products < 2⁶³).
+
+    Plan: one join, one order-keyed aggregation for (Q, Σshare),
+    one order-partitioned rank window, codegen arithmetic — three
+    order-keyed shuffles, parallel at any scale.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            # NOT dec()*100: o_totalprice is a TPC-H derived sum with
+            # sub-cent digits, and double->decimal(12,2) casts round
+            # the half-cent differently across engines. ROUND of the
+            # IEEE product is the same double in both.
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    j = li.join(o, "o_orderkey")
+    tot = j.groupBy("o_orderkey").agg(F.sum("q").alias("qsum"))
+    j = j.join(tot, "o_orderkey").select(
+        "o_orderkey",
+        "l_linenumber",
+        "q",
+        "cents",
+        F.expr("(cents * q) div qsum").alias("share"),
+        F.expr("(cents * q) % qsum").alias("frac"),
+    )
+    rem = j.groupBy("o_orderkey").agg(
+        (F.max("cents") - F.sum("share")).alias("R")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("frac").desc(), F.col("l_linenumber").asc(), F.col("q").asc()
+    )
+    return (
+        j.join(rem, "o_orderkey")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            "q",
+            (
+                F.col("share")
+                + F.when(F.col("_rn") <= F.col("R"), 1).otherwise(0)
+            ).alias("alloc_cents"),
+        )
+        .orderBy("o_orderkey", "l_linenumber", "q")
+    )
