@@ -2419,3 +2419,47 @@ SELECT o_orderkey, l_linenumber, q,
 FROM ranked
 ORDER BY o_orderkey, l_linenumber, q
 """
+
+# Q102 — deterministic group mode ------------------------------------
+
+ORACLES["q102"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, o_orderstatus ASC) AS rn,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM c
+)
+SELECT o_orderpriority, o_orderstatus AS modal_status, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM r WHERE rn = 1
+ORDER BY o_orderpriority
+"""
+
+# Q103 — ratio-to-report window shares -------------------------------
+# Decimal revenue sums; share divisions over the 25-row nation-grain
+# aggregate (window sums of exact decimals are associative).
+
+ORACLES["q103"] = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share_of_world
+FROM rev
+ORDER BY r_name, n_name
+"""

@@ -100,6 +100,8 @@ QUERIES: dict[str, QueryFn] = {
     "q99": advanced.q99_snapshot_diff,
     "q100": advanced.q100_vocab_coverage,
     "q101": advanced.q101_largest_remainder,
+    "q102": advanced.q102_group_mode,
+    "q103": advanced.q103_ratio_to_report,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

@@ -1224,3 +1224,83 @@ def q101_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "l_linenumber", "q")
     )
+
+
+# ---------------------------------------------------------------- Q102
+
+
+def q102_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (E2 — engine-native `mode()`
+    leaves tie order undefined, so both engines instead compute the
+    argmax explicitly): per order priority, the most frequent order
+    status, ties broken to the smallest status value, plus its count
+    and share of the group.
+
+    Plan: one (priority, status) count aggregation, then the argmax
+    via a rank window over the GROUPED result (25 rows — model-
+    sized); share = count/total in one double division, ROUND(.,6).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_tot", F.sum("n").over(wt))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- Q103
+
+
+def q103_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window shares (E3 — the OLAP reporting idiom:
+    each row's contribution to its group and to the grand total in
+    one pass): revenue per nation with its share of the region and
+    of the world.
+
+    Exact decimal revenue sums; the two normalizers are window sums
+    over the 25-row NATION-grain aggregate (model-sized), so no
+    second scan of the fact table; each share is one double
+    division, ROUND(.,6).
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    ww = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(ww).cast("double"),
+            6,
+        ).alias("share_of_world"),
+    ).orderBy("r_name", "n_name")

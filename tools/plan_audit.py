@@ -89,6 +89,9 @@ ALLOWED = {
     # top-1000 vocab rank runs over the DICTIONARY (vocab-sized, not
     # corpus-sized) — same declared pattern as q33's token→bit window
     "q100": {"single_part_exchange"},
+    # share-of-world window sum over the 25-row nation-grain
+    # aggregate (model-sized; the fact table is scanned once)
+    "q103": {"single_part_exchange"},
 }
 
 
