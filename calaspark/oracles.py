@@ -2463,3 +2463,24 @@ SELECT r_name, n_name,
 FROM rev
 ORDER BY r_name, n_name
 """
+
+# Q104 — join-key skew diagnostic ------------------------------------
+
+ORACLES["q104"] = """
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT o_custkey, n,
+         SUM(n) OVER () AS rows_,
+         COUNT(*) OVER () AS keys_
+  FROM per_key
+)
+SELECT o_custkey, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(rows_ AS DOUBLE), 6) AS share_of_rows,
+       ROUND(CAST(n AS DOUBLE)
+             / (CAST(rows_ AS DOUBLE) / CAST(keys_ AS DOUBLE)), 6)
+         AS skew_vs_mean
+FROM s
+ORDER BY n DESC, o_custkey ASC
+LIMIT 10
+"""

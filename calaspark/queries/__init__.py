@@ -81,10 +81,10 @@ QUERIES: dict[str, QueryFn] = {
     "q32_keyed": extensions.q32_keyed,
     "q38_right": extensions.q38_join_right,
     "q38_cross": extensions.q38_join_cross,
-    # --- position 51+ from here (driver window cut): q90-q100 are
+    # --- position 51+ from here (driver window cut): q90-q104 are
     # new this round but the window is full with (a) the other new
     # ids and (b) the 24 ids the round-5 verdict required fresh
-    # driver rows for — these eleven are verified by
+    # driver rows for — these fifteen are verified by
     # tools/verify_local.py (full-keyset sweep) and rotate into the
     # window next round; q01/q57 have 5+/2+ consecutive driver-green
     # rounds. ---
@@ -102,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "q101": advanced.q101_largest_remainder,
     "q102": advanced.q102_group_mode,
     "q103": advanced.q103_ratio_to_report,
+    "q104": advanced.q104_skew_report,
     "q01": relational.q01_global_agg,
     "q57": breadth.q57_gap_fill_locf,
     "q58": breadth.q58_doc_chunking,

@@ -1304,3 +1304,46 @@ def q103_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_world"),
     ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------- Q104
+
+
+def q104_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (E24's measurement half — q74 is the
+    salting CURE, this is the report that tells you whether you need
+    it): the 10 hottest `o_custkey` values with their row counts,
+    share of the table, and the skew ratio vs the mean key load.
+
+    One key-grain aggregation; the two global normalizers (row and
+    key counts) come from a 1-ROW aggregate broadcast back onto the
+    key-grain result — NOT a global window over it, because the key
+    grain itself can be billions of rows at 100 TB and a
+    single-partition window there would be the very bottleneck this
+    query diagnoses. The top-10 is a distributed TakeOrdered. All
+    counts exact integers; shares/ratios are single double
+    divisions, ROUND(.,6).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    norms = per_key.agg(
+        F.sum("n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    stats = per_key.crossJoin(F.broadcast(norms))
+    return (
+        stats.orderBy(F.col("n").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .select(
+            "o_custkey",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_rows").cast("double"), 6
+            ).alias("share_of_rows"),
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("_rows").cast("double") / F.col("_keys").cast("double")),
+                6,
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col("o_custkey").asc())
+    )

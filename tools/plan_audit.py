@@ -92,6 +92,10 @@ ALLOWED = {
     # share-of-world window sum over the 25-row nation-grain
     # aggregate (model-sized; the fact table is scanned once)
     "q103": {"single_part_exchange"},
+    # scalar-subquery shape: the 1-row normalizer aggregate (global
+    # final merge) broadcast-crossJoined onto the key-grain result
+    # (1-row BNLJ) — q56/q80/tfidf's declared pattern
+    "q104": {"bnlj", "single_part_exchange"},
 }
 
 
