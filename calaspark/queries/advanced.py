@@ -974,16 +974,35 @@ def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything that decides membership is exact: weights are
     decimal quantity sums, the cumulative and total are decimal
-    window sums, and the half test is ``2·cum ≥ total`` — integer-
-    scaled decimal comparison, no division anywhere. The reported
-    median is a stored value (not an aggregate), so it passes
-    through untouched; the group total is rounded decimal→double
-    per rule 1.
+    sums, and the half test is ``2·cum ≥ total`` — integer-scaled
+    decimal comparison, no division anywhere. The reported median
+    is a stored value (not an aggregate), so it passes through
+    untouched; the group total is rounded decimal→double per rule 1.
 
-    Plan: one (flag, price) pre-aggregation (collapses duplicate
-    prices so the window is over distinct points), one partitioned
-    cumulative window, one final min-per-flag aggregation. The
-    window is flag-partitioned — parallel at any scale.
+    Plan (two-level bucketed median search — the round-6 verdict's
+    scale fix; the naive one-window-over-all-distinct-prices plan
+    put every distinct price of a group through ONE task, so
+    parallelism was capped at the group count over a value domain
+    that grows with data richness):
+
+    1. one (flag, price) pre-aggregation (collapses duplicate
+       prices — hash agg, map-side combined);
+    2. coarse price buckets (``floor(price/1024)`` — width a fixed
+       value-domain constant) → per-(flag, bucket) weight sums:
+       a second hash agg whose output is BUCKET-grain, bounded by
+       price_range/1024 rows per flag regardless of data volume;
+    3. cumulative window over the tiny bucket table locates each
+       group's MEDIAN BUCKET (first bucket where ``2·cum ≥ tot``)
+       and its ``cum_before`` (cumulative weight strictly below it);
+    4. the exact ``2·(cum_before + cum_within) ≥ tot`` test runs
+       only over rows of that single surviving bucket per group
+       (broadcast 3-row join + filter) — the final window's input
+       is ≤ distinct-prices-per-1024-wide-bucket (≤ 102 400 at cent
+       granularity), a CONSTANT, never the group's value domain.
+
+    The first bucket satisfying ``2·cum_bucket ≥ tot`` provably
+    contains the answer: the predicate is false everywhere before
+    the bucket and true at its end, and ``cum`` is monotone.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -991,17 +1010,49 @@ def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("l_quantity").alias("q"),
     )
     g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    gb = g.withColumn("bkt", F.floor(F.col("price") / F.lit(1024)))
+    b = gb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
+    wcumb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtotb = Window.partitionBy("l_returnflag")
+    bc = b.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(wcumb).alias("bcum"),
+        F.sum("bw").over(wtotb).alias("tot"),
+    )
+    mb = (
+        bc.filter(F.lit(2) * F.col("bcum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bkt").alias("mbkt"),
+                    (F.col("bcum") - F.col("bw")).alias("cum_before"),
+                    F.col("tot").alias("tot"),
+                ),
+                F.col("bkt"),
+            ).alias("s")
+        )
+        .select("l_returnflag", "s.mbkt", "s.cum_before", "s.tot")
+    )
+    inb = gb.join(F.broadcast(mb), "l_returnflag").filter(
+        F.col("bkt") == F.col("mbkt")
+    )
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wtot = Window.partitionBy("l_returnflag")
-    c = g.select(
+    c = inb.select(
         "l_returnflag",
         "price",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(wtot).alias("tot"),
+        (F.col("cum_before") + F.sum("w").over(wcum)).alias("cum"),
+        "tot",
     )
     return (
         c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
@@ -1115,20 +1166,22 @@ def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     division + ROUND(.,6).
 
     Plan: one token explode feeding (1) the corpus-frequency
-    dictionary (vocab-sized hash agg; top-1000 via one window over
-    the DICTIONARY, not the corpus) and (2) the per-source rollup
-    after a frequency join. Dictionary-sized state only; the corpus
-    is scanned once per consumer and never collected.
+    dictionary (vocab-sized hash agg; top-1000 via
+    ``orderBy(...).limit(1000)`` over the DICTIONARY — Spark
+    executes that as TakeOrderedAndProject, a per-partition top-k
+    merge with NO SinglePartition exchange and no reliance on the
+    window-group-limit rewrite) and (2) the per-source rollup after
+    a frequency join. Dictionary-sized state only; the corpus is
+    scanned once per consumer and never collected.
     """
     from ..ops.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
     e = d.select("source", F.explode(tokens("text")).alias("tok"))
     freq = e.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    wv = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
     vocab = (
-        freq.withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") <= 1000)
+        freq.orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(1000)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     ef = e.join(freq, "tok").join(vocab, "tok", "left")
