@@ -2484,3 +2484,47 @@ FROM s
 ORDER BY n DESC, o_custkey ASC
 LIMIT 10
 """
+
+# Q105 — CAL-ACCESS latest-amendment-wins + filer navigation ---------
+# Amendable filing itemization derived from orders/lineitem (same
+# derivation as the Spark side): o_orderkey % 3 amendments, each
+# dropping (l_linenumber + a) % 7 == 0 lines and bumping amounts by
+# a cents; latest amendment REPLACES the whole filing; duplicate
+# filer->filing link rows collapsed before the rollup.
+
+ORACLES["q105"] = """
+WITH amend AS (
+  SELECT o.o_orderkey AS filing_id, s.a AS amend_id
+  FROM orders o
+  JOIN (SELECT 0 AS a UNION ALL SELECT 1 UNION ALL SELECT 2) s
+    ON s.a <= o.o_orderkey % 3
+), lines AS (
+  SELECT am.filing_id, am.amend_id,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           + CAST(am.amend_id AS DECIMAL(12,2))
+             * CAST(0.01 AS DECIMAL(12,2)) AS amount
+  FROM amend am
+  JOIN lineitem l ON l.l_orderkey = am.filing_id
+  WHERE (l.l_linenumber + am.amend_id) % 7 <> 0
+), live AS (
+  SELECT filing_id, amount FROM (
+    SELECT lines.*,
+           MAX(amend_id) OVER (PARTITION BY filing_id) AS mx
+    FROM lines
+  ) WHERE amend_id = mx
+), links AS (
+  SELECT DISTINCT filing_id, filer_id FROM (
+    SELECT o_orderkey AS filing_id, o_custkey AS filer_id FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 5 = 0
+  )
+)
+SELECT lk.filer_id,
+       COUNT(DISTINCT lv.filing_id) AS n_filings,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(lv.amount), 2) AS DOUBLE) AS total_amount
+FROM live lv
+JOIN links lk ON lv.filing_id = lk.filing_id
+GROUP BY lk.filer_id
+ORDER BY lk.filer_id
+"""

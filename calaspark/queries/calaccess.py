@@ -124,3 +124,78 @@ def employer_payment_totals(
         )
         .orderBy("employer_key")
     )
+
+
+def q105_calaccess_latest(spark, sf_dir: str):
+    """Latest-amendment-wins + filer navigation, HASH-GATED (the
+    round-6 verdict's ask: the R9/R10 CAL-ACCESS semantics above
+    were pytest-only; this registers the same two idioms as an
+    oracled driver query by deriving an amendable filing itemization
+    deterministically from the generic testdata — same derivation in
+    the DuckDB twin, so candidate generation AND the latest-wins
+    filter are value-checked end to end).
+
+    Derivation (both engines): each `orders` row is a FILING with
+    ``o_orderkey % 3`` amendments beyond the original; amendment
+    ``a`` of a filing re-files the order's lineitems, DROPPING lines
+    where ``(l_linenumber + a) % 7 == 0`` (amendments add/drop lines
+    — the reason latest-wins must be per-filing, not per-line) and
+    bumping each amount by ``a`` cents. The FILER_FILINGS link table
+    carries published duplicate rows (every ``%5 == 0`` key twice),
+    collapsed before the join exactly as
+    :func:`filer_receipt_totals` does.
+
+    Plan: one explode (≤3× fan-out), one filing-keyed equi-join to
+    lineitem, :func:`latest_filing_lines`'s single window max on the
+    filing key, a broadcast of the deduped link table, and one
+    map-side-combined hash aggregate — at 100 TB everything
+    partitions on FILING_ID except the final filer rollup. Amounts
+    stay exact decimal until the final round→double (rule 1).
+    """
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amend = o.select(
+        F.col("o_orderkey").alias("filing_id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 3)
+        ).alias("amend_id"),
+    )
+    lines = (
+        amend.join(li, amend["filing_id"] == li["l_orderkey"])
+        .filter((F.col("l_linenumber") + F.col("amend_id")) % 7 != 0)
+        .select(
+            "filing_id",
+            "amend_id",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                + F.col("amend_id").cast("decimal(12,2)")
+                * F.lit("0.01").cast("decimal(12,2)")
+            ).alias("amount"),
+        )
+    )
+    live = latest_filing_lines(lines, "filing_id", "amend_id")
+    links = (
+        o.select(
+            F.col("o_orderkey").alias("filing_id"),
+            F.col("o_custkey").alias("filer_id"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("filing_id"),
+                F.col("o_custkey").alias("filer_id"),
+            )
+        )
+        .distinct()
+    )
+    return (
+        live.join(F.broadcast(links), "filing_id")
+        .groupBy("filer_id")
+        .agg(
+            F.countDistinct("filing_id").alias("n_filings"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("amount"), 2).cast("double").alias("total_amount"),
+        )
+        .orderBy("filer_id")
+    )
