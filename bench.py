@@ -115,6 +115,28 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer caches.
     _run_once(QUERIES["q05"], spark, sf_dir)
 
+    # Pre-warm the persisted IVF index so ann_ivf_topk's measured
+    # runs are pure probes (the build/probe split is the operator's
+    # whole point — round 6 reported 2.29 s because the mtime-keyed
+    # index was absent on the driver machine and the build smeared
+    # into the sampled runs). The build cost is recorded SEPARATELY
+    # in the sidecar, not hidden: `ivf_prewarm` carries whether the
+    # index already existed and what the warm-up call cost.
+    ivf_prewarm: dict = {}
+    try:
+        from calaspark.queries.demos import _ivf_index_path
+
+        idx_path = Path(_ivf_index_path(sf_dir))
+        existed = (idx_path / "invfile" / "_SUCCESS").exists()
+        t0 = time.perf_counter()
+        _run_once(QUERIES["ann_ivf_topk"], spark, sf_dir)
+        ivf_prewarm = {
+            "index_existed": existed,
+            "warmup_sec": round(time.perf_counter() - t0, 3),
+        }
+    except Exception as exc:  # never let warm-up kill the bench
+        ivf_prewarm = {"error": str(exc)[:200]}
+
     times: dict[str, float] = {}
     plans: dict[str, str] = {}
     run_counts: dict[str, int] = {}
@@ -183,6 +205,7 @@ def main() -> None:
         "run_counts": run_counts,
         "runs": all_runs,
         "cold_first_run": cold,
+        "ivf_prewarm": ivf_prewarm,
         "cpus": int(cpus),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "runs_per_query": BENCH_RUNS,

@@ -87,9 +87,12 @@ def connected_components(
         # Both phases preserve components and orient bigger→smaller,
         # so stars ⟹ root = component minimum. ONE probe job (union
         # + groupBy + limit 1) on the materialized
-        # (post-contraction, ≈vertex-sized) edge set — cheaper than
-        # the extra confirmation alternation a sum-stability probe
-        # needs, and half the jobs of separate depth/multi checks.
+        # (post-contraction, ≈vertex-sized) edge set. (A set-
+        # stability fingerprint — stop when (count, xor-hash) of
+        # consecutive rounds agree — was measured as the
+        # alternative: it removes the probe jobs but detects the
+        # fixed point one full alternation LATER, which costs more
+        # than the probes it saves; rejected.)
         roles = df.select(
             F.col("u").alias("id"), F.lit(1).alias("s"), F.lit(0).alias("t")
         ).unionAll(
@@ -108,7 +111,7 @@ def connected_components(
         return bad == 0
 
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # ---- large-star: emit (nbr, m) for every nbr > n, where
         # m = min(Γ(n) ∪ {n}); one undirected edge → one output row.
         sym = e.unionAll(
@@ -137,7 +140,16 @@ def connected_components(
             .distinct()
         )
         e = e2
-        if is_star_set(e):
+        # Skip the probe on the first two rounds: a non-trivial
+        # graph cannot contract to vertex-disjoint stars in fewer
+        # than two alternations (round 0 leaves depth-2 chains
+        # wherever two stars share their minimum through a non-root;
+        # measured on the LSH representative graph: star at round 2,
+        # never earlier), so probing there is a guaranteed-false job
+        # ×2 per call. If the INPUT was already a star set, the
+        # skipped probes cost two no-op alternations on a
+        # vertex-sized edge set — cheaper than probing every round.
+        if it >= 2 and is_star_set(e):
             converged = True
             break
     if not converged:

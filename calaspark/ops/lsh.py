@@ -139,6 +139,21 @@ def minhash_signatures(
     ``num_hashes`` independent permutation surrogates. Each signature
     lane is a fold (min) over the token array: pure projection,
     no explode, no shuffle.
+
+    Two alternatives were MEASURED and rejected (round 7):
+
+    - explode → ``num_hashes`` MIN-agg columns (q95's shape): the
+      per-doc hash-fold cost is a wash at this corpus's ~23-token
+      arrays, but the aggregation's id-keyed exchange is tiny
+      (signature-sized), so AQE coalesces it to ONE partition — and
+      the downstream band self-join then fans 8M candidate rows out
+      of a single task (13 s vs 4.5 s end-to-end). The projection
+      shape inherits the scan's partitioning and never hits that
+      cliff.
+    - affine lanes ``(A_k·h + B_k) mod P`` over one base hash: the
+      shared ``h`` correlates the lanes (the min-h token tends to
+      win every lane), so band hashes collide across barely-similar
+      docs and the candidate set explodes (7× slower at t=0.5).
     """
     def lane(i: int) -> Column:
         # closure-bind i: PySpark derives the JVM lambda's arity from
@@ -167,7 +182,20 @@ def minhash_candidate_pairs(
     is the standard shuffle-on-bucket join; skewed buckets (near-
     identical boilerplate docs) are exactly the pairs we want, and
     AQE skew-join splits them.
+
+    The band table is MATERIALIZED before the self-join: both join
+    sides read the same narrow (id, band_id, band_hash) blocks, so
+    the signature lineage (tokenize + ``num_hashes`` hash folds —
+    the expensive projection) computes ONCE instead of once per
+    side. The write is ``bands`` fixed-width rows per doc — far
+    cheaper than re-running the folds at any scale — and
+    checkpointing preserves the upstream partitioning, so the join
+    output stays spread across the scan's partitions (an
+    aggregation here would let AQE coalesce the tiny table to one
+    partition and fan the candidate join out of a single task).
     """
+    from .materialize import materialize
+
     assert bands * rows_per_band <= 64  # keep within a demo signature
     band = F.explode(
         F.array(
@@ -186,8 +214,12 @@ def minhash_candidate_pairs(
             ]
         )
     )
-    b = sigs.select(F.col(id_col), band.alias("b")).select(
-        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    b = materialize(
+        sigs.select(F.col(id_col), band.alias("b")).select(
+            id_col,
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
     )
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -242,6 +274,10 @@ def neardup_pairs_lsh(
     encoded = bitmask_encode(docs, id_col, tokens_col) if use_bitmask else None
     if encoded is not None:  # small-vocab fast path for verification
         enc, n_words = encoded
+        # Both verify sides broadcast this table — materialize so the
+        # explode + dictionary join + bitmask aggregation runs once,
+        # not once per broadcast build (id-grain rows, model-sized).
+        enc = materialize(enc)
         a = enc.withColumnRenamed(id_col, "id_a").alias("va")
         b = enc.withColumnRenamed(id_col, "id_b").alias("vb")
         j = cand.join(a, "id_a").join(b, "id_b")
@@ -256,12 +292,15 @@ def neardup_pairs_lsh(
         # equals Jaccard over the sets themselves up to hash
         # collisions (≈ |toks|²·2⁻⁶⁴ per doc — the same standing
         # assumption MinHash banding already makes).
-        t = docs.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(F.col(tokens_col), lambda x: F.xxhash64(x))
-            ).alias("htoks"),
-        ).select(F.col(id_col), "htoks", F.size("htoks").alias("nt"))
+        # Materialized once — both verify sides read the hashed sets.
+        t = materialize(
+            docs.select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform(F.col(tokens_col), lambda x: F.xxhash64(x))
+                ).alias("htoks"),
+            ).select(F.col(id_col), "htoks", F.size("htoks").alias("nt"))
+        )
         a = t.select(
             F.col(id_col).alias("id_a"),
             F.col("htoks").alias("toks_a"),

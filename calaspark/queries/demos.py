@@ -237,24 +237,29 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token arrays — and tokenization runs once (materialized).
     # Components are unchanged: identical sets share every band
     # hash, so their edges were guaranteed anyway.
-    hs = F.transform("toks", lambda t: F.xxhash64(t))
+    # Hash the token array ONCE into an intermediate column — both
+    # fingerprint folds then read longs instead of each re-running
+    # the per-token xxhash64 transform (CollapseProject keeps the
+    # non-cheap alias un-inlined, so `_ht` evaluates once per row).
     # sum fold in decimal(38,0): ANSI mode (Spark 4 default) raises
     # on long overflow, and |toks| · 2⁶³ exceeds int64 — decimal is
     # exact and still a fixed-width shuffle key
     hdocs = materialize(
-        docs.withColumn(
+        docs.withColumn("_ht", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn(
             "fp",
             F.aggregate(
-                hs, F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x
+                "_ht", F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x
             ),
         )
         .withColumn(
             "fpx",
             F.aggregate(
-                hs, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+                "_ht", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
             ),
         )
         .withColumn("n_toks", F.size("toks"))
+        .drop("_ht")
     )
     groups = hdocs.groupBy("fp", "fpx", "n_toks").agg(
         F.min("doc_id").alias("rep_id")
