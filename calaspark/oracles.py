@@ -2528,3 +2528,72 @@ JOIN links lk ON lv.filing_id = lk.filing_id
 GROUP BY lk.filer_id
 ORDER BY lk.filer_id
 """
+
+# Q106 — degree-oriented triangle counting ---------------------------
+# Same construction: part co-purchase edges (orders %4), degree
+# orientation low->high, wedge self-join closed against oriented
+# edges; all integers, transitivity one IEEE division.
+
+ORACLES["q106"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  ) GROUP BY id
+), o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM e
+  JOIN deg du ON du.id = e.u
+  JOIN deg dv ON dv.id = e.v
+), w AS (
+  SELECT o1.t AS wa, o2.t AS wb
+  FROM o o1 JOIN o o2
+    ON o1.s = o2.s
+   AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+), tri AS (
+  SELECT w.wa, w.wb FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.wa AND o.t = w.wb)
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles,
+       3 * CAST((SELECT COUNT(*) FROM tri) AS DOUBLE)
+         / CAST((SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+                AS DOUBLE) AS transitivity
+"""
+
+# Q107 — deterministic priority (weighted) sampling ------------------
+# u = integer md5-prefix of the row identity; priority = u / weight
+# (one IEEE division, bit-deterministic); k smallest win.
+
+ORACLES["q107"] = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(l_quantity AS BIGINT) AS w,
+         CAST(CAST(
+           ('0x' || SUBSTRING(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+           AS DOUBLE)
+           / CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS priority
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, w, priority
+FROM s
+ORDER BY priority, l_orderkey, l_linenumber, l_partkey, l_suppkey
+LIMIT 20
+"""

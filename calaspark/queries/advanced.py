@@ -1400,3 +1400,173 @@ def q104_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("o_custkey").asc())
     )
+
+
+# ---------------------------------------------------------------- Q106
+
+
+def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNTING with degree orientation (the
+    graph-analytics companion to q80 PageRank / q96 components —
+    E1/E24's join-discipline showcase): count triangles and the
+    global clustering coefficient of the part co-purchase graph
+    (parts appearing in the same order, orders ``%4 == 0``).
+
+    The naive triangle join (edges³) explodes on hub vertices. The
+    scalable plan (Schank-Wagner / Suri-Vassilvitskii, public
+    literature) ORIENTS each edge from its lower-(degree, id)
+    endpoint to the higher one: every out-degree is then bounded by
+    ~√|E|, so the wedge self-join is Σ d_out² instead of Σ d², and
+    each triangle is counted exactly once (its unique cyclic
+    orientation has one source with two out-edges).
+
+    Plan: one equi-self-join per order to derive edges (distinct —
+    dedup shuffle), one degree aggregation, the oriented wedge
+    self-join (equi on the wedge center), and one equi-join closing
+    wedges against oriented edges. All integers; the clustering
+    coefficient is ONE IEEE division (3·T / wedges — exact-
+    deterministic in both engines). Global 1-row aggregate → final
+    merge is the declared q01 single-partition pattern.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s"))
+        & (
+            (F.col("o1.dt") < F.col("o2.dt"))
+            | (
+                (F.col("o1.dt") == F.col("o2.dt"))
+                & (F.col("o1.t") < F.col("o2.t"))
+            )
+        ),
+    ).select(F.col("o1.t").alias("wa"), F.col("o2.t").alias("wb"))
+    closing = o.select(F.col("s").alias("wa"), F.col("t").alias("wb"))
+    tri = wedges.join(closing, ["wa", "wb"], "left_semi")
+
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nv.crossJoin(ne)
+        .crossJoin(nw)
+        .crossJoin(nt)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("transitivity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q107
+
+
+def q107_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PRIORITY SAMPLING (Duffield-Lund-Thorup shape —
+    the weighted without-replacement sample a training-data pipeline
+    draws from a 100 TB fact table with ONE scan + a top-k merge,
+    E13's weighted completion: q47 is uniform fractions, q84 uniform
+    top-k-by-hash, q70 per-group rates; this is probability-
+    proportional-to-size).
+
+    Each row gets priority ``q = u / w`` where ``u`` is the integer
+    md5-prefix hash of its identity (q84/q95's cross-engine hash
+    convention) and ``w = l_quantity`` its weight; the sample is the
+    k=20 SMALLEST priorities, so inclusion odds scale with weight.
+    Hash-derived randomness makes the draw reproducible across
+    snapshots and engines: u is exact integer in both, and the
+    single IEEE division is bit-deterministic (no rounding rule
+    needed). Exact-duplicate rows share a priority; the sort order
+    extends through the hash and the full key so the selected
+    MULTISET is a total function of the data (q101's tie lesson).
+
+    Plan: one scan, codegen hash + division, global
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject (per-partition
+    top-k, merge of k·partitions rows — no global sort, no shuffle
+    of the fact table).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                    F.col("l_partkey"),
+                    F.col("l_suppkey"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "w",
+        (u.cast("double") / F.col("w").cast("double")).alias("priority"),
+    )
+    return s.orderBy(
+        "priority",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    ).limit(20)

@@ -96,6 +96,12 @@ ALLOWED = {
     # final merge) broadcast-crossJoined onto the key-grain result
     # (1-row BNLJ) — q56/q80/tfidf's declared pattern
     "q104": {"bnlj", "single_part_exchange"},
+    # four 1-row graph summaries (vertices/edges/wedges/triangles)
+    # crossJoined into the report row (1×1 BNLJ) + their global
+    # final merges — q65's declared tiny-row pattern; the data-scale
+    # work is equi-joins only (edge derivation, degree join,
+    # oriented wedge join, semi-join closure)
+    "q106": {"bnlj", "single_part_exchange"},
 }
 
 
