@@ -148,3 +148,50 @@ def test_pagerank_integer_step_matches_python(spark):
         acc[d_] += 1_000_000 // outdeg[s_]
     expect = {n: 150_000 + (85 * acc.get(n, 0)) // 100 for n in (1, 2, 3)}
     assert out == expect
+
+
+def test_q98_final_window_input_is_bucket_grain(spark):
+    """Round-7 scale fix: q98's exact-median window must consume only
+    the single surviving price bucket per group (broadcast mbkt join
+    + filter BELOW the window), never the full (flag, price) grain —
+    the round-6 verdict's plan requirement."""
+    from calaspark.queries.advanced import q98_weighted_median
+
+    df = q98_weighted_median(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the median-bucket broadcast join feeds the final window
+    assert "mbkt" in plan
+    # two window layers: the bucket-grain cumulative pair and the
+    # final in-bucket cumulative
+    assert plan.count("Window [") >= 2
+    # and the answer still matches the naive full-grain computation
+    import pyspark.sql.functions as F
+    from calaspark.queries._util import dec
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        dec("l_quantity").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    naive = (
+        g.select(
+            "l_returnflag",
+            "price",
+            F.sum("w").over(wcum).alias("cum"),
+            F.sum("w").over(wtot).alias("tot"),
+        )
+        .filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    got = df.select("l_returnflag", "weighted_median_price").collect()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in naive]
