@@ -2597,3 +2597,72 @@ FROM s
 ORDER BY priority, l_orderkey, l_linenumber, l_partkey, l_suppkey
 LIMIT 20
 """
+
+# Q108 — ordered conversion funnel -----------------------------------
+# Stage k = earliest qualifying event at or after stage k-1; floored
+# epoch seconds; rates are single IEEE divisions of exact counts.
+
+ORACLES["q108"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events
+), u AS (
+  SELECT DISTINCT user_id FROM e
+), t1 AS (
+  SELECT user_id, MIN(ep) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(ep) AS t2
+  FROM e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ep >= t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(ep) AS t3
+  FROM e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ep >= t2.t2
+  GROUP BY e.user_id
+), f AS (
+  SELECT u.user_id, t1.t1, t2.t2, t3.t3
+  FROM u
+  LEFT JOIN t1 USING (user_id)
+  LEFT JOIN t2 USING (user_id)
+  LEFT JOIN t3 USING (user_id)
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_clicked_after_view,
+       COUNT(t3) AS n_purchased_after_click,
+       ROUND(CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE), 6)
+         AS view_to_click,
+       ROUND(CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE), 6)
+         AS click_to_purchase
+FROM f
+"""
+
+# Q109 — retention cohort matrix -------------------------------------
+# Cohort = ISO week (Monday) of first event day; day arithmetic only.
+
+ORACLES["q109"] = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id
+), cohort AS (
+  SELECT user_id, d0, CAST(date_trunc('week', d0) AS DATE) AS cohort_week
+  FROM first
+), size_ AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+  FROM cohort GROUP BY cohort_week
+), act AS (
+  SELECT cohort_week,
+         CAST(FLOOR((e.d - c.d0) / 7) AS INTEGER) AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM e JOIN cohort c USING (user_id)
+  GROUP BY cohort_week, CAST(FLOOR((e.d - c.d0) / 7) AS INTEGER)
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       ROUND(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM act a JOIN size_ s USING (cohort_week)
+ORDER BY a.cohort_week, a.week_offset
+"""

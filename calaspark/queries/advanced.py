@@ -1570,3 +1570,123 @@ def q107_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
     ).limit(20)
+
+
+# ---------------------------------------------------------------- Q108
+
+
+def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CONVERSION FUNNEL (sequential analytics over the
+    event stream — the product-analytics idiom q81's Markov matrix
+    and q36's session windows don't cover: "of the users who VIEWED,
+    how many later CLICKED, and then later PURCHASED?"). Stage k's
+    timestamp is the user's earliest qualifying event AT OR AFTER
+    stage k−1 — order matters, not mere presence.
+
+    Plan: three user-keyed conditional MIN aggregations chained by
+    equi-joins on ``user_id`` (each stage joins the previous stage's
+    per-user watermark, filters ``ep ≥ prev``, re-aggregates), one
+    left-join ladder onto the user universe, one global 1-row
+    summary (declared q01 final-merge pattern). Everything
+    partitions on the user key at any scale; timestamps are floored
+    epoch seconds (rule 2), conversion rates are single IEEE
+    divisions of exact counts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _ep("ts").alias("ep"), "event_type"
+    )
+    users = e.select("user_id").distinct()
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ep") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ep") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t3"))
+    )
+    f = (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+        F.round(
+            F.count("t2").cast("double") / F.count("t1").cast("double"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t3").cast("double") / F.count("t2").cast("double"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+# ---------------------------------------------------------------- Q109
+
+
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION COHORT matrix (the warehouse growth-analytics
+    staple): users grouped by the ISO week of their FIRST event;
+    for each (cohort_week, week_offset) the count of cohort members
+    active that week and the retention share.
+
+    Plan: one user-keyed MIN aggregation (first day), one equi-join
+    back to the activity stream, one (cohort, offset, user) dedup +
+    (cohort, offset) count — calendar-bounded output (weeks ×
+    offsets). Day arithmetic only (dates, integer day diffs,
+    floor-div 7): rule 2 keeps raw timestamps out; the retention
+    share is a single IEEE division of exact counts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cohort = first.select(
+        "user_id",
+        "d0",
+        F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"),
+    )
+    size = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    act = (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -102,6 +102,9 @@ ALLOWED = {
     # work is equi-joins only (edge derivation, degree join,
     # oriented wedge join, semi-join closure)
     "q106": {"bnlj", "single_part_exchange"},
+    # global 1-row funnel summary: final merge of the user-keyed
+    # left-join ladder (q01's declared pattern)
+    "q108": {"single_part_exchange"},
 }
 
 
