@@ -183,22 +183,31 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     # stdout: ONLY the fields the driver needs, compact — its capture
-    # keeps a bounded tail (~2 KB), and 78 queries of extras overflowed
-    # it in round 3 (BENCH_r03.json parsed=null).
+    # keeps a bounded tail (2000 bytes TOTAL including any preceding
+    # stderr, measured from BENCH_r06.json), and 78 queries of extras
+    # overflowed it in round 3 (BENCH_r03.json parsed=null). At 134
+    # queries the 3-decimal line hit 1957 bytes (43 bytes of margin),
+    # so the stdout line carries 2-decimal times — the 3-decimal
+    # figures stay in the sidecar — and every diagnostic print lands
+    # BEFORE the JSON line so nothing after it eats tail budget.
     out = {
         "metric": "total_query_sec",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
         "sf": _sf_of(sf_dir),
         "n_queries": len(times),
-        "queries": times,
+        "queries": {k: round(v, 2) for k, v in times.items()},
     }
     line = json.dumps(out, separators=(",", ":"))
-    print(line)
     print(f"stdout line: {len(line)} bytes", file=sys.stderr)
+    sys.stderr.flush()
+    print(line)
+    sys.stdout.flush()
 
     sidecar = {
         **out,
+        "value": total,
+        "queries": times,  # full 3-decimal figures (stdout is 2-dec)
         "plan_fingerprints": plans,
         "delta_vs_prev": deltas,
         "prev_bench": prev[0] if prev else None,
