@@ -195,3 +195,71 @@ def test_q98_final_window_input_is_bucket_grain(spark):
     )
     got = df.select("l_returnflag", "weighted_median_price").collect()
     assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in naive]
+
+
+def test_q106_triangles_match_bruteforce(spark):
+    """Degree-oriented triangle count == brute-force enumeration on
+    the same derived co-purchase graph (sf0.001)."""
+    import itertools
+
+    from calaspark.queries.advanced import q106_triangle_count
+
+    row = q106_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+          WHERE l_orderkey % 4 = 0
+        )
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for v, nb in adj.items():
+        for a, b in itertools.combinations(sorted(nb), 2):
+            if b in adj.get(a, ()):  # each triangle seen at each vertex
+                tri += 1
+    assert row["n_edges"] == len(edges)
+    assert row["n_vertices"] == len(adj)
+    assert tri % 3 == 0  # every triangle counted once per vertex
+    assert row["n_triangles"] == tri // 3
+
+
+def test_q107_priorities_match_python_md5(spark):
+    """The Spark-side integer md5-prefix hash and priority division
+    reproduce hashlib.md5 exactly; the selected multiset is Python's
+    top-20 by (priority, key...)."""
+    import hashlib
+
+    import duckdb
+
+    from calaspark.queries.advanced import q107_priority_sample
+
+    got = [
+        (r["l_orderkey"], r["l_linenumber"], r["l_partkey"], r["l_suppkey"],
+         r["w"], r["priority"])
+        for r in q107_priority_sample(spark, "/root/testdata/sf0.001").collect()
+    ]
+    rows = duckdb.connect().execute(
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        "CAST(l_quantity AS BIGINT) FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    scored = []
+    for ok, ln, pk, sk, w in rows:
+        u = int(hashlib.md5(f"{ok}|{ln}|{pk}|{sk}".encode()).hexdigest()[:15], 16)
+        scored.append((float(u) / float(w), ok, ln, pk, sk, w))
+    scored.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4]))
+    want = [(ok, ln, pk, sk, w, pr) for pr, ok, ln, pk, sk, w in scored[:20]]
+    assert got == want
