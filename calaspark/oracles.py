@@ -1932,12 +1932,26 @@ WITH t AS (
            range(1, len(rawt) - 1),
            i -> array_to_string(rawt[i : i + 2], ' '))) AS toks
   FROM t WHERE len(rawt) >= 3
-), p AS (
+), sz AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM s
+), sh AS (
+  SELECT doc_id, unnest(toks) AS g FROM s
+), inter AS (
+  -- inverted-index intersection counts: a pair appears iff it
+  -- shares >= 1 shingle, and pairs with n_inter = 0 can never pass
+  -- the 3*inter >= union + inter admission below, so this is
+  -- value-identical to the all-pairs list_intersect formulation
+  -- (which took 9 s at sf0.01 — 125k per-pair list intersections)
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
-         CAST(len(a.toks) + len(b.toks)
-              - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), p AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         sa.nt + sb.nt - i.n_inter AS n_union
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
 )
 SELECT doc_a, doc_b, n_inter, n_union,
        ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4) AS sim
