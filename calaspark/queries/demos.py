@@ -480,40 +480,65 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-probe top-10 lists collected here are k-row,
     driver-sized results of distributed TopK jobs (the same
     legitimate driver state as the IVF centroids) — the scans
-    underneath stay fully distributed.
+    underneath stay fully distributed. Row norms are computed ONCE
+    into the materialized table and the probe rides the scan as a
+    plan-literal unit vector (`_dot_probe`), so each exact pass is
+    one codegen dot + one division per row — the previous
+    formulation evaluated three interpreted zip_with/aggregate dots
+    per row per probe (incl. the constant probe norm), ~2× the
+    whole harness's cost.
     """
-    from ..ops.ann_ivf import ann_topk_ivf
+    import math
+
+    from ..ops.ann_ivf import _dot_probe, ann_topk_ivf
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dot_self = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     e = materialize(
         emb.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        )
+        ).withColumn("nrm", F.sqrt(dot_self))
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    import numpy as np
 
-    rows = []
-    for probe in (0, 17):
-        q = e.filter(F.col("vec_id") == probe).select(F.col("e").alias("qe"))
-        sim = dot(F.col("e"), F.col("qe")) / (
-            F.sqrt(dot(F.col("e"), F.col("e")))
-            * F.sqrt(dot(F.col("qe"), F.col("qe")))
-        )
-        exact = {
-            r["vec_id"]
-            for r in e.crossJoin(F.broadcast(q))
-            .select("vec_id", sim.alias("sim"))
+    probes = (0, 17)
+    # ONE job fetches every probe vector; ONE job computes every
+    # exact top-10 (per-probe literal dots ranked in a single scan
+    # via a probe-tagged union — each branch is its own TakeOrdered
+    # over the shared materialized table, still one Spark job).
+    qrows = {
+        r["vec_id"]: list(r["e"])
+        for r in e.filter(F.col("vec_id").isin(list(probes))).collect()
+    }
+    exact_branches = []
+    for probe in probes:
+        qv = qrows[probe]
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        qu = np.asarray([x / qn for x in qv], dtype="float64")
+        sim = _dot_probe(F.col("e"), qu) / F.when(
+            F.col("nrm") == 0.0, F.lit(1.0)
+        ).otherwise(F.col("nrm"))
+        exact_branches.append(
+            e.select(F.lit(probe).alias("probe"), "vec_id", sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(10)
-            .collect()
-        }
+        )
+    u = exact_branches[0]
+    for b in exact_branches[1:]:
+        u = u.unionAll(b)
+    exact_by_probe: dict[int, set] = {p: set() for p in probes}
+    for r in u.collect():
+        exact_by_probe[r["probe"]].add(r["vec_id"])
+
+    rows = []
+    for probe in probes:
+        exact = exact_by_probe[probe]
         ivf = {
             r["vec_id"]
             for r in ann_topk_ivf(
