@@ -206,6 +206,14 @@ def load_ivf_index(
     return IvfIndex(cents, f"{path}/invfile", id_col, vec_col)
 
 
+#: In-process handle cache: centroids are model state (k × dim
+#: floats), and the index path is keyed by corpus mtime + params
+#: (see demos._ivf_index_path), so a cached handle can never go
+#: stale without its key changing. Saves one centroid-parquet read
+#: job per repeated probe in the same driver process.
+_INDEX_HANDLES: dict[tuple[str, str, str], IvfIndex] = {}
+
+
 def load_or_build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -216,13 +224,23 @@ def load_or_build_ivf_index(
 ) -> IvfIndex:
     """Load the index at ``path`` if present, else build it there.
     Presence = the parquet ``_SUCCESS`` markers of both halves (a
-    half-written index from a killed build is rebuilt, not trusted)."""
+    half-written index from a killed build is rebuilt, not trusted).
+    Handles are memoized per (path, id_col, vec_col) — the path
+    embeds the corpus mtime and quantizer params, so cache entries
+    self-invalidate with the data."""
+    key = (path, id_col, vec_col)
+    cached = _INDEX_HANDLES.get(key)
+    if cached is not None:
+        return cached
     ok = all(
         Path(path, part, "_SUCCESS").exists() for part in ("centroids", "invfile")
     )
     if ok:
-        return load_ivf_index(emb.sparkSession, path, id_col, vec_col)
-    return build_ivf_index(emb, path, n_cells, iters, id_col, vec_col)
+        idx = load_ivf_index(emb.sparkSession, path, id_col, vec_col)
+    else:
+        idx = build_ivf_index(emb, path, n_cells, iters, id_col, vec_col)
+    _INDEX_HANDLES[key] = idx
+    return idx
 
 
 def ivf_probe(
