@@ -151,3 +151,70 @@ def semi_prune(big: DataFrame, small: DataFrame, key: str) -> DataFrame:
     return big.join(
         F.broadcast(small.select(key).distinct()), key, "left_semi"
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file COMPACTION — the lake-maintenance pass every
+    long-lived 100 TB table needs (E24/S5 adjunct): streaming
+    micro-batches, per-task writers, and incremental loads all
+    accumulate files far below the parquet sweet spot, and a scan's
+    task count (and footer-read cost) is proportional to FILE count,
+    not byte count.
+
+    Reads ``src``, rewrites it to ``dst`` with files sized toward
+    ``target_file_bytes``:
+
+    - unpartitioned: one round-robin ``repartition(n)`` with
+      ``n = ceil(total_bytes / target)`` — every output file lands
+      near the target;
+    - partitioned: one hash ``repartition(partition_cols)`` so each
+      Hive partition directory collapses to a single writer task,
+      with ``maxRecordsPerFile`` (derived from the observed average
+      row size) re-splitting any partition whose data exceeds the
+      target — bounded file sizes even under partition skew.
+
+    Byte accounting walks the local filesystem (``file://`` lakes —
+    this repo's test environment); on HDFS/S3 swap the two listing
+    loops for the Hadoop ``FileSystem.listFiles`` API — the Spark
+    plan is identical. Returns a stats dict (files/bytes before and
+    after, rows) the caller can assert on or log to the manifest.
+    """
+    import math
+    from pathlib import Path
+
+    src_files = [p for p in Path(src).rglob("*.parquet")]
+    bytes_before = sum(p.stat().st_size for p in src_files)
+    df = spark.read.parquet(src)
+    rows = df.count()
+    avg_row = max(1, bytes_before // max(1, rows))
+    max_records = max(1, target_file_bytes // avg_row)
+    if partition_cols:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .partitionBy(*partition_cols)
+            .parquet(dst)
+        )
+    else:
+        n = max(1, math.ceil(bytes_before / target_file_bytes))
+        (
+            df.repartition(n)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .parquet(dst)
+        )
+    dst_files = [p for p in Path(dst).rglob("*.parquet")]
+    return {
+        "files_before": len(src_files),
+        "bytes_before": bytes_before,
+        "files_after": len(dst_files),
+        "bytes_after": sum(p.stat().st_size for p in dst_files),
+        "rows": rows,
+    }

@@ -252,3 +252,48 @@ def test_runtime_bloom_filter_injected(spark):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in pplan and "LeftSemi" in pplan
     assert pruned.count() > 0
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """64 writer-task shards collapse toward target-sized files with
+    identical content; the partitioned variant leaves one file per
+    partition directory and keeps pruning intact."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.layout import compact_parquet
+
+    src = str(tmp_path / "frag")
+    df = spark.range(50_000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("flag"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(64).write.parquet(src)
+
+    dst = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, dst, target_file_bytes=16 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 4
+    assert stats["rows"] == 50_000
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 49_999 * 50_000 // 2
+
+    dstp = str(tmp_path / "compact_part")
+    stats_p = compact_parquet(
+        spark, src, dstp, target_file_bytes=16 << 20, partition_cols=["flag"]
+    )
+    assert stats_p["rows"] == 50_000
+    from pathlib import Path
+
+    per_dir = {
+        d.name: len(list(d.glob("*.parquet")))
+        for d in Path(dstp).iterdir()
+        if d.is_dir()
+    }
+    assert set(per_dir) == {"flag=0", "flag=1", "flag=2"}
+    assert all(n == 1 for n in per_dir.values())
+    pruned = spark.read.parquet(dstp).filter(F.col("flag") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(flag" in plan
+    assert pruned.count() == sum(1 for i in range(50_000) if i % 3 == 1)
