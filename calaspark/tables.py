@@ -65,3 +65,42 @@ def spread(df: DataFrame) -> DataFrame:
     staying parallel without caching the corpus.
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose the source tables as temp views so the WHOLE surface is
+    queryable in plain ``spark.sql`` — the reference's consumers
+    query their loaded tables in SQL (SURVEY.md §2.4: the reference
+    delegates querying to SQL users), and DataFrame code and SQL
+    compile to the same Catalyst plan, so nothing here is a second
+    engine path. Returns the registered view names.
+    """
+    from . import TABLES
+
+    out = []
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        out.append(name)
+    return out
+
+
+def register_lake_views(spark: SparkSession, lake_dir: str) -> list[str]:
+    """Register every ingested CAL-ACCESS parquet table under
+    ``lake_dir`` (the orchestrator's output layout:
+    ``{lake_dir}/{TABLE_NAME}``) as a temp view named after the
+    table (lowercased, e.g. ``rcpt_cd``) for direct SQL access.
+    Directories without a parquet ``_SUCCESS`` marker are skipped —
+    half-written loads never become queryable views.
+    """
+    from pathlib import Path
+
+    prepare(spark)
+    out = []
+    for d in sorted(Path(lake_dir).iterdir() if Path(lake_dir).exists() else []):
+        if d.is_dir() and (d / "_SUCCESS").exists():
+            view = d.name.lower()
+            spark.read.parquet(str(d)).createOrReplaceTempView(view)
+            out.append(view)
+    return out

@@ -841,3 +841,35 @@ def test_shingle_rows_k1_is_token_sets(spark):
         (r["doc_id"], r["g"], r["nt"]) for r in shingle_rows(df, k=1).collect()
     }
     assert got == {(1, "a", 2), (1, "b", 2), (2, "c", 1)}
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """The whole source surface is queryable in plain SQL; lake views
+    skip half-written (marker-less) directories."""
+    import pyspark.sql.functions as F
+
+    from calaspark.tables import register_lake_views, register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    row = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY n DESC LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n"] > 0
+    # events view readable despite nanos timestamps (prepare() conf)
+    assert spark.sql("SELECT COUNT(*) AS n FROM events").collect()[0]["n"] > 0
+
+    lake = tmp_path / "lake"
+    spark.range(5).withColumn("x", F.lit("a")).write.parquet(
+        str(lake / "GOOD_CD")
+    )
+    (lake / "HALF_CD").mkdir(parents=True)
+    (lake / "HALF_CD" / "part-0.parquet").write_bytes(b"not parquet")
+    views = register_lake_views(spark, str(lake))
+    assert views == ["good_cd"]
+    assert spark.sql("SELECT COUNT(*) AS n FROM good_cd").collect()[0]["n"] == 5
