@@ -2680,3 +2680,48 @@ SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
 FROM act a JOIN size_ s USING (cohort_week)
 ORDER BY a.cohort_week, a.week_offset
 """
+
+# Q110 — content-defined chunking + chunk dedup report ---------------
+# Boundary when the 8-char window's md5-prefix int is 0 mod 64;
+# doc end always cuts; chunks rebuilt per doc via LAG over cuts.
+
+ORACLES["q110"] = """
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n FROM documents
+), pos AS (
+  SELECT d.doc_id, d.source, d.text, d.n, CAST(t.i AS INTEGER) AS i
+  FROM d, LATERAL UNNEST(range(1, d.n - 6)) AS t(i)
+  WHERE d.n >= 8
+), cuts_b AS (
+  SELECT doc_id, source, text, i + 7 AS p
+  FROM pos
+  WHERE CAST(CAST(('0x' || SUBSTRING(md5(SUBSTRING(text, i, 8)), 1, 15))
+             ::UBIGINT AS BIGINT) AS BIGINT) % 64 = 0
+    AND i + 7 < n
+), cuts AS (
+  SELECT DISTINCT doc_id, source, text, p FROM (
+    SELECT doc_id, source, text, p FROM cuts_b
+    UNION ALL
+    SELECT doc_id, source, text, n AS p FROM d
+  )
+), ch AS (
+  SELECT source, text, p,
+         COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+           AS start
+  FROM cuts
+), fp AS (
+  SELECT source, p - start + 1 AS clen,
+         md5(SUBSTRING(text, start, p - start + 1)) AS f
+  FROM ch
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT f) AS n_distinct_chunks,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT f) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_ratio,
+       ROUND(CAST(CAST(SUM(clen) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS avg_chunk_len
+FROM fp
+GROUP BY source
+ORDER BY source
+"""

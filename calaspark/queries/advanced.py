@@ -1690,3 +1690,91 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------- Q110
+
+
+def q110_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING + chunk-level dedup report (E19/E15
+    — the rolling-hash fingerprinting idiom the fixed-size chunker
+    q58 cannot give: boundaries chosen by CONTENT, so an insertion
+    near a doc's head shifts no downstream chunk boundaries and
+    shared passages dedupe across documents).
+
+    A position ``i`` ends a chunk when the 8-char window hash
+    satisfies ``h % 64 == 0`` (expected chunk ≈ 64 chars); document
+    end always cuts. Window hashes are integer md5 prefixes of the
+    window SUBSTRING (the q84/q95 cross-engine hash convention) —
+    production swaps the O(n·w) substring hash for an O(n)
+    Gear/Rabin rolling hash; every Spark-side shape (position
+    explode, boundary filter, per-doc LAG reconstruction, fingerprint
+    rollup) is identical. Output per source: chunk count, distinct
+    chunk fingerprints, the duplicate-chunk ratio (the number that
+    justifies chunk-level dedup), and mean chunk length.
+
+    Plan: one position explode (~len rows/doc, codegen hash +
+    filter), one doc-keyed window (LAG over the per-doc cut list —
+    chunk-count-sized, not char-sized), one hash-agg rollup. At
+    100 TB everything partitions on doc_id until the final
+    source-grain aggregate.
+    """
+    from ..tables import spread
+
+    w = 8
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    pos = d.filter(F.col("n") >= w).select(
+        "doc_id",
+        "source",
+        "text",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1).cast("int"), (F.col("n") - (w - 1)).cast("int"))
+        ).alias("i"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.substring("text", F.col("i"), F.lit(w))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    cuts_b = (
+        pos.withColumn("_h", h)
+        .filter(F.col("_h") % 64 == 0)
+        .select("doc_id", "source", "text", (F.col("i") + (w - 1)).alias("p"))
+        .filter(F.col("p") < F.col("n"))
+    )
+    ends = d.select("doc_id", "source", "text", F.col("n").alias("p"))
+    cuts = cuts_b.unionByName(ends).distinct()
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    ch = cuts.select(
+        "source",
+        "text",
+        "p",
+        (F.coalesce(F.lag("p").over(wdoc), F.lit(0)) + 1).alias("start"),
+    )
+    fp = ch.select(
+        "source",
+        (F.col("p") - F.col("start") + 1).alias("clen"),
+        F.md5(
+            F.substring("text", F.col("start"), F.col("p") - F.col("start") + 1)
+        ).alias("f"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("f").alias("n_distinct_chunks"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("f")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_chunk_ratio"),
+            F.round(
+                F.sum("clen").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
