@@ -2725,3 +2725,47 @@ FROM fp
 GROUP BY source
 ORDER BY source
 """
+
+# Q111 — bucket-level Merkle reconciliation --------------------------
+# Same snapshot-B derivation as q99; commutative (count, XOR of
+# md5-prefix row hashes) fingerprints per o_orderkey % 64 bucket.
+
+ORACLES["q111"] = """
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+), mx AS (SELECT MAX(o_orderkey) AS m FROM a),
+b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price,
+         od
+  FROM a WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + (SELECT m FROM mx) + 1, 'N', price, od
+  FROM a WHERE o_orderkey % 101 = 0
+), fa AS (
+  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_a,
+         bit_xor(CAST(CAST(('0x' || SUBSTRING(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           CAST(price AS VARCHAR) || '|' || CAST(od AS VARCHAR)
+         ), 1, 15))::UBIGINT AS BIGINT) AS BIGINT)) AS fp_a
+  FROM a GROUP BY 1
+), fb AS (
+  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_b,
+         bit_xor(CAST(CAST(('0x' || SUBSTRING(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           CAST(price AS VARCHAR) || '|' || CAST(od AS VARCHAR)
+         ), 1, 15))::UBIGINT AS BIGINT) AS BIGINT)) AS fp_b
+  FROM b GROUP BY 1
+)
+SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+       COALESCE(n_a, 0) AS n_a,
+       COALESCE(n_b, 0) AS n_b,
+       CAST(n_a IS NOT DISTINCT FROM n_b
+            AND fp_a IS NOT DISTINCT FROM fp_b AS INTEGER) AS bucket_match
+FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+ORDER BY bucket
+"""

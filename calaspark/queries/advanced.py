@@ -1778,3 +1778,102 @@ def q110_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- Q111
+
+
+def q111_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level MERKLE reconciliation (q99's 100 TB companion):
+    before paying a full-outer key join across two table versions,
+    compare ORDER-INDEPENDENT bucket fingerprints — count + XOR of
+    per-row integer hashes per ``o_orderkey % 64`` bucket — and
+    rescan only the buckets that disagree. Two 100 TB replicas diff
+    with one map-side-combined aggregate each plus a 64-row compare;
+    q99's row-level join then runs on the mismatched slice only.
+
+    Snapshot B derives exactly as in q99 (drop %101 keys, +1.00 on
+    %97, re-insert past MAX). The row hash is the md5-prefix integer
+    of the canonical rendered row (the cross-engine hash
+    convention); XOR makes the bucket fingerprint commutative, so
+    no sort and no ordering assumption anywhere — identical under
+    any partitioning. Output: per bucket, both row counts and
+    whether the fingerprints match — exact integers only.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    mx = a.agg(F.max("o_orderkey").alias("_mx"))
+    kept = a.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.col("price") + F.lit(1).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "od",
+    )
+    added = (
+        a.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("_mx") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("price"),
+            "od",
+        )
+    )
+    b = kept.unionByName(added)
+
+    def fingerprints(df: DataFrame, n_label: str, fp_label: str) -> DataFrame:
+        rh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey"),
+                        F.col("o_orderstatus"),
+                        F.col("price").cast("string"),
+                        F.col("od").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(
+                F.pmod(F.col("o_orderkey"), F.lit(64)).alias("bucket"),
+                rh.alias("_h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(n_label),
+                F.bit_xor("_h").alias(fp_label),
+            )
+        )
+
+    fa = fingerprints(a, "n_a", "fp_a")
+    fb = fingerprints(b, "n_b", "fp_b")
+    j = fa.join(fb, "bucket", "full_outer")
+    return (
+        j.select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            (
+                F.col("n_a").eqNullSafe(F.col("n_b"))
+                & F.col("fp_a").eqNullSafe(F.col("fp_b"))
+            )
+            .cast("int")
+            .alias("bucket_match"),
+        )
+        .orderBy("bucket")
+    )

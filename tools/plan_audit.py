@@ -105,6 +105,10 @@ ALLOWED = {
     # global 1-row funnel summary: final merge of the user-keyed
     # left-join ladder (q01's declared pattern)
     "q108": {"single_part_exchange"},
+    # q99's snapshot-B derivation: one global 1-row MAX (final
+    # merge) broadcast-crossJoined onto the small added-keys branch
+    # (1-row BNLJ) — the declared collision-free insert-key shape
+    "q111": {"bnlj", "single_part_exchange"},
 }
 
 
