@@ -113,3 +113,47 @@ def group_value_sum_arrow(key, batch):
             "sum_value": [pc.sum(batch.column("value")).as_py()],
         }
     )
+
+
+@pandas_udf(DoubleType())
+def weighted_mean_agg(v: pd.Series, w: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (Series → scalar): weighted mean of
+    ``v`` by ``w`` — the shape a custom aggregation (trimmed mean,
+    model-calibrated score) takes when no built-in aggregate exists.
+    Spark splits each group across Arrow batches only when a group
+    exceeds one batch; state here is a single division, so the demo
+    keeps whole groups (small-group data). The built-in twin
+    ``sum(v*w)/sum(w)`` sits next to it in the demo query — and wins
+    (pure codegen, map-side partials); that comparison is the point.
+    """
+    den = float(w.sum())
+    return float((v * w).sum() / den) if den else 0.0
+
+
+def zscore_per_group(df, key_col: str, id_col: str, val_col: str):
+    """Grouped-map ``applyInPandas`` (the pandas sibling of the
+    applyInArrow worker above): per-group z-score normalization —
+    each group arrives as ONE pandas DataFrame, the worker returns a
+    transformed frame. The contract to respect at scale: a group
+    must fit one worker's memory (here: per-key event groups), which
+    is exactly why the engine's own normalizations (q87) use window
+    aggregates instead — this boundary exists for logic pandas can
+    express and Catalyst cannot.
+    """
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[val_col].mean()
+        sd = pdf[val_col].std(ddof=0)
+        out = pdf[[key_col, id_col, val_col]].copy()
+        out["z"] = (pdf[val_col] - mu) / sd if sd else 0.0
+        return out
+
+    schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(val_col, DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandas(norm, schema)

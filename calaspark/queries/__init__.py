@@ -167,6 +167,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": demos.ann_lsh_topk,
     "ann_recall": demos.ann_recall,
     "pandas_udf_quality": demos.pandas_udf_quality,
+    "pandas_grouped_ops": demos.pandas_grouped_ops,
     "udtf_tokens": demos.udtf_tokens,
     "arrow_native": demos.arrow_native,
     "sampling_stratified": demos.sampling_stratified,

@@ -613,3 +613,38 @@ def sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err_rsd01"),
     ).orderBy("group_label")
+
+
+def pandas_grouped_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 completion — the two remaining Python-boundary shapes next
+    to their built-in twins: a GROUPED_AGG pandas UDF (weighted mean
+    per event type) checked against the codegen ``sum(v·w)/sum(w)``,
+    and a grouped-map ``applyInPandas`` z-score whose per-group max
+    |z| is re-aggregated JVM-side. Small grouped output; rows-only
+    (float UDF arithmetic is not oracle-stable by design)."""
+    from ..ops.udf_demos import weighted_mean_agg, zscore_per_group
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v"),
+        (F.col("user_id") % 7 + 1).cast("double").alias("w"),
+    )
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # twin runs as its own aggregation, joined on the group label.
+    agg_udf = e.groupBy("event_type").agg(
+        F.round(weighted_mean_agg("v", "w"), 6).alias("wmean_udf")
+    )
+    agg_b = e.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6
+        ).alias("wmean_builtin")
+    )
+    agg = agg_udf.join(agg_b, "event_type")
+    z = zscore_per_group(
+        e.select("event_type", "event_id", "v"), "event_type", "event_id", "v"
+    )
+    zz = z.groupBy("event_type").agg(
+        F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.join(zz, "event_type").orderBy("event_type")

