@@ -2769,3 +2769,43 @@ SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
 FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
 ORDER BY bucket
 """
+
+# Q112 — amendment-over-amendment delta rollup -----------------------
+# q105's derivation; per-(filing, amend) totals, LAG deltas within a
+# filing, rollup per amendment generation. Exact decimal throughout.
+
+ORACLES["q112"] = """
+WITH amend AS (
+  SELECT o.o_orderkey AS filing_id, s.a AS amend_id
+  FROM orders o
+  JOIN (SELECT CAST(0 AS BIGINT) AS a UNION ALL SELECT 1 UNION ALL SELECT 2) s
+    ON s.a <= o.o_orderkey % 3
+), lines AS (
+  SELECT am.filing_id, am.amend_id,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           + CAST(am.amend_id AS DECIMAL(12,2))
+             * CAST(0.01 AS DECIMAL(12,2)) AS amount
+  FROM amend am
+  JOIN lineitem l ON l.l_orderkey = am.filing_id
+  WHERE (l.l_linenumber + am.amend_id) % 7 <> 0
+), per AS (
+  SELECT filing_id, amend_id, COUNT(*) AS n_lines, SUM(amount) AS total
+  FROM lines GROUP BY filing_id, amend_id
+), d AS (
+  SELECT filing_id, amend_id, n_lines, total,
+         n_lines - LAG(n_lines) OVER (PARTITION BY filing_id
+                                      ORDER BY amend_id) AS d_lines,
+         total - LAG(total) OVER (PARTITION BY filing_id
+                                  ORDER BY amend_id) AS d_total
+  FROM per
+)
+SELECT amend_id,
+       COUNT(*) AS n_filings_amended,
+       CAST(SUM(ABS(d_lines)) AS BIGINT) AS abs_line_churn,
+       CAST(ROUND(SUM(ABS(d_total)), 2) AS DOUBLE) AS abs_amount_churn,
+       CAST(ROUND(SUM(d_total), 2) AS DOUBLE) AS net_amount_delta
+FROM d
+WHERE amend_id > 0
+GROUP BY amend_id
+ORDER BY amend_id
+"""

@@ -23,17 +23,17 @@ QUERIES: dict[str, QueryFn] = {
     # window, by priority — exactly 50: (1) q90-q104, the 15 oracled
     # ids that registered below the cut in round 6 and have NEVER
     # had a driver CORRECTNESS row (round-6 verdict next-round #1) —
-    # q98 and q100 also changed this round; (2) q105-q111, new this round
+    # q98 and q100 also changed this round; (2) q105-q112, new this round
     # (oracled CAL-ACCESS latest-amendment semantics — verdict #6 —
     # plus degree-oriented triangle counting, deterministic
     # priority sampling, the ordered conversion funnel and the
     # retention cohort matrix, and content-defined
     # chunking with chunk-level dedup, and Merkle bucket
-    # reconciliation);
+    # reconciliation, and the amendment audit trail);
     # (3) the stalest veterans: q44-q55 + q57-q66 minus the
     # round-6-green q61/q64 (last driver rows r04/r05), then
-    # q01-q08 (last driver rows r01-r05).  The cut falls after q08;
-    # q09-q26 (driver-green r01-r05) and everything green in
+    # q01-q07 (last driver rows r01-r05).  The cut falls after q07;
+    # q08-q26 (driver-green r01-r05) and everything green in
     # CORRECTNESS_r06 (q27-q43 + companions, q56, q61, q64,
     # q67-q89) sit below it, covered by tools/verify_local.py
     # (full-keyset sweep, committed as VERIFY_LOCAL_r07.txt) and
@@ -61,6 +61,7 @@ QUERIES: dict[str, QueryFn] = {
     "q109": advanced.q109_retention_cohorts,
     "q110": advanced.q110_cdc_chunks,
     "q111": advanced.q111_merkle_diff,
+    "q112": calaccess.q112_amendment_deltas,
     "q44": extensions.q44_grouping_sets,
     "q45": extensions.q45_array_funcs,
     "q46": extensions.q46_map_funcs,
@@ -88,10 +89,10 @@ QUERIES: dict[str, QueryFn] = {
     "q05": relational.q05_groupby_agg,
     "q06": relational.q06_groupby_having,
     "q07": relational.q07_join_multiway,
-    "q08": relational.q08_join_left_nullfill,
     # --- position 51+ from here (driver window cut): every id below
     # is driver-green in CORRECTNESS_r06 or r01-r05 and re-verified
     # every round by tools/verify_local.py (full-keyset sweep). ---
+    "q08": relational.q08_join_left_nullfill,
     "q09": relational.q09_join_semi,
     "q10": relational.q10_join_anti,
     "q11": relational.q11_join_broadcast_dim,

@@ -199,3 +199,70 @@ def q105_calaccess_latest(spark, sf_dir: str):
         )
         .orderBy("filer_id")
     )
+
+
+def q112_amendment_deltas(spark, sf_dir: str):
+    """Amendment AUDIT TRAIL (R10's other half — q105 answers "what
+    is live now?", this answers "what did each amendment CHANGE?"):
+    per (filing, amendment), the line count and exact-decimal total
+    of the re-filed itemization, with lag deltas against the
+    previous amendment of the same filing, rolled up per amendment
+    generation — the report a compliance reviewer reads to see how
+    much restatement each amendment wave carried.
+
+    Same deterministic derivation as q105 (o_orderkey%3 amendments,
+    (line+a)%7 drops, +a-cent bumps). Plan: one explode + one
+    filing-keyed join, one (filing, amend) hash aggregate, one
+    filing-partitioned LAG window (amendment counts per filing ≤ 3
+    — bounded partitions), one small rollup. Money stays decimal
+    until the final round→double.
+    """
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amend = o.select(
+        F.col("o_orderkey").alias("filing_id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 3)
+        ).alias("amend_id"),
+    )
+    lines = (
+        amend.join(li, amend["filing_id"] == li["l_orderkey"])
+        .filter((F.col("l_linenumber") + F.col("amend_id")) % 7 != 0)
+        .select(
+            "filing_id",
+            "amend_id",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                + F.col("amend_id").cast("decimal(12,2)")
+                * F.lit("0.01").cast("decimal(12,2)")
+            ).alias("amount"),
+        )
+    )
+    per = lines.groupBy("filing_id", "amend_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("amount").alias("total"),
+    )
+    w = Window.partitionBy("filing_id").orderBy("amend_id")
+    d = per.select(
+        "filing_id",
+        "amend_id",
+        "n_lines",
+        "total",
+        (F.col("n_lines") - F.lag("n_lines").over(w)).alias("d_lines"),
+        (F.col("total") - F.lag("total").over(w)).alias("d_total"),
+    )
+    return (
+        d.filter(F.col("amend_id") > 0)
+        .groupBy("amend_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_filings_amended"),
+            F.sum(F.abs(F.col("d_lines")).cast("long")).alias("abs_line_churn"),
+            F.round(F.sum(F.abs(F.col("d_total"))), 2)
+            .cast("double")
+            .alias("abs_amount_churn"),
+            F.round(F.sum("d_total"), 2).cast("double").alias("net_amount_delta"),
+        )
+        .orderBy("amend_id")
+    )
