@@ -6,7 +6,7 @@ Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
 compact JSON line::
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "sf": 0.1, "n_queries": 78, "queries": {"q01": sec, ...}}
+     "sf": 0.1, "queries": {"q01": sec, ...}}
 
 The driver captures only a bounded tail of stdout, so the stdout line
 carries ONLY per-query times (compact separators).  Everything else —
@@ -195,7 +195,9 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "sf": _sf_of(sf_dir),
-        "n_queries": len(times),
+        # n_queries is NOT in the driver's declared line format —
+        # len(queries) carries it; every byte matters against the
+        # 2000-byte capture tail (line was 1893/2000 at 138 queries)
         "queries": {k: round(v, 2) for k, v in times.items()},
     }
     line = json.dumps(out, separators=(",", ":"))
@@ -207,6 +209,7 @@ def main() -> None:
     sidecar = {
         **out,
         "value": total,
+        "n_queries": len(times),
         "queries": times,  # full 3-decimal figures (stdout is 2-dec)
         "plan_fingerprints": plans,
         "delta_vs_prev": deltas,
