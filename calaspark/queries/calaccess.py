@@ -22,8 +22,10 @@ money math is exact.
 100 TB shape: the latest-amendment filter is one window max over
 FILING_ID (shuffle on the partition key — the natural layout key for
 an amendable filing table, so in a bucketed lake it's shuffle-free);
-the navigation join deduplicates the small link table and broadcasts
-it; the rollup is a map-side-combined hash aggregate.
+the navigation join deduplicates the link table and joins it on the
+filing key WITHOUT a broadcast hint (one link row per filing — the
+table scales with the fact side; AQE broadcasts it only when it is
+actually small); the rollup is a map-side-combined hash aggregate.
 """
 
 from __future__ import annotations
@@ -62,12 +64,15 @@ def filer_receipt_totals(
     ``filer_filings`` may contain duplicate link rows (CAL-ACCESS
     publishes them; the reference model declares no unique key) —
     they are collapsed before the join so amounts are never double
-    counted. Totals stay exact decimal until the final round/cast.
+    counted. No broadcast hint: the link table has one row per
+    filing, so it scales with the fact side — AQE broadcasts it when
+    it is actually small. Totals stay exact decimal until the final
+    round/cast.
     """
     live = latest_filing_lines(rcpt)
     links = filer_filings.select("FILER_ID", "FILING_ID").distinct()
     return (
-        live.join(F.broadcast(links), "FILING_ID")
+        live.join(links, "FILING_ID")
         .groupBy("FILER_ID")
         .agg(
             F.countDistinct("FILING_ID").alias("n_filings"),
@@ -147,10 +152,16 @@ def q105_calaccess_latest(spark, sf_dir: str):
 
     Plan: one explode (≤3× fan-out), one filing-keyed equi-join to
     lineitem, :func:`latest_filing_lines`'s single window max on the
-    filing key, a broadcast of the deduped link table, and one
-    map-side-combined hash aggregate — at 100 TB everything
-    partitions on FILING_ID except the final filer rollup. Amounts
-    stay exact decimal until the final round→double (rule 1).
+    filing key, the deduped link join, and one map-side-combined
+    hash aggregate — at 100 TB everything partitions on FILING_ID
+    except the final filer rollup. The link join carries NO
+    broadcast hint on purpose: a filing→filer link table has one
+    row per filing, i.e. it SCALES WITH the fact side — hinting it
+    broadcast would ship a data-sized table to every executor at
+    100×. It joins shuffle-on-filing_id (the key the latest-
+    amendment window just partitioned by), and AQE still picks a
+    broadcast at small scale on its own. Amounts stay exact decimal
+    until the final round→double (rule 1).
     """
     from ..tables import load_table
 
@@ -190,7 +201,7 @@ def q105_calaccess_latest(spark, sf_dir: str):
         .distinct()
     )
     return (
-        live.join(F.broadcast(links), "filing_id")
+        live.join(links, "filing_id")
         .groupBy("filer_id")
         .agg(
             F.countDistinct("filing_id").alias("n_filings"),
