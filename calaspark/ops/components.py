@@ -149,7 +149,9 @@ def connected_components(
         # ×2 per call. If the INPUT was already a star set, the
         # skipped probes cost two no-op alternations on a
         # vertex-sized edge set — cheaper than probing every round.
-        if it >= 2 and is_star_set(e):
+        # The final permitted round always probes so a small
+        # ``max_iter`` cannot yield a false non-convergence warning.
+        if (it >= 2 or it == max_iter - 1) and is_star_set(e):
             converged = True
             break
     if not converged:
