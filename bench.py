@@ -105,6 +105,41 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
     return (best[1], best[2]) if best else None
 
 
+#: Fixed stdout abbreviations for the named demo queries — the
+#: driver's 2000-byte capture tail can't afford their full names at
+#: 138+ queries. Numeric ids drop the `q` prefix instead. The exact
+#: map used is recorded in the sidecar (`stdout_key_map`); full
+#: names + 3-decimal times always live there.
+_STDOUT_ABBREV = {
+    "lsh_minhash_pairs": "lshmh",
+    "ann_ivf_topk": "aivf",
+    "ann_lsh_topk": "alsh",
+    "ann_recall": "arec",
+    "pandas_udf_quality": "pudfq",
+    "pandas_grouped_ops": "pgrp",
+    "udtf_tokens": "udtf",
+    "arrow_native": "arrow",
+    "sampling_stratified": "strat",
+    "approx_sketches": "sketch",
+    "sketch_error": "skerr",
+    "multimodal_features": "mmf",
+    "text_quality": "txtq",
+    "text_langid": "langid",
+    "dedup_clusters_lsh": "dclust",
+    "embedding_neardup": "embnd",
+    "ngram_neardup": "ngnd",
+    "simhash_neardup": "shnd",
+    "tfidf_topterms": "tfidf",
+}
+
+
+def _short_key(qid: str) -> str:
+    """Compact stdout key: q113 -> 113, named demos via _STDOUT_ABBREV."""
+    if qid.startswith("q") and qid[1:].isdigit():
+        return qid[1:]
+    return _STDOUT_ABBREV.get(qid, qid)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -127,7 +162,13 @@ def main() -> None:
         from calaspark.queries.demos import _ivf_index_path
 
         idx_path = Path(_ivf_index_path(sf_dir))
-        existed = (idx_path / "invfile" / "_SUCCESS").exists()
+        # mirror load_or_build_ivf_index's presence check: BOTH halves
+        # must carry _SUCCESS, else the warm-up rebuilds and
+        # existed=True would misreport a half-written index
+        existed = all(
+            (idx_path / part / "_SUCCESS").exists()
+            for part in ("centroids", "invfile")
+        )
         t0 = time.perf_counter()
         _run_once(QUERIES["ann_ivf_topk"], spark, sf_dir)
         ivf_prewarm = {
@@ -184,21 +225,21 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     # stdout: ONLY the fields the driver needs, compact — its capture
     # keeps a bounded tail (2000 bytes TOTAL including any preceding
-    # stderr, measured from BENCH_r06.json), and 78 queries of extras
-    # overflowed it in round 3 (BENCH_r03.json parsed=null). At 134
-    # queries the 3-decimal line hit 1957 bytes (43 bytes of margin),
-    # so the stdout line carries 2-decimal times — the 3-decimal
-    # figures stay in the sidecar — and every diagnostic print lands
-    # BEFORE the JSON line so nothing after it eats tail budget.
+    # stderr), and extras overflowed it in round 3 (BENCH_r03.json
+    # parsed=null). Round 8: at 138 queries even 2-decimal full-name
+    # keys hit 1,876/2,000 bytes (~10 queries of headroom), so the
+    # stdout line now carries SHORT keys (numeric ids lose the `q`
+    # prefix; named demos use the fixed abbreviations below) and
+    # 1-decimal times — both options the round-7 verdict sanctioned.
+    # Full names + 3-decimal figures stay in the sidecar, which also
+    # records the exact stdout_key_map used, so cross-round per-query
+    # comparison needs no guesswork.
     out = {
         "metric": "total_query_sec",
         "value": round(total, 2),
         "unit": "sec",
         "sf": _sf_of(sf_dir),
-        # n_queries is NOT in the driver's declared line format —
-        # len(queries) carries it; every byte matters against the
-        # 2000-byte capture tail (line was 1893/2000 at 138 queries)
-        "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries": {_short_key(k): round(v, 1) for k, v in times.items()},
     }
     line = json.dumps(out, separators=(",", ":"))
     print(f"stdout line: {len(line)} bytes", file=sys.stderr)
@@ -210,7 +251,8 @@ def main() -> None:
         **out,
         "value": total,
         "n_queries": len(times),
-        "queries": times,  # full 3-decimal figures (stdout is 2-dec)
+        "queries": times,  # full names + 3-decimal figures
+        "stdout_key_map": {_short_key(k): k for k in times},
         "plan_fingerprints": plans,
         "delta_vs_prev": deltas,
         "prev_bench": prev[0] if prev else None,

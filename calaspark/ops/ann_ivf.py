@@ -209,9 +209,10 @@ def load_ivf_index(
 #: In-process handle cache: centroids are model state (k × dim
 #: floats), and the index path is keyed by corpus mtime + params
 #: (see demos._ivf_index_path), so a cached handle can never go
-#: stale without its key changing. Saves one centroid-parquet read
-#: job per repeated probe in the same driver process.
-_INDEX_HANDLES: dict[tuple[str, str, str], IvfIndex] = {}
+#: stale without its key changing; the leading applicationId guards
+#: against handles outliving their SparkSession. Saves one
+#: centroid-parquet read job per repeated probe in the same driver.
+_INDEX_HANDLES: dict[tuple[str, str, str, str], IvfIndex] = {}
 
 
 def load_or_build_ivf_index(
@@ -225,10 +226,13 @@ def load_or_build_ivf_index(
     """Load the index at ``path`` if present, else build it there.
     Presence = the parquet ``_SUCCESS`` markers of both halves (a
     half-written index from a killed build is rebuilt, not trusted).
-    Handles are memoized per (path, id_col, vec_col) — the path
-    embeds the corpus mtime and quantizer params, so cache entries
-    self-invalidate with the data."""
-    key = (path, id_col, vec_col)
+    Handles are memoized per (session, path, id_col, vec_col) — the
+    path embeds the corpus mtime and quantizer params, so cache
+    entries self-invalidate with the data, and the applicationId in
+    the key means a stopped-and-recreated SparkSession in the same
+    process (multi-session tests, long-lived services) can never be
+    handed a handle bound to the dead session."""
+    key = (emb.sparkSession.sparkContext.applicationId, path, id_col, vec_col)
     cached = _INDEX_HANDLES.get(key)
     if cached is not None:
         return cached

@@ -188,6 +188,15 @@ def compact_parquet(
     import math
     from pathlib import Path
 
+    src_r = Path(src).resolve()
+    dst_r = Path(dst).resolve()
+    if dst_r == src_r or src_r in dst_r.parents:
+        raise ValueError(
+            "compact_parquet dst must not equal or nest under src "
+            f"(src={src_r}, dst={dst_r}): overwriting the path being "
+            "read would rely on Spark's self-overwrite detection and "
+            "corrupt the after-stats walk"
+        )
     src_files = [p for p in Path(src).rglob("*.parquet")]
     bytes_before = sum(p.stat().st_size for p in src_files)
     df = spark.read.parquet(src)

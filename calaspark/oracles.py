@@ -2646,10 +2646,12 @@ SELECT COUNT(*) AS n_users,
        COUNT(t1) AS n_viewed,
        COUNT(t2) AS n_clicked_after_view,
        COUNT(t3) AS n_purchased_after_click,
-       ROUND(CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE), 6)
-         AS view_to_click,
-       ROUND(CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE), 6)
-         AS click_to_purchase
+       CASE WHEN COUNT(t1) > 0 THEN
+         ROUND(CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE), 6)
+       END AS view_to_click,
+       CASE WHEN COUNT(t2) > 0 THEN
+         ROUND(CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE), 6)
+       END AS click_to_purchase
 FROM f
 """
 

@@ -516,6 +516,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: list(r["e"])
         for r in e.filter(F.col("vec_id").isin(list(probes))).collect()
     }
+    # probes absent from the corpus (tiny/filtered tables) are skipped
+    # rather than KeyError-ing the whole harness
+    probes = tuple(p for p in probes if p in qrows)
     exact_branches = []
     for probe in probes:
         qv = qrows[probe]
@@ -529,12 +532,13 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(10)
         )
-    u = exact_branches[0]
-    for b in exact_branches[1:]:
-        u = u.unionAll(b)
     exact_by_probe: dict[int, set] = {p: set() for p in probes}
-    for r in u.collect():
-        exact_by_probe[r["probe"]].add(r["vec_id"])
+    if exact_branches:
+        u = exact_branches[0]
+        for b in exact_branches[1:]:
+            u = u.unionAll(b)
+        for r in u.collect():
+            exact_by_probe[r["probe"]].add(r["vec_id"])
 
     rows = []
     for probe in probes:

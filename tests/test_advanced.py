@@ -263,3 +263,38 @@ def test_q107_priorities_match_python_md5(spark):
     scored.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4]))
     want = [(ok, ln, pk, sk, w, pr) for pr, ok, ln, pk, sk, w in scored[:20]]
     assert got == want
+
+
+def test_q110_no_exchange_carries_text_at_cut_grain(spark):
+    """Round-8 scale fix: q110's document text must cross an exchange
+    at most once per DOCUMENT — cut rows are projected down to
+    (doc_id, p) integers before the collect_list shuffle, and text is
+    joined back once per doc (the round-7 verdict's plan requirement).
+    Any Exchange whose input carries `text` must not also carry a
+    cut-grain position column (`p`/`i`)."""
+    import contextlib
+    import io
+    import re
+
+    from calaspark.queries.advanced import q110_cdc_chunks
+
+    df = q110_cdc_chunks(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the doc-keyed window of the round-7 shape is gone; the int-only
+    # collect_list aggregation is the cut-grain shuffle now
+    assert "Window" not in plan
+    assert "collect_list" in plan
+    sections = re.split(r"\n\(\d+\) ", plan)
+    for sec in sections:
+        if not sec.startswith(("Exchange", "BroadcastExchange")):
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+        assert m, f"exchange section without Input line: {sec[:120]}"
+        cols = m.group(1)
+        if "text#" in cols:
+            assert not re.search(r"\b(p|i)#", cols), (
+                "document text crosses an exchange at cut grain: " + cols
+            )
