@@ -42,6 +42,32 @@ def discover(raw_dir: str) -> dict[str, str]:
     return out
 
 
+def _maybe_compact(
+    spark: SparkSession, dest: str, threshold: int, target_bytes: int
+) -> dict | None:
+    """Post-load lake maintenance (S5/E24): when a freshly loaded
+    table landed as ≥ ``threshold`` parquet files, rewrite it toward
+    ``target_bytes``-sized files via ``ops.layout.compact_parquet``
+    (to a sibling temp dir — the helper refuses in-place — then an
+    atomic-enough local rename swap; object stores swap via a
+    manifest/rename of their own). Returns the before/after stats
+    dict for the manifest, or None when no compaction was needed."""
+    import shutil
+
+    from ..ops.layout import compact_parquet
+
+    files = [p for p in Path(dest).rglob("*.parquet")]
+    if len(files) < threshold:
+        return None
+    tmp = f"{dest}__compacting"
+    if Path(tmp).exists():  # leftover from a killed run — rebuild it
+        shutil.rmtree(tmp)
+    stats = compact_parquet(spark, dest, tmp, target_file_bytes=target_bytes)
+    shutil.rmtree(dest)
+    Path(tmp).rename(dest)
+    return stats
+
+
 def update(
     spark: SparkSession,
     raw_dir: str,
@@ -49,6 +75,8 @@ def update(
     manifest_path: str | None = None,
     force: bool = False,
     keep_files: bool = False,
+    compact_threshold: int | None = 8,
+    compact_target_bytes: int = 128 << 20,
 ) -> Manifest:
     """Run the full pipeline over every known TSV in ``raw_dir``.
 
@@ -56,6 +84,12 @@ def update(
     manifest entry are skipped (``force=True`` overrides).
     ``keep_files`` archives each raw TSV as gzip (the reference's
     --keep-files flag, S6). Returns the saved manifest.
+
+    ``compact_threshold``: when a loaded table lands as at least this
+    many parquet files, a post-load compaction pass collapses it
+    toward ``compact_target_bytes``-sized files and records the
+    before/after stats under the table's manifest ``extra``
+    ("compaction"); pass None to disable.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -104,6 +138,17 @@ def update(
                     f"write loss for {name}: observed {rec.clean_count} "
                     f"written, {rec.load_count} read back"
                 )
+            if compact_threshold is not None:
+                stats = _maybe_compact(
+                    spark, dest, compact_threshold, compact_target_bytes
+                )
+                if stats is not None:
+                    if stats["rows"] != rec.load_count:
+                        raise RuntimeError(
+                            f"compaction row drift for {name}: "
+                            f"{stats['rows']} != {rec.load_count}"
+                        )
+                    rec.extra["compaction"] = stats
             rec.status = "loaded"
         except Exception as e:
             rec.status = "failed"

@@ -1,0 +1,93 @@
+"""Exact heavy hitters with BOUNDED aggregation state (E19/E13 —
+the frequent-items primitive a training-data pipeline runs to find
+boilerplate tokens, hot n-grams, or over-represented domains).
+
+Two passes, both distributed, final answer EXACT:
+
+1. **Candidate pass** — Misra–Gries summaries (Misra & Gries 1982,
+   "Finding repeated elements"; mergeability per Agarwal et al. 2013)
+   with capacity ``k`` run independently over each Arrow batch via
+   ``mapInPandas``. Pigeonhole guarantee: an item with global count
+   > N/k has, in at least one batch of sizes n_b (Σn_b = N), local
+   count > n_b/k — else its total would be ≤ Σ n_b/k = N/k — and a
+   capacity-k Misra–Gries summary never evicts an item whose local
+   count exceeds n_b/k. The union of per-batch candidate sets
+   therefore contains EVERY global heavy hitter (plus false
+   positives, which pass 2 removes). State per task: one dict of at
+   most 2k entries — never the full key cardinality.
+2. **Recount pass** — a broadcast semi-join of the stream against
+   the candidate set (≤ 2k × #batches keys — model-sized for sane
+   k), then an exact ``groupBy().count()`` whose hash-agg state is
+   candidates-only, and the threshold filter ``count * k > N``.
+
+Why this matters at 100 TB: a plain ``groupBy(key).count()`` over a
+multi-billion-key column (URLs, shingles, user agents) carries the
+full key space through the shuffle and the aggregation hash maps;
+the candidate pass bounds both to O(k) per task regardless of
+cardinality, and only the tiny candidate set shuffles for the exact
+recount. The answer is identical to the naive plan — which is the
+DuckDB oracle for q113.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Distinct candidate keys from per-batch Misra–Gries summaries.
+
+    ``items`` is one row per occurrence (pre-exploded). Returns a
+    1-column DataFrame (``col``) that is a SUPERSET of every key
+    with global frequency > N/k, independent of partitioning —
+    the superset's exact membership varies with batch boundaries,
+    but downstream exact recounting makes the final answer
+    partition-invariant (the determinism contract).
+    """
+
+    def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            counters: dict = {}
+            for key in pdf[col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all; drop zeros (the classic step,
+                    # amortized O(1) via dict rebuild)
+                    counters = {
+                        c: n - 1 for c, n in counters.items() if n > 1
+                    }
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    schema = items.select(col).schema
+    return items.select(col).mapInPandas(summarize, schema).distinct()
+
+
+def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact keys with frequency > N/k and their exact counts.
+
+    Columns: ``col``, ``cnt`` (bigint), ``total`` (bigint, = N).
+    Ordered by (cnt desc, key) for a total order.
+    """
+    spark = items.sparkSession
+    cands = misra_gries_candidates(items, col, k)
+    total = items.select(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    counted = (
+        items.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))  # 1-row scalar join
+        .filter(F.col("cnt") * F.lit(k) > F.col("total"))
+        .orderBy(F.col("cnt").desc(), F.col(col))
+    )

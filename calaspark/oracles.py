@@ -2811,3 +2811,241 @@ WHERE amend_id > 0
 GROUP BY amend_id
 ORDER BY amend_id
 """
+
+# Q113 — exact heavy hitters ----------------------------------------
+# The naive full-vocabulary groupBy IS the oracle: the Spark side's
+# bounded-state Misra-Gries candidates + exact recount must land on
+# the identical (token, count) set for threshold N/30.
+
+ORACLES["q113"] = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok
+)
+SELECT c.tok, c.cnt, t.total
+FROM c, t
+WHERE c.cnt * 30 > t.total
+ORDER BY c.cnt DESC, c.tok
+"""
+
+# Q114 — sorted-neighborhood near-dup pairs -------------------------
+# Block = first two tokens; rank by (text, doc_id) within block;
+# candidates at rank distance <= 3; verify 3-shingle Jaccard >= 0.5
+# via the q91 inverted-index count-join.
+
+ORACLES["q114"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+  FROM documents
+), blocked AS (
+  SELECT doc_id, text, array_to_string(rawt[1:2], ' ') AS blk FROM t
+), ranked AS (
+  SELECT doc_id, blk,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY text, doc_id) AS r
+  FROM blocked
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.r > a.r AND b.r <= a.r + 3
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(rawt) - 1),
+           i -> array_to_string(rawt[i : i + 2], ' '))) AS toks
+  FROM t WHERE len(rawt) >= 3
+), sz AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM s
+), sh AS (
+  SELECT doc_id, unnest(toks) AS g FROM s
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY c.doc_a, c.doc_b
+), p AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         sa.nt + sb.nt - i.n_inter AS n_union
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4) AS sim
+FROM p
+WHERE 3 * n_inter >= n_union + n_inter
+ORDER BY doc_a, doc_b
+"""
+
+# Q115 — time-weighted average value (TWAP) -------------------------
+# Exact integer cents x integer-second holding intervals; floats
+# only in the final divisions.
+
+ORACLES["q115"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), iv AS (
+  SELECT event_type, cents,
+         LEAD(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) - ep
+           AS dur
+  FROM e
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_sec,
+       ROUND((CAST(SUM(cents * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE))
+             / 100.0, 6) AS twap_value
+FROM iv
+WHERE dur IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# Q116 — grouped OLS from exact moment sums -------------------------
+# HUGEINT sums mirror Spark's decimal(38,0); each sum casts to
+# double ONCE, then fixed IEEE expression trees.
+
+ORACLES["q116"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM li GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM g
+), m AS (
+  SELECT l_returnflag, n, nd, sxd, syd,
+         nd * sxyd - sxd * syd AS num,
+         nd * sxxd - sxd * sxd AS den,
+         nd * syyd - syd * syd AS deny
+  FROM d
+)
+SELECT l_returnflag, n,
+       ROUND(num / den, 6) AS slope_cents_per_unit,
+       ROUND((syd - (num / den) * sxd) / nd, 6) AS intercept_cents,
+       ROUND((num * num) / (den * deny), 6) AS r2
+FROM m
+ORDER BY l_returnflag
+"""
+
+# Q117 — relational division ("for all" join) -----------------------
+
+ORACLES["q117"] = """
+WITH e AS (
+  SELECT user_id, event_type FROM events
+), k AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+  FROM e
+), pu AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nt
+  FROM e GROUP BY user_id
+)
+SELECT MIN(k.n_event_types) AS n_event_types,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN nt = k.n_event_types THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_complete_users,
+       ROUND(CAST(SUM(CASE WHEN nt = k.n_event_types THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS complete_share
+FROM pu, k
+"""
+
+# Q118 — per-stratum weighted priority sample -----------------------
+# q107's md5-integer priority, ranked inside each source stratum.
+
+ORACLES["q118"] = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS u
+  FROM documents
+), s AS (
+  SELECT source, doc_id, w,
+         CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+  FROM d
+), r AS (
+  SELECT source, doc_id, w, priority,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY priority, doc_id) AS rn
+  FROM s
+)
+SELECT source, doc_id, w, priority, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+ORDER BY source, rn
+"""
+
+# Q119 — bigram collocations by lift --------------------------------
+# lift = n_xy * N / (n_x * n_y): exact integer factors, one fixed
+# IEEE expression; PMI's log dropped (monotone equivalent).
+
+ORACLES["q119"] = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t2 AS (
+  SELECT toks FROM t WHERE len(toks) > 1
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+  FROM (SELECT unnest(toks) AS w FROM t2) GROUP BY w
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM (SELECT unnest(toks) AS w FROM t2)
+), big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, UNNEST(range(1, len(toks))) AS u(i)
+), nxy AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM big GROUP BY w1, w2
+)
+SELECT n.w1, n.w2, n.n_xy, ux.nw AS n_x, uy.nw AS n_y,
+       ROUND((CAST(n.n_xy AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+             / (CAST(ux.nw AS DOUBLE) * CAST(uy.nw AS DOUBLE)), 6)
+         AS lift
+FROM nxy n
+JOIN uni ux ON ux.w = n.w1
+JOIN uni uy ON uy.w = n.w2, nn t
+WHERE n.n_xy >= 5
+ORDER BY lift DESC, n.w1, n.w2
+LIMIT 20
+"""
+
+# Q120 — second-order event sequence mining -------------------------
+
+ORACLES["q120"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_type
+  FROM events
+), tri AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY cnt DESC, e1, e2, e3
+LIMIT 15
+"""

@@ -1906,3 +1906,388 @@ def q111_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------- Q113
+
+
+def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact HEAVY HITTERS with bounded aggregation state (E19/E13 —
+    the frequent-items pass a pipeline runs over a multi-billion-key
+    column before deciding what to filter): tokens of the documents
+    corpus with frequency > N/k, k=30, found via per-batch
+    Misra-Gries candidate summaries (ops/heavy.py — O(k) state per
+    task regardless of key cardinality) plus an exact recount of the
+    candidate set only.
+
+    The answer is EXACT and partition-invariant: the candidate union
+    is a guaranteed superset of every global heavy hitter
+    (pigeonhole over batch sizes), and the recount pass replaces
+    false positives with their true counts before the threshold
+    filter — so the DuckDB oracle is the naive full groupBy, which
+    at 100 TB is exactly the plan this operator exists to avoid
+    (full-vocabulary shuffle + hash-agg state).
+    """
+    from ..ops.heavy import heavy_hitters
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    return heavy_hitters(d, "tok", k=30)
+
+
+# ---------------------------------------------------------------- Q114
+
+
+def q114_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD near-dup blocking (Hernandez-Stolfo SNM,
+    the record-linkage classic — E17's third blocking family next to
+    LSH banding (q95) and grid blocking (q73)): sort documents by a
+    blocking key, compare each doc only against its w nearest
+    neighbors in sort order, verify candidates with exact 3-shingle
+    Jaccard >= 0.5.
+
+    Contract (block-windowed SNM): block = first two tokens; within
+    a block, rank by (text, doc_id); candidate pairs are rank
+    distance <= 3. Blocks keep every window PARTITIONED (no global
+    single-task sort): ranks come from a block-keyed row_number, and
+    the window join is an equi-join on (block, rank+offset). The
+    verify stage is the q91 inverted-index count-join — candidates
+    carry only integers; shingle sets never ride the pair rows.
+    """
+    from ..ops.ssjoin import shingle_rows
+
+    w = 3
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    blocked = d.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", toks[0], toks[1]).alias("blk"),
+    )
+    wr = Window.partitionBy("blk").orderBy("text", "doc_id")
+    ranked = blocked.select(
+        "doc_id", "blk", F.row_number().over(wr).alias("r")
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        "blk",
+        F.explode(F.sequence(F.col("r") + 1, F.col("r") + w)).alias("r2"),
+    )
+    cand = left.join(
+        ranked.select(F.col("doc_id").alias("doc_b"), "blk", F.col("r").alias("r2")),
+        ["blk", "r2"],
+    ).select("doc_a", "doc_b")
+
+    sh = shingle_rows(d, "doc_id", "text", k=3)  # (doc_id, nt, g)
+    sz = sh.select("doc_id", "nt").distinct()
+    ia = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+    inter = (
+        ia.join(sh.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    p = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("nta") + F.col("ntb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    return (
+        p.filter(F.lit(3) * F.col("n_inter") >= F.col("n_union") + F.col("n_inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 4
+            ).alias("sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- Q115
+
+
+def q115_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE value per event type (the TWAP /
+    interval-weighting idiom of time-series analytics — an event's
+    value holds until the user's NEXT event, so a value that stood
+    for an hour weighs 3600x one that stood a second; plain AVG
+    can't express this).
+
+    Each event's weight is the integer-second gap to the same
+    user's next event ((ep, event_id) total order; a user's last
+    event has no holding interval and drops out). Exact arithmetic
+    end to end: cents via ROUND(value*100) of the IEEE product (the
+    o_totalprice lesson), weights are integer seconds, the weighted
+    sum is a sum of exact bigint products — the only floats are the
+    final divisions. Plan: one user-keyed window (lead), one
+    event_type hash-agg; everything partitions on user_id then
+    event_type at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _ep("ts").alias("ep"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    iv = e.select(
+        "event_type",
+        "cents",
+        (F.lead("ep").over(wu) - F.col("ep")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").alias("total_sec"),
+            F.round(
+                (
+                    F.sum(F.col("cents") * F.col("dur")).cast("double")
+                    / F.sum("dur").cast("double")
+                )
+                / F.lit(100.0),
+                6,
+            ).alias("twap_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q116
+
+
+def q116_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED LINEAR REGRESSION (exact-moment OLS — the analytics/
+    feature-engineering staple regr_slope gives approximately but
+    float-sum order makes engine-dependent): per l_returnflag, the
+    slope, intercept and r-squared of extendedprice-cents on
+    quantity, from EXACT integer moment sums.
+
+    Determinism: x = quantity (int), y = ROUND(price*100) cents
+    (bigint); per-row products fit long; the five moment sums
+    accumulate as decimal(38,0) (DuckDB: HUGEINT) so they are exact
+    integers; each is then cast once to double (correctly rounded in
+    both engines) and the closed-form slope/intercept/r2 are fixed
+    IEEE expression trees — bit-identical cross-engine. Plan: one
+    scan, one map-side-combined hash-agg to flag grain; the moment
+    trick means ANY group size at 100 TB costs one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    d20 = "decimal(20,0)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d20)).alias("sx"),
+        F.sum(F.col("y").cast(d20)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d20)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d20)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d20)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / den
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- Q117
+
+
+def q117_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION ("for all" join — the textbook operator
+    SQL spells GROUP BY ... HAVING COUNT(DISTINCT) = universe):
+    which users have performed EVERY event type present in the
+    corpus, with the universe size computed from the data itself.
+
+    Plan: one distinct-count for the universe (1 row, broadcast as
+    the declared q01 scalar-merge pattern), one user-keyed distinct
+    count, one threshold filter, one global rollup. Both aggregates
+    are map-side combined; nothing is driver-side.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    k = e.agg(
+        F.countDistinct("event_type").cast("long").alias("n_event_types")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("nt")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(k))  # 1-row scalar join
+        .agg(
+            F.min("n_event_types").alias("n_event_types"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                (F.col("nt") == F.col("n_event_types")).cast("long")
+            ).alias("n_complete_users"),
+            F.round(
+                F.sum((F.col("nt") == F.col("n_event_types")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("complete_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q118
+
+
+def q118_stratified_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-STRATUM weighted priority sampling (q107's stratified
+    completion — the per-source quota draw a training-data mixture
+    builder runs: 3 docs per source, inclusion odds proportional to
+    document length, reproducible across engines and snapshots).
+
+    Priority q = u / w with u the integer md5-prefix hash of doc_id
+    and w = n_chars; the per-source sample is the 3 SMALLEST
+    priorities (row_number over (source) ordered by (priority,
+    doc_id) — hash ties extend through the key so the multiset is a
+    total function of the data). Plan: one scan, codegen hash +
+    division, one source-partitioned window — each stratum ranks
+    inside its own partition, no global sort at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    s = d.select(
+        "source",
+        "doc_id",
+        "w",
+        (u.cast("double") / F.col("w").cast("double")).alias("priority"),
+    )
+    ws = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        s.select(
+            "source",
+            "doc_id",
+            "w",
+            "priority",
+            F.row_number().over(ws).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("source", "rn")
+    )
+
+
+# ---------------------------------------------------------------- Q119
+
+
+def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM COLLOCATION mining by lift (the PMI-family statistic
+    with the log dropped — lift = P(xy)/(P(x)P(y)) ranks identically
+    to PMI and stays an exact-integer cross-ratio, so no libm in the
+    contract): the 20 strongest token bigrams with count >= 5.
+
+    lift = n_xy * N / (n_x * n_y) where N is the total token count;
+    all four factors are exact integers, the score is one IEEE
+    division (well, one multiply each side then a divide — a fixed
+    expression tree both engines evaluate identically). Plan:
+    bigrams via zip_with over adjacent slices (pure codegen, q59's
+    2-gram idiom), two hash-aggs (bigram grain, unigram grain), two
+    joins unigram-side (dictionary-sized at any corpus — the
+    vocabulary, not the corpus, bounds them), TakeOrdered top-20.
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(tokens("text").alias("toks"))
+    d = d.filter(F.size("toks") > 1)
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    )
+    nn = d.select(F.explode("toks").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    big = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    nxy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    j = (
+        nxy.filter(F.col("n_xy") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("nw").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("nw").alias("n_y")), "w2")
+        .crossJoin(F.broadcast(nn))  # 1-row scalar join
+    )
+    lift = (F.col("n_xy").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("n_x").cast("double") * F.col("n_y").cast("double")
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q120
+
+
+def q120_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-ORDER SEQUENCE MINING over the event stream (q81's
+    Markov matrix is first-order; funnels (q108) are fixed-pattern —
+    this surfaces the top free-form 3-step behavioral patterns): the
+    15 most frequent (event, next, next-next) trigrams within a
+    user's (ep, event_id)-ordered stream.
+
+    Plan: one user-keyed window (two leads share one sort), one
+    trigram hash-agg (state bounded by |event_type|^3 — tiny),
+    TakeOrdered top-15 with the (count desc, a, b, c) total order.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ep("ts").alias("ep"), "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(wu).alias("e2"),
+        F.lead("event_type", 2).over(wu).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )

@@ -298,3 +298,107 @@ def test_q110_no_exchange_carries_text_at_cut_grain(spark):
             assert not re.search(r"\b(p|i)#", cols), (
                 "document text crosses an exchange at cut grain: " + cols
             )
+
+
+def test_misra_gries_candidates_superset_and_exact_recount(spark):
+    """ops/heavy.py contract: the per-batch Misra-Gries candidate
+    union is a SUPERSET of every key with global count > N/k for any
+    partitioning (pigeonhole), and heavy_hitters equals the naive
+    full groupBy + threshold filter exactly."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.heavy import heavy_hitters, misra_gries_candidates
+
+    # skewed stream: key j appears ~2^j times, shuffled determin-
+    # istically across 7 partitions so batches interleave keys
+    rows = []
+    for j in range(12):
+        rows.extend([f"k{j:02d}"] * (2**j))
+    df = (
+        spark.createDataFrame([(x,) for x in rows], "tok string")
+        .withColumn("h", F.crc32(F.col("tok")))
+        .repartition(7, "h")
+        .select("tok")
+    )
+    n = len(rows)
+    for k in (4, 16, 64):
+        true_hh = {
+            r["tok"]: r["cnt"]
+            for r in df.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * k > F.lit(n))
+            .collect()
+        }
+        cands = {r["tok"] for r in misra_gries_candidates(df, "tok", k).collect()}
+        assert set(true_hh) <= cands, (k, sorted(true_hh), sorted(cands))
+        got = {
+            r["tok"]: (r["cnt"], r["total"])
+            for r in heavy_hitters(df, "tok", k).collect()
+        }
+        assert got == {t: (c, n) for t, c in true_hh.items()}
+
+
+def test_q116_ols_matches_numpy(spark):
+    """Grouped OLS from exact moment sums must agree with numpy's
+    least-squares fit on the same (x, y) points."""
+    import numpy as np
+
+    from calaspark.queries.advanced import q116_grouped_ols
+
+    got = {
+        r["l_returnflag"]: r
+        for r in q116_grouped_ols(spark, "/root/testdata/sf0.001").collect()
+    }
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].astype("int64").to_numpy(dtype="float64")
+        y = np.round(grp["l_extendedprice"].to_numpy() * 100).astype("float64")
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[flag]
+        assert row["n"] == len(grp)
+        assert abs(row["slope_cents_per_unit"] - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(row["intercept_cents"] - intercept) < 1e-4 * max(1, abs(intercept))
+        assert abs(row["r2"] - r * r) < 1e-6
+
+
+def test_q114_snm_pairs_match_bruteforce(spark):
+    """Sorted-neighborhood pairs vs a pure-Python implementation of
+    the same contract (block by first two tokens, rank by (text,
+    doc_id), window 3, 3-shingle Jaccard >= 0.5)."""
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q114_sorted_neighborhood_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in q114_sorted_neighborhood_pairs(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    blocks = defaultdict(list)
+    sh = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        blocks[" ".join(toks[:2])].append((r["text"], r["doc_id"]))
+        if len(toks) >= 3:
+            sh[r["doc_id"]] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+    want = {}
+    for members in blocks.values():
+        members.sort()
+        for i, (_, a) in enumerate(members):
+            for _, b in members[i + 1 : i + 4]:
+                sa, sb = sh.get(a, set()), sh.get(b, set())
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if union and 3 * inter >= union + inter:
+                    want[(a, b)] = (inter, union)
+    assert got == want

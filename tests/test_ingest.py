@@ -384,3 +384,52 @@ def test_observed_write_counts_match_readback(spark, tmp_path):
     n = write_parquet_observed(df, dest, partition_by=["g"])
     assert n == 1234
     assert spark.read.parquet(dest).count() == 1234
+
+
+def test_orchestrator_compacts_small_file_loads(spark, tmp_path):
+    """S5 lake maintenance end-to-end (round-7 verdict #6): a load
+    that lands as many small parquet files triggers the post-load
+    compaction pass, which collapses them toward target size and
+    records before/after stats in the manifest."""
+    from calaspark.ingest.schemas import RCPT_CD
+
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    idx = {c: i for i, c in enumerate(RCPT_CD)}
+    rows = []
+    for i in range(4000):
+        vals = [""] * len(RCPT_CD)
+        vals[idx["FILING_ID"]] = str(1_000_000 + i)
+        vals[idx["AMEND_ID"]] = "0"
+        vals[idx["AMOUNT"]] = "12.34"
+        rows.append("\t".join(vals))
+    (raw_dir / "RCPT_CD.TSV").write_text(
+        "\n".join(["\t".join(RCPT_CD), *rows]) + "\n"
+    )
+    out = tmp_path / "lake"
+    # shrink input splits so the load fans out into many writer tasks
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        man = update(spark, str(raw_dir), str(out), compact_threshold=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    rec = man.files["RCPT_CD"]
+    assert rec.status == "loaded"
+    stats = rec.extra["compaction"]
+    assert stats["files_before"] >= 4
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == rec.load_count == 4000
+
+    # the compacted table still reads whole and typed
+    back = spark.read.parquet(str(out / "RCPT_CD"))
+    assert back.count() == 4000
+    assert dict(back.dtypes)["AMOUNT"] == "decimal(14,2)"
+    import glob
+
+    assert len(glob.glob(str(out / "RCPT_CD" / "*.parquet"))) == stats["files_after"]
+
+    # stats survive manifest reload
+    man2 = Manifest(out / "manifest.json")
+    assert man2.files["RCPT_CD"].extra["compaction"] == stats

@@ -109,6 +109,19 @@ ALLOWED = {
     # merge) broadcast-crossJoined onto the small added-keys branch
     # (1-row BNLJ) — the declared collision-free insert-key shape
     "q111": {"bnlj", "single_part_exchange"},
+    # Misra-Gries candidate pass IS the Arrow boundary (bounded O(k)
+    # dict per batch — ops/heavy.py); the 1-row total-count scalar
+    # broadcast-crossJoins onto the recount (1-row BNLJ + its global
+    # final merge) — q56/q80/tfidf's declared scalar-subquery shape
+    "q113": {"py_arrow", "bnlj", "single_part_exchange"},
+    # universe size (COUNT DISTINCT event_type, 1 row) broadcast-
+    # crossJoined onto the per-user counts (1-row BNLJ) + the global
+    # 1-row division report (final merge) — declared scalar shape
+    "q117": {"bnlj", "single_part_exchange"},
+    # total-token normalizer (1 row) broadcast-crossJoined onto the
+    # bigram-grain lift computation (1-row BNLJ + its final merge) —
+    # q104/tfidf's declared scalar-subquery shape
+    "q119": {"bnlj", "single_part_exchange"},
 }
 
 
