@@ -2901,8 +2901,10 @@ WITH e AS (
 SELECT event_type,
        COUNT(*) AS n_intervals,
        CAST(SUM(dur) AS BIGINT) AS total_sec,
-       ROUND((CAST(SUM(cents * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE))
-             / 100.0, 6) AS twap_value
+       CASE WHEN SUM(dur) > 0 THEN
+         ROUND((CAST(SUM(cents * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE))
+               / 100.0, 6)
+       END AS twap_value
 FROM iv
 WHERE dur IS NOT NULL
 GROUP BY event_type
@@ -2940,9 +2942,12 @@ WITH li AS (
   FROM d
 )
 SELECT l_returnflag, n,
-       ROUND(num / den, 6) AS slope_cents_per_unit,
-       ROUND((syd - (num / den) * sxd) / nd, 6) AS intercept_cents,
-       ROUND((num * num) / (den * deny), 6) AS r2
+       CASE WHEN den <> 0 THEN ROUND(num / den, 6) END
+         AS slope_cents_per_unit,
+       CASE WHEN den <> 0 THEN ROUND((syd - (num / den) * sxd) / nd, 6) END
+         AS intercept_cents,
+       CASE WHEN den * deny <> 0 THEN ROUND((num * num) / (den * deny), 6) END
+         AS r2
 FROM m
 ORDER BY l_returnflag
 """
@@ -2978,6 +2983,7 @@ WITH d AS (
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
               AS BIGINT) AS u
   FROM documents
+  WHERE n_chars > 0
 ), s AS (
   SELECT source, doc_id, w,
          CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS priority

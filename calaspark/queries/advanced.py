@@ -1980,7 +1980,12 @@ def q114_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         ["blk", "r2"],
     ).select("doc_a", "doc_b")
 
-    sh = shingle_rows(d, "doc_id", "text", k=3)  # (doc_id, nt, g)
+    from ..ops.materialize import materialize
+
+    # sh feeds FOUR join sides below — materialize once so the
+    # tokenize + shingle window doesn't re-execute per side (the
+    # q94/q95 shared-table lesson)
+    sh = materialize(shingle_rows(d, "doc_id", "text", k=3))  # (doc_id, nt, g)
     sz = sh.select("doc_id", "nt").distinct()
     ia = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
     inter = (
@@ -2051,13 +2056,16 @@ def q115_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dur").alias("total_sec"),
-            F.round(
-                (
-                    F.sum(F.col("cents") * F.col("dur")).cast("double")
-                    / F.sum("dur").cast("double")
-                )
-                / F.lit(100.0),
-                6,
+            F.when(
+                F.sum("dur") > 0,
+                F.round(
+                    (
+                        F.sum(F.col("cents") * F.col("dur")).cast("double")
+                        / F.sum("dur").cast("double")
+                    )
+                    / F.lit(100.0),
+                    6,
+                ),
             ).alias("twap_value"),
         )
         .orderBy("event_type")
@@ -2110,9 +2118,13 @@ def q116_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "n",
-        F.round(slope, 6).alias("slope_cents_per_unit"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
-        F.round((num * num) / (den * deny), 6).alias("r2"),
+        F.when(den != 0.0, F.round(slope, 6)).alias("slope_cents_per_unit"),
+        F.when(den != 0.0, F.round((sy - slope * sx) / n, 6)).alias(
+            "intercept_cents"
+        ),
+        F.when(den * deny != 0.0, F.round((num * num) / (den * deny), 6)).alias(
+            "r2"
+        ),
     ).orderBy("l_returnflag")
 
 
@@ -2173,8 +2185,13 @@ def q118_stratified_priority_sample(spark: SparkSession, sf_dir: str) -> DataFra
     division, one source-partitioned window — each stratum ranks
     inside its own partition, no global sort at any scale.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("w"))
+        # zero-length docs carry no sampling weight — and u/0.0 is
+        # Infinity in Spark but NULL in DuckDB, so the filter is also
+        # the cross-engine guard
+        .filter(F.col("w") > 0)
     )
     u = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
