@@ -485,8 +485,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets can't co-locate the "nearest" of essentially random
     vectors, while IVF's data-adaptive cells still capture the
     local neighborhood. Exactly the comparison this harness exists
-    to surface; the 5-point curve costs 10 pruned probe jobs (vs 2
-    before round 8) on top of the two exact measuring sticks.
+    to surface; the whole 5-point curve costs ONE distributed job
+    (per-(probe, cell) top-10s collected once — the nprobe=j answer
+    is the driver-side merge of the j best cells' top-10s, which is
+    exactly ann_topk_ivf's result because a global top-k over a
+    union of cells equals the merge of per-cell top-ks under the
+    same (sim desc, id) order).
 
     The per-probe top-10 lists collected here are k-row,
     driver-sized results of distributed TopK jobs (the same
@@ -559,18 +563,69 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curve is roughly linear in scan_frac (cells barely structure
     # random vectors — there is no low-nprobe sweet spot to find,
     # which is itself the measurement's answer).
+    # The whole 5-point curve costs ONE distributed job: per-(probe,
+    # cell) top-10 under ann_topk_ivf's exact ordering (rounded sim
+    # desc, vec_id) — 2 probes x 16 cells x 10 rows to the driver —
+    # then the nprobe=j result is the merge of the top-10s of the j
+    # best cells (global-top-k of a cell union == merge of per-cell
+    # top-ks; cell ranking is the same driver-side centroid argsort
+    # ivf_probe uses, so the measured recall is the REAL operator's).
+    from pyspark.sql import Window as _W
+
+    from ..ops.ann_ivf import _unit_rows, load_or_build_ivf_index
+
     n_cells = 16
+    idx = load_or_build_ivf_index(e, _ivf_index_path(sf_dir))
+    inv = spark.read.parquet(idx.invfile_path)
+    cell_order: dict[int, list] = {}
+    branches2 = []
+    for probe in probes:
+        qv = qrows[probe]
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        qu = np.asarray([x / qn for x in qv], dtype="float64")
+        cell_order[probe] = [
+            int(c) for c in np.argsort(-(_unit_rows(idx.centroids) @ qu))
+        ]
+        vnrm = F.sqrt(
+            F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+        )
+        sim = F.round(
+            _dot_probe(F.col("e"), qu)
+            / F.when(vnrm == 0.0, F.lit(1.0)).otherwise(vnrm),
+            4,
+        )
+        branches2.append(
+            inv.select(
+                F.lit(probe).alias("probe"),
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                sim.alias("sim"),
+            )
+        )
+    u2 = branches2[0]
+    for b in branches2[1:]:
+        u2 = u2.unionAll(b)
+    wcell = _W.partitionBy("probe", "cell").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    cell_top = [
+        r
+        for r in u2.withColumn("rk", F.row_number().over(wcell))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    ]
+
     rows = []
     for probe in probes:
         exact = exact_by_probe[probe]
+        mine = [r for r in cell_top if r["probe"] == probe]
         for nprobe in (1, 2, 4, 8, 16):
-            ivf = {
-                r["vec_id"]
-                for r in ann_topk_ivf(
-                    e, probe_id=probe, k=10, n_cells=n_cells, nprobe=nprobe,
-                    index_path=_ivf_index_path(sf_dir),
-                ).collect()
-            }
+            chosen = set(cell_order[probe][:nprobe])
+            merged = sorted(
+                (r for r in mine if r["cell"] in chosen),
+                key=lambda r: (-r["sim"], r["vec_id"]),
+            )[:10]
+            ivf = {r["vec_id"] for r in merged}
             rows.append(
                 ("ivf", probe, nprobe, nprobe / n_cells, len(exact & ivf))
             )

@@ -402,3 +402,58 @@ def test_q114_snm_pairs_match_bruteforce(spark):
                 if union and 3 * inter >= union + inter:
                     want[(a, b)] = (inter, union)
     assert got == want
+
+
+def test_ann_recall_curve_matches_direct_operator(spark):
+    """Round-8 restructure: ann_recall derives the nprobe curve from
+    ONE per-(probe, cell) top-10 job; each reconstructed nprobe=j
+    answer must equal the REAL ann_topk_ivf(nprobe=j) output's
+    overlap with the exact brute-force top-10 — the harness measures
+    the operator, not an approximation of it."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.ann_ivf import ann_topk_ivf
+    from calaspark.queries.demos import _ivf_index_path, ann_recall
+    from calaspark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    harness = {
+        (r["probe_id"], r["nprobe"]): r["recall_at_10"]
+        for r in ann_recall(spark, sf).collect()
+        if r["method"] == "ivf"
+    }
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["e"], dtype="float64") for r in rows}
+    for probe in (0, 17):
+        q = vecs[probe]
+        qu = q / (np.linalg.norm(q) or 1.0)
+        sims = sorted(
+            (
+                (
+                    -float(v @ qu / (np.linalg.norm(v) or 1.0)),
+                    vid,
+                )
+                for vid, v in vecs.items()
+            ),
+        )
+        exact = {vid for _, vid in sims[:10]}
+        for nprobe in (1, 4, 16):
+            direct = {
+                r["vec_id"]
+                for r in ann_topk_ivf(
+                    emb, probe_id=probe, k=10, n_cells=16, nprobe=nprobe,
+                    index_path=_ivf_index_path(sf),
+                ).collect()
+            }
+            assert harness[(probe, nprobe)] == len(exact & direct), (
+                probe,
+                nprobe,
+            )
+        assert harness[(probe, 16)] == 10  # exactness sanity bound
