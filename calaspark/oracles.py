@@ -3055,3 +3055,70 @@ GROUP BY e1, e2, e3
 ORDER BY cnt DESC, e1, e2, e3
 LIMIT 15
 """
+
+# Q121 — exact weighted quartiles (q98 generalized) ------------------
+# Oracle states the semantics at full (flag, price) grain; the Spark
+# side's bucketed two-level search must land on identical prices.
+
+ORACLES["q121"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         l_extendedprice AS price,
+         CAST(l_quantity AS DECIMAL(20,2)) AS q
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag, price, SUM(q) AS w
+  FROM li GROUP BY l_returnflag, price
+), c AS (
+  SELECT l_returnflag, price,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+), hit AS (
+  SELECT l_returnflag, k, MIN(price) AS qp, MAX(tot) AS tot
+  FROM c, UNNEST([1, 2, 3]) AS u(k)
+  WHERE 4 * cum >= k * tot
+  GROUP BY l_returnflag, k
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN k = 1 THEN qp END) AS p25_price,
+       MIN(CASE WHEN k = 2 THEN qp END) AS median_price,
+       MIN(CASE WHEN k = 3 THEN qp END) AS p75_price,
+       CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_qty
+FROM hit
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# Q122 — OHLC resampling ---------------------------------------------
+
+ORACLES["q122"] = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events
+), b AS (
+  SELECT event_type, CAST(ep // 21600 AS BIGINT) AS bucket,
+         ep, event_id, value
+  FROM e
+), v AS (
+  SELECT event_type, bucket, value,
+         FIRST_VALUE(value) OVER w AS open,
+         LAST_VALUE(value) OVER
+           (PARTITION BY event_type, bucket ORDER BY ep, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS close
+  FROM b
+  WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ep, event_id)
+)
+SELECT event_type, bucket,
+       MIN(open) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(close) AS close,
+       COUNT(*) AS n_events
+FROM v
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""

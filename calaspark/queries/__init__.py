@@ -22,6 +22,7 @@ QUERIES: dict[str, QueryFn] = {
     # in CORRECTNESS_r02-r07: keyset == first 50 keys).  Round-8
     # window, by priority — exactly 50: (1) q113-q120, new this
     # round (exact heavy hitters with bounded Misra-Gries state,
+    # weighted quartiles, OHLC resampling,
     # sorted-neighborhood near-dup blocking, time-weighted averages,
     # grouped OLS from exact moment sums, relational division,
     # stratified priority sampling, bigram collocation lift, and
@@ -43,6 +44,8 @@ QUERIES: dict[str, QueryFn] = {
     "q118": advanced.q118_stratified_priority_sample,
     "q119": advanced.q119_collocations,
     "q120": advanced.q120_event_trigrams,
+    "q121": advanced.q121_weighted_quantiles,
+    "q122": advanced.q122_ohlc_resample,
     "q110": advanced.q110_cdc_chunks,
     "q108": advanced.q108_funnel,
     "q08": relational.q08_join_left_nullfill,
@@ -83,11 +86,11 @@ QUERIES: dict[str, QueryFn] = {
     "q43": extensions.q43_unpivot_events,
     "q13_latest": relational.q13_latest,
     "q18_distinct_rows": relational.q18_distinct_rows,
-    "q25_monthly": etl.q25_monthly,
-    "q29_doc_distinct": extensions.q29_doc_distinct,
     # --- position 51+ from here (driver window cut): every id below
     # is driver-green in CORRECTNESS_r06/r07 and re-verified every
     # round by tools/verify_local.py (full-keyset sweep). ---
+    "q25_monthly": etl.q25_monthly,
+    "q29_doc_distinct": extensions.q29_doc_distinct,
     "q32_keyed": extensions.q32_keyed,
     "q38_right": extensions.q38_join_right,
     "q38_cross": extensions.q38_join_cross,

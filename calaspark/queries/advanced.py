@@ -2308,3 +2308,142 @@ def q120_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------- Q121
+
+
+def q121_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted QUARTILES per group, float-free (q98's
+    generalization — the full summary a mixture/budget planner needs,
+    not just the median): per ``l_returnflag``, the smallest price
+    whose cumulative quantity weight reaches p = 1/4, 2/4, 3/4 of
+    the group total. Membership is the integer-scaled decimal test
+    ``4·cum ≥ k·tot`` (k = 1, 2, 3) — no division anywhere.
+
+    Plan (q98's two-level bucketed search, shared across quantiles):
+    the (flag, price) pre-agg and the 1024-wide bucket cum table
+    build ONCE; each quantile k locates its target bucket on the
+    bucket-grain window (first bucket where ``4·bcum ≥ k·tot`` —
+    monotone cum, so provably the answer's bucket), and the exact
+    in-bucket test runs per (flag, k) over the single surviving
+    bucket's rows (broadcast 9-row join). The final window's input
+    stays bucket-grain-bounded — never the group's value domain —
+    exactly the q98 scale contract, now amortized over three
+    quantiles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        dec("l_quantity").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    gb = g.withColumn("bkt", F.floor(F.col("price") / F.lit(1024)))
+    b = gb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
+    wcumb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtotb = Window.partitionBy("l_returnflag")
+    bc = b.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(wcumb).alias("bcum"),
+        F.sum("bw").over(wtotb).alias("tot"),
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    mb = (
+        bc.select("l_returnflag", "bkt", "bw", "bcum", "tot", ks)
+        .filter(F.lit(4) * F.col("bcum") >= F.col("k") * F.col("tot"))
+        .groupBy("l_returnflag", "k")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bkt").alias("mbkt"),
+                    (F.col("bcum") - F.col("bw")).alias("cum_before"),
+                    F.col("tot").alias("tot"),
+                ),
+                F.col("bkt"),
+            ).alias("s")
+        )
+        .select("l_returnflag", "k", "s.mbkt", "s.cum_before", "s.tot")
+    )
+    inb = gb.join(F.broadcast(mb), "l_returnflag").filter(
+        F.col("bkt") == F.col("mbkt")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag", "k")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = inb.select(
+        "l_returnflag",
+        "k",
+        "price",
+        (F.col("cum_before") + F.sum("w").over(wcum)).alias("cum"),
+        "tot",
+    )
+    hit = (
+        c.filter(F.lit(4) * F.col("cum") >= F.col("k") * F.col("tot"))
+        .groupBy("l_returnflag", "k")
+        .agg(F.min("price").alias("qp"), F.max("tot").alias("tot"))
+    )
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("k") == 1, F.col("qp"))).alias("p25_price"),
+            F.min(F.when(F.col("k") == 2, F.col("qp"))).alias("median_price"),
+            F.min(F.when(F.col("k") == 3, F.col("qp"))).alias("p75_price"),
+            F.round(F.max("tot"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- Q122
+
+
+def q122_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC TIME-SERIES RESAMPLING (the downsampling idiom of every
+    market/metrics store — E3/E7's bar-building completion): per
+    (event_type, 6-hour bucket), the opening value (earliest event),
+    high, low, closing value (latest event), and the event count.
+
+    Open/close are SELECTIONS under the (ep, event_id) total order
+    (no arithmetic — cross-engine identical doubles); high/low are
+    min/max selections; the bucket is integer ``ep div 21600``
+    (rule 2: epoch-derived ints, no raw timestamps). Plan: ONE
+    (type, bucket)-keyed window sort carries both first_value and
+    last_value (frame to unbounded following for the close), then
+    one hash-agg; everything partitions on (type, bucket) at any
+    scale — bars build independently.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        _ep("ts").alias("ep"),
+        "value",
+    )
+    e = e.withColumn("bucket", F.floor(F.col("ep") / F.lit(21600)).cast("long"))
+    wb = Window.partitionBy("event_type", "bucket").orderBy("ep", "event_id")
+    wall = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = e.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.first("value").over(wb).alias("open"),
+        F.last("value").over(wall).alias("close"),
+    )
+    return (
+        v.groupBy("event_type", "bucket")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -457,3 +457,29 @@ def test_ann_recall_curve_matches_direct_operator(spark):
                 nprobe,
             )
         assert harness[(probe, 16)] == 10  # exactness sanity bound
+
+
+def test_q121_quartiles_consistent_with_q98_and_bucket_grain(spark):
+    """q121's median must equal q98's weighted median (same contract,
+    k=2), its quartiles must be ordered, and the final in-bucket
+    window must keep q98's bucket-grain plan shape (mbkt join below
+    the window)."""
+    from calaspark.queries.advanced import q98_weighted_median, q121_weighted_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    q121 = {r["l_returnflag"]: r for r in q121_weighted_quantiles(spark, sf).collect()}
+    q98 = {r["l_returnflag"]: r for r in q98_weighted_median(spark, sf).collect()}
+    assert set(q121) == set(q98)
+    for flag, r in q121.items():
+        assert r["median_price"] == q98[flag]["weighted_median_price"]
+        assert r["p25_price"] <= r["median_price"] <= r["p75_price"]
+        assert r["total_qty"] == q98[flag]["total_qty"]
+
+    plan = (
+        q121_weighted_quantiles(spark, sf)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "mbkt" in plan
+    assert plan.count("Window [") >= 2
