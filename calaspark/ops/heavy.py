@@ -81,8 +81,14 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
     total = items.select(
         F.count(F.lit(1)).cast("long").alias("total")
     )
+    # no broadcast HINT on the candidate semi-join: candidates are
+    # usually model-sized (≤ 2k per batch, deduped), and AQE will
+    # broadcast them when they are — but adversarial quasi-heavy
+    # data can inflate the candidate set past broadcast limits, and
+    # a forced hint would then OOM the build side where a shuffle
+    # semi-join degrades gracefully (the round-7 link-join lesson)
     counted = (
-        items.join(F.broadcast(cands), col, "left_semi")
+        items.join(cands, col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -1955,6 +1955,14 @@ def q114_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     the window join is an equi-join on (block, rank+offset). The
     verify stage is the q91 inverted-index count-join — candidates
     carry only integers; shingle sets never ride the pair rows.
+
+    Skew honesty: the per-block window is single-task PER BLOCK, so
+    the blocking key must be granular enough that the hottest block
+    fits a task — an inherent SNM property (Hernandez-Stolfo run
+    multiple passes with different keys for exactly this reason).
+    On a corpus where 2-token prefixes skew, widen the key (3+
+    tokens, or prefix+length) — the contract parameterizes cleanly;
+    the equi-join shape is unchanged.
     """
     from ..ops.ssjoin import shingle_rows
 
