@@ -37,6 +37,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def mg_batch(keys, k: int) -> dict:
+    """One Misra–Gries summary over an iterable of keys: at most
+    ``k`` surviving counters; any key occurring > n/k times in the
+    iterable survives (its counter underestimates by at most
+    n/(k+1) decrements, each of which consumes k other
+    occurrences). Pure function so the guarantee is property-
+    testable without Spark (tests/test_advanced.py, hypothesis)."""
+    counters: dict = {}
+    for key in keys:
+        if key in counters:
+            counters[key] += 1
+        elif len(counters) < k:
+            counters[key] = 1
+        else:
+            # decrement-all; drop zeros (the classic step,
+            # amortized O(1) via dict rebuild)
+            counters = {c: n - 1 for c, n in counters.items() if n > 1}
+    return counters
+
+
 def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """Distinct candidate keys from per-batch Misra–Gries summaries.
 
@@ -52,19 +72,7 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            counters: dict = {}
-            for key in pdf[col]:
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < k:
-                    counters[key] = 1
-                else:
-                    # decrement-all; drop zeros (the classic step,
-                    # amortized O(1) via dict rebuild)
-                    counters = {
-                        c: n - 1 for c, n in counters.items() if n > 1
-                    }
-            yield pd.DataFrame({col: list(counters.keys())})
+            yield pd.DataFrame({col: list(mg_batch(pdf[col], k).keys())})
 
     schema = items.select(col).schema
     return items.select(col).mapInPandas(summarize, schema).distinct()

@@ -483,3 +483,35 @@ def test_q121_quartiles_consistent_with_q98_and_bucket_grain(spark):
     )
     assert "mbkt" in plan
     assert plan.count("Window [") >= 2
+
+
+def test_mg_batch_property_never_drops_a_heavy_hitter():
+    """Pure-kernel property (hypothesis): for ANY key stream and any
+    capacity k >= 2, every key with count > n/k survives mg_batch —
+    and splitting the stream into arbitrary batches preserves the
+    guarantee for the UNION of survivors (the pigeonhole argument
+    heavy_hitters relies on)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from calaspark.ops.heavy import mg_batch
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=20), max_size=400),
+        k=st.integers(min_value=2, max_value=12),
+        cut=st.integers(min_value=0, max_value=400),
+    )
+    def check(keys, k, cut):
+        n = len(keys)
+        heavy = {key for key, c in Counter(keys).items() if c * k > n}
+        # single summary
+        assert heavy <= set(mg_batch(keys, k))
+        # arbitrary two-batch split: union of survivors still covers
+        cut = min(cut, n)
+        union = set(mg_batch(keys[:cut], k)) | set(mg_batch(keys[cut:], k))
+        assert heavy <= union
+
+    check()
