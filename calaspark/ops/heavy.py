@@ -57,6 +57,26 @@ def mg_batch(keys, k: int) -> dict:
     return counters
 
 
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """MERGE two Misra–Gries summaries into one of capacity ``k``
+    (Agarwal et al. 2013, "Mergeable summaries"): sum counters,
+    then subtract the (k+1)-th largest combined count from all and
+    drop non-positives. The merged summary keeps the MG error bound
+    — every counter underestimates its key's true count (over the
+    union of both inputs' streams) by at most n/(k+1) — so chained
+    merges across micro-batches never lose a key whose true count
+    exceeds n/(k+1). State stays ≤ k entries per merge, which is
+    what makes the STREAMING operator's state bounded
+    (streaming/stateful.py §heavy_hitters_stream)."""
+    comb: dict = dict(a)
+    for key, c in b.items():
+        comb[key] = comb.get(key, 0) + c
+    if len(comb) > k:
+        off = sorted(comb.values(), reverse=True)[k]
+        comb = {key: c - off for key, c in comb.items() if c - off > 0}
+    return comb
+
+
 def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """Distinct candidate keys from per-batch Misra–Gries summaries.
 

@@ -2,6 +2,7 @@
 
 from .stateful import (
     ROCKSDB_PROVIDER_CONF,
+    heavy_hitters_stream,
     running_totals_stream,
     running_totals_tws,
     tws_available,
@@ -21,6 +22,7 @@ from .windows import (
 
 __all__ = [
     "ROCKSDB_PROVIDER_CONF",
+    "heavy_hitters_stream",
     "running_totals_stream",
     "running_totals_tws",
     "tws_available",

@@ -60,6 +60,70 @@ def running_totals_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Streaming HEAVY HITTERS (E23 x E19): Misra-Gries summaries as
+# per-bucket stream state.
+
+HH_OUTPUT_SCHEMA = "bucket int, tok string, est long"
+HH_STATE_SCHEMA = "toks array<string>, counts array<long>"
+HH_CAPACITY = 32
+
+
+def _heavy_hitters(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-bucket mergeable Misra-Gries summary across micro-batches:
+    summarize the batch with ``mg_batch`` (O(k) during the scan),
+    merge into the persisted summary with ``mg_merge`` (stays <= k
+    entries), emit the bucket's current candidates + estimates."""
+    from ..ops.heavy import mg_batch, mg_merge
+
+    toks, counts = state.get if state.exists else ([], [])
+    summary = dict(zip(toks, counts))
+    for pdf in pdfs:
+        summary = mg_merge(summary, mg_batch(pdf["tok"], HH_CAPACITY), HH_CAPACITY)
+    state.update((list(summary.keys()), [int(c) for c in summary.values()]))
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(summary),
+            "tok": list(summary.keys()),
+            "est": [int(c) for c in summary.values()],
+        }
+    )
+
+
+def heavy_hitters_stream(stream: DataFrame, col: str = "tok") -> DataFrame:
+    """Streaming frequent-items candidates via applyInPandasWithState
+    (the streaming twin of ``ops.heavy.heavy_hitters``' candidate
+    pass — batch recount of the final candidate set turns the stream
+    summary into EXACT answers, see the test).
+
+    Keys hash into buckets (the grouping/state key), each bucket
+    holds ONE capacity-k Misra-Gries summary — state is
+    O(k x n_buckets) forever, independent of stream length or key
+    cardinality. Coverage: a key with total count > N/k is heavy in
+    its own bucket (count unchanged, bucket mass <= N), and the
+    merged summary's error bound (n_bucket/(k+1), Agarwal et al.)
+    keeps its counter positive — so the candidate union can never
+    lose a global heavy hitter, micro-batching notwithstanding.
+    """
+    import pyspark.sql.functions as F
+
+    bucketed = stream.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(8)).cast("int").alias("bucket"),
+        F.col(col).alias("tok"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _heavy_hitters,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------------------
 # transformWithStateInPandas — the Spark 4 successor API (PGO:427):
 # typed state handles (value/list/map), per-state TTL, and timers,
 # where applyInPandasWithState has one untyped state tuple and a

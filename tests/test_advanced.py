@@ -515,3 +515,35 @@ def test_mg_batch_property_never_drops_a_heavy_hitter():
         assert heavy <= union
 
     check()
+
+
+def test_mg_merge_chained_coverage_property():
+    """Mergeable-summaries property (hypothesis): chaining
+    mg_merge(mg_batch(chunk)) over ANY chunking of a stream keeps
+    every key with count > n/k alive — the streaming operator's
+    state contract (error bound n/(k+1) survives merges, Agarwal et
+    al. 2013)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from calaspark.ops.heavy import mg_batch, mg_merge
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=15), max_size=300),
+        k=st.integers(min_value=2, max_value=10),
+        cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=4),
+    )
+    def check(keys, k, cuts):
+        n = len(keys)
+        bounds = sorted({0, n, *[min(c, n) for c in cuts]})
+        summary: dict = {}
+        for lo, hi in zip(bounds, bounds[1:]):
+            summary = mg_merge(summary, mg_batch(keys[lo:hi], k), k)
+        heavy = {key for key, c in Counter(keys).items() if c * k > n}
+        assert heavy <= set(summary)
+        assert len(summary) <= k
+
+    check()

@@ -447,3 +447,59 @@ def test_stream_static_broadcast_enrich(spark, events_dir):
     )
     expect = {r["tier"]: (r["n"], float(r["s"])) for r in batch.collect()}
     assert got == expect and len(got) == 3
+
+
+def test_streaming_heavy_hitters_covers_batch_truth(spark, tmp_path):
+    """Streaming Misra-Gries candidates (mergeable per-bucket state,
+    multiple micro-batches) must cover every true heavy hitter of
+    the bounded input, and the batch recount of the final candidate
+    set must equal the exact batch answer — the stream/batch twin
+    contract applied to ops/heavy.py."""
+    from calaspark.streaming import heavy_hitters_stream, run_available_now
+
+    # skewed token stream split across several files so availableNow
+    # drains in more than one micro-batch (maxFilesPerTrigger=1)
+    import random
+
+    rng = random.Random(7)
+    toks = []
+    for j in range(10):
+        toks += [f"tok{j:02d}"] * (2**j)
+    rng.shuffle(toks)
+    src = tmp_path / "toks"
+    n_files = 5
+    per = (len(toks) + n_files - 1) // n_files
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(t,) for t in toks[i * per : (i + 1) * per]], "tok string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_available_now(
+        heavy_hitters_stream(stream), "t_hh", output_mode="update"
+    )
+    cands = {r["tok"] for r in spark.sql("SELECT tok FROM t_hh").collect()}
+    q.stop()
+
+    from collections import Counter
+
+    k = 32  # HH_CAPACITY
+    n = len(toks)
+    truth = {t: c for t, c in Counter(toks).items() if c * k > n}
+    assert set(truth) <= cands, sorted(set(truth) - cands)
+
+    # exact recount of the streamed candidate set == batch truth
+    batch = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["cnt"]
+        for r in batch.filter(F.col("tok").isin(list(cands)))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n))
+        .collect()
+    }
+    assert got == truth
