@@ -45,6 +45,16 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--sf", default="/root/testdata/sf0.01")
     qr.add_argument("-n", type=int, default=20)
 
+    cp = sub.add_parser(
+        "compact", help="rewrite a parquet table toward target file size"
+    )
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument(
+        "--partition-cols", default=None, help="comma-separated, optional"
+    )
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -99,6 +109,21 @@ def main(argv: list[str] | None = None) -> int:
             from .queries import QUERIES
 
             QUERIES[args.qid](spark, args.sf).show(args.n, truncate=False)
+        elif args.cmd == "compact":
+            from .ops.layout import compact_parquet
+
+            stats = compact_parquet(
+                spark,
+                args.src,
+                args.dst,
+                target_file_bytes=args.target_mb << 20,
+                partition_cols=(
+                    args.partition_cols.split(",")
+                    if args.partition_cols
+                    else None
+                ),
+            )
+            print(stats)
         return 0
     finally:
         if pre_existing is None:

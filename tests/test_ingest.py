@@ -433,3 +433,18 @@ def test_orchestrator_compacts_small_file_loads(spark, tmp_path):
     # stats survive manifest reload
     man2 = Manifest(out / "manifest.json")
     assert man2.files["RCPT_CD"].extra["compaction"] == stats
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    """CLI surface for the S5 lake-maintenance pass."""
+    from calaspark.__main__ import main
+
+    src = tmp_path / "frag"
+    spark.range(10_000).selectExpr("id", "md5(cast(id as string)) p").repartition(
+        16
+    ).write.parquet(str(src))
+    dst = tmp_path / "compacted"
+    assert main(["compact", str(src), str(dst), "--target-mb", "64"]) == 0
+    text = capsys.readouterr().out
+    assert "'files_before': 16" in text
+    assert spark.read.parquet(str(dst)).count() == 10_000
