@@ -114,6 +114,7 @@ _STDOUT_ABBREV = {
     "lsh_minhash_pairs": "lshmh",
     "ann_ivf_topk": "aivf",
     "ann_lsh_topk": "alsh",
+    "ann_pq_topk": "apq",
     "ann_recall": "arec",
     "pandas_udf_quality": "pudfq",
     "pandas_grouped_ops": "pgrp",

@@ -44,6 +44,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _pq_corpus_key(sf_dir: str) -> str:
+    """Corpus identity for the PQ handle cache: path + mtime, so a
+    changed corpus self-invalidates (the _ivf_index_path convention
+    without the on-disk half — PQ state is session-memoized)."""
+    from pathlib import Path as _P
+
+    src = _P(sf_dir) / "embeddings.parquet"
+    return f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18, compression family: Product-Quantization approximate
+    top-10 neighbors of vec_id=0 — the CODES table (8 x 4-bit codes
+    per vector, 32x smaller than the float column) is scanned with a
+    pure-codegen ADC lookup-table score, and exact cosine runs only
+    on the 50-survivor re-rank fetch. IVF prunes WHICH rows a probe
+    reads; PQ shrinks WHAT each read costs — at 100 TB the two
+    compose (IVF-PQ), and this demo is the PQ half measured alone.
+    Rows-only (approximate by design); recall measured in
+    ann_recall beside ivf/lsh."""
+    from ..ops.ann_pq import load_or_build_pq, pq_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = materialize(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    model, codes = load_or_build_pq(e, _pq_corpus_key(sf_dir))
+    qv = e.filter(F.col("vec_id") == 0).collect()[0]["e"]
+    import numpy as _np
+
+    return pq_topk(e, codes, model, _np.asarray(qv, dtype="float64"), k=10)
+
+
 def _ivf_index_path(sf_dir: str, n_cells: int = 16, iters: int = 2) -> str:
     """Shared on-disk IVF index location, keyed by the corpus file
     (path + mtime) and quantizer params: only the FIRST caller
@@ -574,6 +610,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops.ann_ivf import _unit_rows, load_or_build_ivf_index
 
+    from ..ops.ann_pq import load_or_build_pq, pq_topk
+
+    pq_model, pq_codes = load_or_build_pq(e, _pq_corpus_key(sf_dir))
+
     n_cells = 16
     idx = load_or_build_ivf_index(e, _ivf_index_path(sf_dir))
     inv = spark.read.parquet(idx.invfile_path)
@@ -634,6 +674,13 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in ann_topk_lsh(e, probe_id=probe, k=10).collect()
         }
         rows.append(("lsh", probe, None, None, len(exact & lsh)))
+        pq = {
+            r["vec_id"]
+            for r in pq_topk(
+                e, pq_codes, pq_model, np.asarray(qrows[probe], "float64"), k=10
+            ).collect()
+        }
+        rows.append(("pq", probe, None, None, len(exact & pq)))
     return spark.createDataFrame(
         rows,
         "method string, probe_id long, nprobe int, scan_frac double, "

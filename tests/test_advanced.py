@@ -547,3 +547,50 @@ def test_mg_merge_chained_coverage_property():
         assert len(summary) <= k
 
     check()
+
+
+def test_pq_codes_shape_and_full_rerank_is_exact(spark):
+    """ops/ann_pq.py contracts: (1) every encoded vector carries m
+    codes in [0, ksub); (2) pq_topk with a rerank pool covering the
+    whole corpus equals the exact cosine top-10 — the ADC scan only
+    RANKS the pool, the re-rank decides, so a full pool removes all
+    approximation (the correctness backbone of the survivor-fetch
+    design)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.ann_pq import load_or_build_pq, pq_topk
+    from calaspark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    model, codes = load_or_build_pq(e, "test-corpus-key")
+    n = e.count()
+    crows = codes.collect()
+    assert len(crows) == n
+    for r in crows:
+        assert len(r["codes"]) == model.m
+        assert all(0 <= c < model.ksub for c in r["codes"])
+
+    rows = e.collect()
+    vecs = {r["vec_id"]: np.asarray(r["e"], dtype="float64") for r in rows}
+    q = vecs[0]
+    qu = q / (np.linalg.norm(q) or 1.0)
+    sims = sorted(
+        (
+            (-round(float(v @ qu / (np.linalg.norm(v) or 1.0)), 4), vid)
+            for vid, v in vecs.items()
+        )
+    )
+    want = [vid for _, vid in sims[:10]]
+    got = [
+        r["vec_id"]
+        for r in pq_topk(e, codes, model, q, k=10, rerank=n).collect()
+    ]
+    assert got == want
+
+    # memoized handle: same session + key → same objects
+    m2, c2 = load_or_build_pq(e, "test-corpus-key")
+    assert m2 is model and c2 is codes
