@@ -115,6 +115,7 @@ _STDOUT_ABBREV = {
     "ann_ivf_topk": "aivf",
     "ann_lsh_topk": "alsh",
     "ann_pq_topk": "apq",
+    "ann_ivfpq_topk": "aipq",
     "ann_recall": "arec",
     "pandas_udf_quality": "pudfq",
     "pandas_grouped_ops": "pgrp",

@@ -225,3 +225,97 @@ def load_or_build_pq(
     codes = materialize(pq_encode(emb, model, id_col, vec_col))
     _PQ_HANDLES[key] = (model, codes)
     return model, codes
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def ivfpq_topk(
+    codes_with_cell: DataFrame,
+    emb: DataFrame,
+    model: PqModel,
+    centroids: "np.ndarray",
+    probe_vec: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """The composed index (IVF-PQ — the FAISS-canonical layout):
+    IVF prunes WHICH rows the probe reads (``cell IN (...)`` over a
+    cell-partitioned codes table prunes whole files), PQ shrinks
+    WHAT each read costs (codes, not vectors), and the exact re-rank
+    touches full vectors for the survivor pool only. At 100 TB a
+    probe therefore reads ``nprobe/n_cells`` of a table that is
+    already 32× smaller than the embedding column — the two
+    reductions multiply.
+
+    ``codes_with_cell`` carries (id, cell, codes); cell choice is
+    the same driver-side centroid argsort as ``ivf_probe`` (cosine
+    on unit rows)."""
+    _require_numpy()
+    from .ann_ivf import _dot_probe, _unit_rows
+
+    q = np.asarray(probe_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    sims = _unit_rows(centroids) @ qu
+    cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    pool = (
+        codes_with_cell.filter(F.col("cell").isin(cells))
+        .select(id_col, _adc_score(model, qu).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    vec = F.col(vec_col)
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    exact = F.round(
+        _dot_probe(vec, qu) / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm), 4
+    )
+    return (
+        emb.join(pool.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col), exact.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+#: Memoized (applicationId, corpus-key) → (model, codes-with-cell,
+#: centroid matrix) for the composed index.
+_IVFPQ_HANDLES: dict[tuple[str, str], tuple[PqModel, DataFrame, "np.ndarray"]] = {}
+
+
+def load_or_build_ivfpq(
+    emb: DataFrame,
+    corpus_key: str,
+    ivf_index_path: str,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> tuple[PqModel, DataFrame, "np.ndarray"]:
+    """Compose the persisted IVF index (built/loaded at
+    ``ivf_index_path`` via ops.ann_ivf) with the session-memoized PQ
+    model: the handle is (model, materialized (id, cell, codes)
+    table, centroid matrix). A 100 TB deployment persists the codes
+    table partitionBy("cell") exactly like the inverted file — here
+    it rides the same localCheckpoint materialization as the PQ
+    handle."""
+    key = (emb.sparkSession.sparkContext.applicationId, corpus_key)
+    hit = _IVFPQ_HANDLES.get(key)
+    if hit is not None:
+        return hit
+    from .ann_ivf import load_or_build_ivf_index
+    from .materialize import materialize
+
+    model, codes = load_or_build_pq(emb, corpus_key, m, ksub, id_col, vec_col)
+    idx = load_or_build_ivf_index(emb, ivf_index_path, id_col=id_col, vec_col=vec_col)
+    inv = emb.sparkSession.read.parquet(idx.invfile_path).select(
+        id_col, "cell"
+    )
+    cc = materialize(codes.join(inv, id_col))
+    out = (model, cc, idx.centroids)
+    _IVFPQ_HANDLES[key] = out
+    return out

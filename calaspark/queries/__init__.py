@@ -174,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": demos.ann_ivf_topk,
     "ann_lsh_topk": demos.ann_lsh_topk,
     "ann_pq_topk": demos.ann_pq_topk,
+    "ann_ivfpq_topk": demos.ann_ivfpq_topk,
     "ann_recall": demos.ann_recall,
     "pandas_udf_quality": demos.pandas_udf_quality,
     "pandas_grouped_ops": demos.pandas_grouped_ops,

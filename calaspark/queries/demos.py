@@ -80,6 +80,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, codes, model, _np.asarray(qv, dtype="float64"), k=10)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18, the COMPOSED index (IVF-PQ, the FAISS-canonical layout):
+    IVF cells prune WHICH rows the probe reads (nprobe=4 of 16), PQ
+    codes shrink WHAT each read costs (32x), exact cosine only on
+    the 50-survivor re-rank — at 100 TB the two reductions multiply
+    (a probe reads nprobe/n_cells of a table 32x smaller than the
+    embedding column). Rows-only; recall measured in ann_recall."""
+    from ..ops.ann_pq import ivfpq_topk, load_or_build_ivfpq
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = materialize(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    model, cc, cents = load_or_build_ivfpq(
+        e, _pq_corpus_key(sf_dir), _ivf_index_path(sf_dir)
+    )
+    qv = e.filter(F.col("vec_id") == 0).collect()[0]["e"]
+    import numpy as _np
+
+    return ivfpq_topk(
+        cc, e, model, cents, _np.asarray(qv, dtype="float64"), k=10, nprobe=4
+    )
+
+
 def _ivf_index_path(sf_dir: str, n_cells: int = 16, iters: int = 2) -> str:
     """Shared on-disk IVF index location, keyed by the corpus file
     (path + mtime) and quantizer params: only the FIRST caller
@@ -610,9 +637,17 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops.ann_ivf import _unit_rows, load_or_build_ivf_index
 
-    from ..ops.ann_pq import load_or_build_pq, pq_topk
+    from ..ops.ann_pq import (
+        ivfpq_topk,
+        load_or_build_ivfpq,
+        load_or_build_pq,
+        pq_topk,
+    )
 
     pq_model, pq_codes = load_or_build_pq(e, _pq_corpus_key(sf_dir))
+    ipq_model, ipq_cc, ipq_cents = load_or_build_ivfpq(
+        e, _pq_corpus_key(sf_dir), _ivf_index_path(sf_dir)
+    )
 
     n_cells = 16
     idx = load_or_build_ivf_index(e, _ivf_index_path(sf_dir))
@@ -681,6 +716,19 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         }
         rows.append(("pq", probe, None, None, len(exact & pq)))
+        ivfpq = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                ipq_cc,
+                e,
+                ipq_model,
+                ipq_cents,
+                np.asarray(qrows[probe], "float64"),
+                k=10,
+                nprobe=4,
+            ).collect()
+        }
+        rows.append(("ivfpq", probe, 4, 4 / n_cells, len(exact & ivfpq)))
     return spark.createDataFrame(
         rows,
         "method string, probe_id long, nprobe int, scan_frac double, "

@@ -594,3 +594,36 @@ def test_pq_codes_shape_and_full_rerank_is_exact(spark):
     # memoized handle: same session + key → same objects
     m2, c2 = load_or_build_pq(e, "test-corpus-key")
     assert m2 is model and c2 is codes
+
+
+def test_ivfpq_all_cells_equals_pq(spark):
+    """Composition sanity: IVF-PQ probing ALL cells must return
+    exactly what plain PQ returns on the same model + corpus (the
+    cell filter is a no-op at nprobe=n_cells; both then rank the
+    same ADC pool and re-rank exactly)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.ann_pq import ivfpq_topk, load_or_build_ivfpq, pq_topk
+    from calaspark.queries.demos import _ivf_index_path, _pq_corpus_key
+    from calaspark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    model, cc, cents = load_or_build_ivfpq(
+        e, _pq_corpus_key(sf), _ivf_index_path(sf)
+    )
+    q = np.asarray(
+        e.filter(F.col("vec_id") == 0).collect()[0]["e"], dtype="float64"
+    )
+    full = [
+        (r["vec_id"], r["sim"])
+        for r in ivfpq_topk(cc, e, model, cents, q, k=10, nprobe=16).collect()
+    ]
+    plain = [
+        (r["vec_id"], r["sim"])
+        for r in pq_topk(e, cc.select("vec_id", "codes"), model, q, k=10).collect()
+    ]
+    assert full == plain and len(full) == 10
