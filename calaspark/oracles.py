@@ -3122,3 +3122,71 @@ FROM v
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket
 """
+
+# Q123 — market-basket association rules (brand pairs) ---------------
+
+ORACLES["q123"] = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+), na AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY p_brand
+), pairs AS (
+  SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY x.p_brand, y.p_brand
+  HAVING COUNT(*) >= 50
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       ua.n AS n_a, ub.n AS n_b, n.n_orders,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+         AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ua.n AS DOUBLE), 6)
+         AS confidence_ab,
+       ROUND((CAST(p.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN na ua ON ua.p_brand = p.brand_a
+JOIN na ub ON ub.p_brand = p.brand_b, n
+ORDER BY lift DESC, p.brand_a, p.brand_b
+LIMIT 20
+"""
+
+# Q124 — last-touch attribution --------------------------------------
+
+ORACLES["q124"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+), tagged AS (
+  SELECT event_type, cents,
+         LAST_VALUE(
+           CASE WHEN event_type = 'click' THEN CAST(k // 10 AS BIGINT) END
+           IGNORE NULLS
+         ) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS UNBOUNDED PRECEDING) AS channel
+  FROM e
+), pur AS (
+  SELECT COALESCE(channel, -1) AS channel, cents
+  FROM tagged WHERE event_type = 'purchase'
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, SUM(cents) AS c_tot FROM pur
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS attributed_value,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
+         AS purchase_share,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(t.c_tot AS DOUBLE), 6)
+         AS value_share
+FROM pur, tot t
+GROUP BY channel, t.n_tot, t.c_tot
+ORDER BY channel
+"""

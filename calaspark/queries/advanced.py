@@ -2455,3 +2455,148 @@ def q122_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------- Q123
+
+
+def q123_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules, level 2 (the A-priori staple
+    q119's token collocations don't cover — baskets, not sequences):
+    brand pairs co-purchased within an order, with exact-integer
+    support counts and the support/confidence/lift triple as fixed
+    IEEE divisions. Top-20 by (lift desc, brands), n_ab >= 50.
+
+    Plan: one lineitem x part equi-join lifted to (order, brand)
+    grain by a distinct (the brand dictionary bounds each basket at
+    25 rows), one order-keyed self-join for pairs (bounded explode:
+    <= 25*24/2 pairs per order regardless of order size), two
+    dictionary-sized hash-aggs (pair grain, brand grain), one
+    TakeOrdered. Everything order-partitioned until the final
+    25x25-bounded aggregate — no skew surface at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    na = b.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .filter(F.col("x.p_brand") < F.col("y.p_brand"))
+        .select(
+            F.col("x.p_brand").alias("brand_a"),
+            F.col("y.p_brand").alias("brand_b"),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    j = (
+        pairs.join(
+            na.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")),
+            "brand_a",
+        )
+        .join(
+            na.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar join
+    )
+    nab = F.col("n_ab").cast("double")
+    return (
+        j.select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.round(nab / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(nab / F.col("n_a").cast("double"), 6).alias("confidence_ab"),
+            F.round(
+                (nab * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q124
+
+
+def q124_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION (the marketing-analytics idiom the
+    funnel (q108) and Markov matrix (q81) don't give: WHICH channel
+    gets credit for each conversion): every purchase's value is
+    attributed to the user's most recent click at or before it in
+    the (ep, event_id) total order; channel = the click's
+    ``props.k`` decade (10 channels); purchases with no prior click
+    land in channel -1.
+
+    Plan: ONE user-keyed window (LOCF of the click channel via
+    ``last(..., ignorenulls=True)`` — the q57 gap-fill idiom turned
+    sideways), one channel hash-agg. Exact cents; the only floats
+    are the final share/value divisions. Everything partitions on
+    user_id then channel at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _ep("ts").alias("ep"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ck = F.when(F.col("event_type") == "click", F.floor(F.col("k") / 10))
+    tagged = e.select(
+        "event_type",
+        "cents",
+        F.last(ck, ignorenulls=True).over(wu).alias("channel"),
+    )
+    pur = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("channel"), F.lit(-1)).cast("long").alias("channel"),
+        "cents",
+    )
+    tot = pur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("cents").alias("c_tot"),
+    )
+    return (
+        pur.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row scalar join
+        .select(
+            "channel",
+            "n_purchases",
+            F.round(F.col("cents_sum").cast("double") / F.lit(100.0), 2).alias(
+                "attributed_value"
+            ),
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("n_tot").cast("double"),
+                6,
+            ).alias("purchase_share"),
+            F.round(
+                F.col("cents_sum").cast("double") / F.col("c_tot").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+        .orderBy("channel")
+    )

@@ -122,6 +122,13 @@ ALLOWED = {
     # bigram-grain lift computation (1-row BNLJ + its final merge) —
     # q104/tfidf's declared scalar-subquery shape
     "q119": {"bnlj", "single_part_exchange"},
+    # basket-count normalizer (1-row COUNT DISTINCT) broadcast-
+    # crossJoined onto the 25x25-bounded pair grain — declared
+    # scalar-subquery shape
+    "q123": {"bnlj", "single_part_exchange"},
+    # attribution totals (1-row count+sum) broadcast-crossJoined onto
+    # the 11-row channel grain — declared scalar-subquery shape
+    "q124": {"bnlj", "single_part_exchange"},
 }
 
 
