@@ -3190,3 +3190,64 @@ FROM pur, tot t
 GROUP BY channel, t.n_tot, t.c_tot
 ORDER BY channel
 """
+
+# Q125 — rolling 7-day distinct active users (DAU/WAU) ---------------
+# Contribution explode, not per-day self-joins: each (user, day)
+# row fans out to the 7 report days it serves.
+
+ORACLES["q125"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT) AS dd
+  FROM events
+), ud AS (
+  SELECT DISTINCT user_id, dd FROM e
+), dau AS (
+  SELECT dd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY dd
+), contrib AS (
+  SELECT DISTINCT user_id, dd + i AS rd
+  FROM ud, UNNEST(range(0, 7)) AS u(i)
+), wau AS (
+  SELECT c.rd, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c
+  WHERE c.rd IN (SELECT dd FROM ud)
+  GROUP BY c.rd
+)
+SELECT dau.dd AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau ON wau.rd = dau.dd
+ORDER BY day
+"""
+
+# Q126 — time-to-convert distribution --------------------------------
+
+ORACLES["q126"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events
+), s AS (
+  SELECT user_id, MIN(ep) AS s FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ep) AS p, MIN(s.s) AS s2
+  FROM e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ep >= s.s
+  GROUP BY e.user_id
+), g AS (
+  SELECT CAST((p - s2) // 86400 AS BIGINT) AS gap_days FROM p
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM s
+)
+SELECT ns.n_signup,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(ns.n_signup AS DOUBLE), 6)
+         AS conversion_rate,
+       MIN(gap_days) AS min_days,
+       quantile_cont(gap_days, 0.5) AS median_days,
+       quantile_cont(gap_days, 0.9) AS p90_days,
+       MAX(gap_days) AS max_days
+FROM g, ns
+GROUP BY ns.n_signup
+"""

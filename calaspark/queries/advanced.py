@@ -2600,3 +2600,116 @@ def q124_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------- Q125
+
+
+def q125_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY DISTINCT ACTIVE USERS (DAU/WAU "stickiness" —
+    the product-metric staple a sliding window CANNOT express,
+    because COUNT(DISTINCT) does not decompose over window frames):
+    per active day, the day's distinct users (DAU), the distinct
+    users of the trailing 7 days (WAU), and DAU/WAU.
+
+    The scalable shape is CONTRIBUTION EXPLODE, not per-day
+    self-joins: each (user, day) activity row fans out to the 7
+    report days it contributes to (a bounded 7x explode of a
+    user-day-grain table), then one distinct + count per report
+    day. Report days are restricted to days with actual activity
+    (semi-join) so the output is the data's own calendar. Integer
+    epoch-days only (rule 2); the stickiness ratio is one IEEE
+    division of exact counts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (_ep("ts") / F.lit(86400)).cast("long").alias("dd")
+    )
+    ud = e.distinct()  # (user, day) grain
+    dau = ud.groupBy("dd").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("dd"), F.col("dd") + F.lit(6))).alias("rd"),
+    ).distinct()
+    active_days = ud.select(F.col("dd").alias("rd")).distinct()
+    wau = (
+        contrib.join(active_days, "rd", "left_semi")
+        .groupBy("rd")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.dd == wau.rd)
+        .select(
+            F.col("dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------- Q126
+
+
+def q126_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution (the funnel's missing axis —
+    q108 counts WHO converts, this measures HOW LONG conversion
+    takes): per user, the gap from first signup to the first
+    purchase AT OR AFTER it; one summary row with the conversion
+    rate and the exact interpolated gap quantiles (q19/q97's proven
+    percentile ↔ quantile_cont pairing over integer day gaps).
+
+    Plan: two user-keyed conditional MIN aggregations chained by an
+    equi-join (the q108 stage shape), one global typed aggregate.
+    Floored epoch arithmetic only; the quantile inputs are exact
+    integers so the interpolation is the same fixed IEEE expression
+    in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _ep("ts").alias("ep"), "event_type"
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("s"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ep") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("p"), F.min("s").alias("s2"))
+    )
+    g = p.select(
+        F.floor((F.col("p") - F.col("s2")) / F.lit(86400)).cast("long").alias(
+            "gap_days"
+        )
+    )
+    signups = s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    return (
+        g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.min("gap_days").alias("min_days"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .crossJoin(F.broadcast(signups))  # 1-row scalar join
+        .select(
+            "n_signup",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_signup").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            "min_days",
+            "median_days",
+            "p90_days",
+            "max_days",
+        )
+    )

@@ -448,3 +448,52 @@ def test_cli_compact(spark, tmp_path, capsys):
     text = capsys.readouterr().out
     assert "'files_before': 16" in text
     assert spark.read.parquet(str(dst)).count() == 10_000
+
+
+def test_split_clean_fuzz_accounting_always_balances(spark, tmp_path):
+    """C1-C4 fuzz (hypothesis): for ANY content — control chars, CRLF,
+    curly quotes, random tab counts, blank lines — the cleaner never
+    crashes and the V1 accounting identity holds exactly:
+    good + quarantine == non-header body lines, with good rows having
+    exactly the schema's field count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from calaspark.ingest.clean import split_clean
+
+    cols = ["A", "B", "C"]
+    # characters that hit every cleaning rule: printable text, tabs,
+    # CR (line-ending repair), control chars, Windows-1252 curlies
+    field_chars = st.text(
+        alphabet="xy z.,'\x01\x07“’– ", max_size=6
+    )
+    line = st.lists(field_chars, min_size=1, max_size=6).map("\t".join)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(body=st.lists(line, max_size=12))
+    def check(body):
+        p = tmp_path / "fuzz" / "F.TSV"
+        p.parent.mkdir(exist_ok=True)
+        # some rows pre-damaged with CR endings
+        damaged = [
+            (ln + "\r") if i % 3 == 0 else ln for i, ln in enumerate(body)
+        ]
+        p.write_text("\n".join(["\t".join(cols), *damaged]) + "\n")
+        res = split_clean(spark, str(p), cols)
+        n_good = res.good.count()
+        n_bad = res.quarantine.count()
+        n_body = res.body.count()
+        assert n_good + n_bad == n_body
+        # good rows are already split into exactly the schema columns
+        assert res.good.columns == cols
+        # quarantine rows carry the diagnostics contract
+        if n_bad:
+            assert {"raw_line", "n_fields", "reason"} <= set(
+                res.quarantine.columns
+            )
+
+    check()

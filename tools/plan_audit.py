@@ -129,6 +129,9 @@ ALLOWED = {
     # attribution totals (1-row count+sum) broadcast-crossJoined onto
     # the 11-row channel grain — declared scalar-subquery shape
     "q124": {"bnlj", "single_part_exchange"},
+    # signup denominator (1-row COUNT) broadcast-crossJoined onto the
+    # 1-row gap-quantile aggregate (q108's global summary shape)
+    "q126": {"bnlj", "single_part_exchange"},
 }
 
 
