@@ -3251,3 +3251,55 @@ SELECT ns.n_signup,
 FROM g, ns
 GROUP BY ns.n_signup
 """
+
+# Q127 — robust MAD outliers (modified z-score) ----------------------
+# Both medians are the declared smallest-value-with-2*cum>=tot order
+# statistic (no interpolation); the outlier test compares two fixed
+# IEEE products.
+
+ORACLES["q127"] = """
+WITH li AS (
+  SELECT l_returnflag, l_extendedprice AS price FROM lineitem
+), g AS (
+  SELECT l_returnflag, price, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li GROUP BY l_returnflag, price
+), c1 AS (
+  SELECT l_returnflag, price,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+), med AS (
+  SELECT l_returnflag, MIN(price) AS med
+  FROM c1 WHERE 2 * cum >= tot GROUP BY l_returnflag
+), dev AS (
+  SELECT g.l_returnflag, ABS(g.price - med.med) AS d, SUM(g.w) AS w
+  FROM g JOIN med USING (l_returnflag)
+  GROUP BY g.l_returnflag, ABS(g.price - med.med)
+), c2 AS (
+  SELECT l_returnflag, d,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM dev
+), mad AS (
+  SELECT l_returnflag, MIN(d) AS mad
+  FROM c2 WHERE 2 * cum >= tot GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(med.med) AS median_price,
+       MIN(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * ABS(li.price - med.med)
+                          > 3.5 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN 0.6745 * ABS(li.price - med.med)
+                                > 3.5 * mad.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+FROM li
+JOIN med USING (l_returnflag)
+JOIN mad USING (l_returnflag)
+GROUP BY li.l_returnflag
+ORDER BY li.l_returnflag
+"""

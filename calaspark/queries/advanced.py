@@ -2713,3 +2713,75 @@ def q126_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_days",
         )
     )
+
+
+# ---------------------------------------------------------------- Q127
+
+
+def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection via MAD (median absolute deviation —
+    Iglewicz & Hoaglin's modified z-score, the robust sibling of
+    q87's mean/stddev z-score, which an actual outlier can itself
+    corrupt): per l_returnflag, the median price, the MAD, and the
+    count of rows whose modified z exceeds 3.5.
+
+    TWO exact grouped medians chain through ops/quantile.py's
+    bucket-grain search (q98's scale contract, now a reusable
+    operator): the price median first, then the median of
+    |price − med| after a broadcast join of the 3-row median table.
+    Both medians are the DECLARED smallest-value-with-2·cum≥tot
+    order statistic over integer counts — no interpolation. The
+    outlier test is float-free in structure: 0.6745·|x − med| >
+    3.5·mad, two fixed IEEE products compared — bit-identical in
+    both engines.
+    """
+    from ..ops.quantile import exact_quantile_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    )
+    g = li.groupBy("l_returnflag", "price").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    med = exact_quantile_bucketed(
+        g, "l_returnflag", "price", "w", num=1, den=2
+    ).withColumnRenamed("q", "med")
+    dev = (
+        g.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("price") - F.col("med")).alias("d"),
+            "w",
+        )
+        .groupBy("l_returnflag", "d")
+        .agg(F.sum("w").alias("w"))
+    )
+    mad = exact_quantile_bucketed(
+        dev, "l_returnflag", "d", "w", num=1, den=2
+    ).withColumnRenamed("q", "mad")
+    flagged = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("median_price"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (
+                    F.lit(0.6745) * F.abs(F.col("price") - F.col("med"))
+                    > F.lit(3.5) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        "l_returnflag",
+        "n",
+        "median_price",
+        "mad",
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+        ).alias("outlier_rate"),
+    ).orderBy("l_returnflag")

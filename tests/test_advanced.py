@@ -627,3 +627,40 @@ def test_ivfpq_all_cells_equals_pq(spark):
         for r in pq_topk(e, cc.select("vec_id", "codes"), model, q, k=10).collect()
     ]
     assert full == plain and len(full) == 10
+
+
+def test_q127_mad_matches_python_order_statistics(spark):
+    """q127's two chained bucketed medians must equal the declared
+    smallest-value-with-2*cum>=n order statistic computed in plain
+    Python, and the outlier count must match the same threshold test
+    applied row by row."""
+    from calaspark.queries.advanced import q127_mad_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["l_returnflag"]: r for r in q127_mad_outliers(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["l_returnflag"]].append(r["l_extendedprice"])
+
+    def lo_med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        # smallest value whose cumulative count reaches half: 2*k >= n
+        return xs[(n + 1) // 2 - 1]
+
+    for flag, xs in by.items():
+        med = lo_med(xs)
+        mad = lo_med([abs(x - med) for x in xs])
+        n_out = sum(1 for x in xs if 0.6745 * abs(x - med) > 3.5 * mad)
+        r = got[flag]
+        assert r["n"] == len(xs)
+        assert r["median_price"] == med
+        assert r["mad"] == mad
+        assert r["n_outliers"] == n_out
