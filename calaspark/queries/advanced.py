@@ -1002,64 +1002,24 @@ def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The first bucket satisfying ``2·cum_bucket ≥ tot`` provably
     contains the answer: the predicate is false everywhere before
-    the bucket and true at its end, and ``cum`` is monotone.
+    the bucket and true at its end, and ``cum`` is monotone.  The
+    whole search is the factored ``ops/quantile.py`` operator (q121
+    and q127 share it).
     """
+    from ..ops.quantile import exact_quantiles_bucketed
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         dec("l_quantity").alias("q"),
     )
     g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
-    gb = g.withColumn("bkt", F.floor(F.col("price") / F.lit(1024)))
-    b = gb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
-    wcumb = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wtotb = Window.partitionBy("l_returnflag")
-    bc = b.select(
-        "l_returnflag",
-        "bkt",
-        "bw",
-        F.sum("bw").over(wcumb).alias("bcum"),
-        F.sum("bw").over(wtotb).alias("tot"),
-    )
-    mb = (
-        bc.filter(F.lit(2) * F.col("bcum") >= F.col("tot"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("bkt").alias("mbkt"),
-                    (F.col("bcum") - F.col("bw")).alias("cum_before"),
-                    F.col("tot").alias("tot"),
-                ),
-                F.col("bkt"),
-            ).alias("s")
-        )
-        .select("l_returnflag", "s.mbkt", "s.cum_before", "s.tot")
-    )
-    inb = gb.join(F.broadcast(mb), "l_returnflag").filter(
-        F.col("bkt") == F.col("mbkt")
-    )
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = inb.select(
-        "l_returnflag",
-        "price",
-        (F.col("cum_before") + F.sum("w").over(wcum)).alias("cum"),
-        "tot",
-    )
     return (
-        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price").alias("weighted_median_price"),
-            F.round(F.max("tot"), 2).cast("double").alias("total_qty"),
+        exact_quantiles_bucketed(g, "l_returnflag", "price", "w", [1], 2)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("weighted_median_price"),
+            F.round("tot", 2).cast("double").alias("total_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -2338,72 +2298,27 @@ def q121_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's rows (broadcast 9-row join). The final window's input
     stays bucket-grain-bounded — never the group's value domain —
     exactly the q98 scale contract, now amortized over three
-    quantiles.
+    quantiles.  The whole search is the factored ``ops/quantile.py``
+    operator (q98 and q127 share it) — the three fractions fan out
+    only at the bucket grain inside it.
     """
+    from ..ops.quantile import exact_quantiles_bucketed
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         dec("l_quantity").alias("q"),
     )
     g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
-    gb = g.withColumn("bkt", F.floor(F.col("price") / F.lit(1024)))
-    b = gb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
-    wcumb = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wtotb = Window.partitionBy("l_returnflag")
-    bc = b.select(
-        "l_returnflag",
-        "bkt",
-        "bw",
-        F.sum("bw").over(wcumb).alias("bcum"),
-        F.sum("bw").over(wtotb).alias("tot"),
-    )
-    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
-    mb = (
-        bc.select("l_returnflag", "bkt", "bw", "bcum", "tot", ks)
-        .filter(F.lit(4) * F.col("bcum") >= F.col("k") * F.col("tot"))
-        .groupBy("l_returnflag", "k")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("bkt").alias("mbkt"),
-                    (F.col("bcum") - F.col("bw")).alias("cum_before"),
-                    F.col("tot").alias("tot"),
-                ),
-                F.col("bkt"),
-            ).alias("s")
-        )
-        .select("l_returnflag", "k", "s.mbkt", "s.cum_before", "s.tot")
-    )
-    inb = gb.join(F.broadcast(mb), "l_returnflag").filter(
-        F.col("bkt") == F.col("mbkt")
-    )
-    wcum = (
-        Window.partitionBy("l_returnflag", "k")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = inb.select(
-        "l_returnflag",
-        "k",
-        "price",
-        (F.col("cum_before") + F.sum("w").over(wcum)).alias("cum"),
-        "tot",
-    )
-    hit = (
-        c.filter(F.lit(4) * F.col("cum") >= F.col("k") * F.col("tot"))
-        .groupBy("l_returnflag", "k")
-        .agg(F.min("price").alias("qp"), F.max("tot").alias("tot"))
+    hit = exact_quantiles_bucketed(
+        g, "l_returnflag", "price", "w", [1, 2, 3], 4
     )
     return (
         hit.groupBy("l_returnflag")
         .agg(
-            F.min(F.when(F.col("k") == 1, F.col("qp"))).alias("p25_price"),
-            F.min(F.when(F.col("k") == 2, F.col("qp"))).alias("median_price"),
-            F.min(F.when(F.col("k") == 3, F.col("qp"))).alias("p75_price"),
+            F.min(F.when(F.col("_num") == 1, F.col("q"))).alias("p25_price"),
+            F.min(F.when(F.col("_num") == 2, F.col("q"))).alias("median_price"),
+            F.min(F.when(F.col("_num") == 3, F.col("q"))).alias("p75_price"),
             F.round(F.max("tot"), 2).cast("double").alias("total_qty"),
         )
         .orderBy("l_returnflag")
