@@ -3303,3 +3303,119 @@ JOIN mad USING (l_returnflag)
 GROUP BY li.l_returnflag
 ORDER BY li.l_returnflag
 """
+
+# Q128 — cross-split content leakage audit ---------------------------
+# Fingerprint = md5 of the sorted distinct \S+ token set (RE2 \S ==
+# the complement of the spelled-out Java WS class — ops/text.py);
+# fold = ops/split.py's md5 bucket twin. Integer counts only.
+
+ORACLES["q128"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(trim(text)), '\S+'))), ' ')) AS fp,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS b
+  FROM documents
+), s AS (
+  SELECT doc_id, fp,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       array_to_string(list_sort(array_agg(DISTINCT split)), ',') AS splits,
+       MIN(doc_id) AS first_doc
+FROM s
+GROUP BY fp
+HAVING COUNT(DISTINCT split) > 1
+ORDER BY first_doc
+"""
+
+# Q129 — equi-depth deciles (naive cumulative-window oracle) ---------
+# The engine runs the bucketed two-level search; the oracle states
+# the same order statistic naively: per priority, the smallest price
+# with 10*cum >= k*tot for k = 1..9.
+
+ORACLES["q129"] = """
+WITH o AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS price FROM orders
+), g AS (
+  SELECT pri, price, CAST(COUNT(*) AS BIGINT) AS w
+  FROM o GROUP BY pri, price
+), c AS (
+  SELECT pri, price,
+         SUM(w) OVER (PARTITION BY pri ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY pri) AS tot
+  FROM g
+), k AS (
+  SELECT range AS k FROM range(1, 10)
+), hit AS (
+  SELECT c.pri, k.k, MIN(c.price) AS q, MAX(c.tot) AS tot
+  FROM c CROSS JOIN k
+  WHERE 10 * c.cum >= k.k * c.tot
+  GROUP BY c.pri, k.k
+)
+SELECT pri,
+       MIN(CASE WHEN k = 1 THEN q END) AS d1,
+       MIN(CASE WHEN k = 2 THEN q END) AS d2,
+       MIN(CASE WHEN k = 3 THEN q END) AS d3,
+       MIN(CASE WHEN k = 4 THEN q END) AS d4,
+       MIN(CASE WHEN k = 5 THEN q END) AS d5,
+       MIN(CASE WHEN k = 6 THEN q END) AS d6,
+       MIN(CASE WHEN k = 7 THEN q END) AS d7,
+       MIN(CASE WHEN k = 8 THEN q END) AS d8,
+       MIN(CASE WHEN k = 9 THEN q END) AS d9,
+       CAST(MAX(tot) AS BIGINT) AS n
+FROM hit
+GROUP BY pri
+ORDER BY pri
+"""
+
+# Q130 — decile gains table via quantile boundaries ------------------
+# Boundaries are the same smallest-value order statistic; membership
+# is the tie-stable band count |{k: spend > d_k}|, flipped so decile
+# 1 is the top tenth. Decimal money end-to-end; IEEE division only
+# in the final rounded shares.
+
+ORACLES["q130"] = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey
+), sg AS (
+  SELECT spend, CAST(COUNT(*) AS BIGINT) AS w FROM spend GROUP BY spend
+), c AS (
+  SELECT spend,
+         SUM(w) OVER (ORDER BY spend ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS tot
+  FROM sg
+), k AS (
+  SELECT range AS k FROM range(1, 10)
+), b AS (
+  SELECT k.k, MIN(c.spend) AS d
+  FROM c CROSS JOIN k
+  WHERE 10 * c.cum >= k.k * c.tot
+  GROUP BY k.k
+), banded AS (
+  SELECT s.o_custkey, s.spend,
+         10 - (SELECT COUNT(*) FROM b WHERE s.spend > b.d) AS decile
+  FROM spend s
+), d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust, SUM(spend) AS dspend
+  FROM banded GROUP BY decile
+)
+SELECT decile,
+       n_cust,
+       CAST(ROUND(dspend, 2) AS DOUBLE) AS decile_spend,
+       ROUND(CAST(dspend AS DOUBLE)
+             / CAST(SUM(dspend) OVER () AS DOUBLE), 6) AS share,
+       ROUND(CAST(SUM(dspend) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(dspend) OVER () AS DOUBLE), 6) AS cum_share
+FROM d
+ORDER BY decile
+"""

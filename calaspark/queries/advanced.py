@@ -2700,3 +2700,174 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
         ).alias("outlier_rate"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- Q128
+
+
+def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/VAL/TEST LEAKAGE AUDIT (E13+E15+E19 composition — the
+    check every training-data pipeline must run after splitting:
+    did any duplicated content land on both sides of a fold?): at
+    bag-of-words grain (md5 of the sorted distinct whitespace-token
+    set — exact dedup's normalization one notch coarser, so token
+    reorderings of the same content collide), find every content
+    group whose documents span MORE THAN ONE split of the q67
+    deterministic 90/5/5 fold, with the splits it leaks across.
+
+    Everything deciding membership is exact: the fingerprint is a
+    string hash, the fold is ops/split.py's md5 bucket (never
+    rand()), and the aggregates are integer counts. Plan: one scan
+    computes fingerprint + split in codegen, ONE fp-keyed hash agg
+    (map-side partial) collapses the corpus to content grain, and
+    the leaked filter runs on the aggregate — at 100 TB the shuffle
+    carries one row per distinct fingerprint per map task, never
+    the duplicated volume. Reference anchor: SURVEY §2.5 E13/E15
+    (split + dedup contracts composed).
+    """
+    from ..ops.split import split_label
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(tokens(F.lower(F.trim(F.col("text")))))
+            ),
+            " ",
+        )
+    )
+    f = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        split_label(F.col("doc_id")).alias("split"),
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_sort(F.collect_set("split")).alias("_ss"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.size("_ss") > 1)
+        .select(
+            "fp",
+            "n_docs",
+            F.size("_ss").cast("long").alias("n_splits"),
+            F.array_join("_ss", ",").alias("splits"),
+            "first_doc",
+        )
+        .orderBy("first_doc")
+    )
+
+
+# ---------------------------------------------------------------- Q129
+
+
+def q129_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM (E13 — the optimizer/statistics idiom:
+    nine exact decile boundaries per group, so every band between
+    adjacent boundaries holds ~10 % of the rows): per
+    ``o_orderpriority``, the d1..d9 deciles of ``o_totalprice``.
+
+    All nine fractions run through ONE pass of the factored
+    ``ops/quantile.py`` bucket-grain search (q98/q121/q127's
+    operator) — the pre-agg and bucket cum table build once and the
+    fan-out to nine targets happens at the tiny bucket grain, never
+    the data grain. Membership is the float-free ``10·cum ≥ k·tot``
+    integer test; the reported boundaries are STORED values passing
+    through untouched (no interpolation), so the hash gate sees
+    bit-identical doubles.
+    """
+    from ..ops.quantile import exact_quantiles_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    )
+    g = o.groupBy("pri", "price").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    hit = exact_quantiles_bucketed(
+        g, "pri", "price", "w", list(range(1, 10)), 10
+    )
+    aggs = [
+        F.min(F.when(F.col("_num") == k, F.col("q"))).alias(f"d{k}")
+        for k in range(1, 10)
+    ]
+    return (
+        hit.groupBy("pri")
+        .agg(*aggs, F.max("tot").cast("long").alias("n"))
+        .orderBy("pri")
+    )
+
+
+# ---------------------------------------------------------------- Q130
+
+
+def q130_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE GAINS / LIFT TABLE (E2/E3+E13 — the model-evaluation
+    and marketing idiom: cut customers into value tenths, report
+    each tenth's share and cumulative share of total value), decile
+    1 = the top spenders.
+
+    A global RANK over customers (the textbook NTILE formulation)
+    is exactly the q98-class anti-pattern — one task sorts every
+    customer. Instead the nine decile BOUNDARIES come from the
+    factored ``ops/quantile.py`` bucket-grain search over the
+    spend-grain weight table (one `_g` global group — the bucket
+    windows run over spend_range/1024 rows, a value-domain
+    constant), and each customer's decile is decided by a 9-row
+    broadcast comparison: ascending band ``1 + |{k: spend > d_k}|``
+    (ties land in the lower band, both engines identically),
+    flipped so decile 1 is the top. Band sizes are data-determined
+    under ties — declared, not forced to n/10. The fact table never
+    globally sorts; the only windows below customer grain are the
+    bounded bucket search and the 10-row cumulative-share window.
+    All money stays decimal until the final rounded IEEE divisions.
+    """
+    from ..ops.quantile import exact_quantiles_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", dec("o_totalprice").alias("p")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("p").alias("spend"))
+    sg = (
+        spend.groupBy("spend")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .withColumn("_g", F.lit(0))
+    )
+    bounds = exact_quantiles_bucketed(
+        sg, "_g", "spend", "w", list(range(1, 10)), 10
+    ).select(F.col("q").alias("d"))
+    banded = (
+        spend.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.min("spend").alias("spend"),
+            F.sum((F.col("spend") > F.col("d")).cast("long")).alias("_nb"),
+        )
+        .select("o_custkey", "spend", (F.lit(10) - F.col("_nb")).alias("decile"))
+    )
+    d = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("spend").alias("dspend"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        d.select(
+            "decile",
+            "n_cust",
+            F.round("dspend", 2).cast("double").alias("decile_spend"),
+            F.round(
+                F.col("dspend").cast("double")
+                / F.sum("dspend").over(wt).cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.sum("dspend").over(wc).cast("double")
+                / F.sum("dspend").over(wt).cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

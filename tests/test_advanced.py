@@ -664,3 +664,97 @@ def test_q127_mad_matches_python_order_statistics(spark):
         assert r["median_price"] == med
         assert r["mad"] == mad
         assert r["n_outliers"] == n_out
+
+
+def test_q129_deciles_match_python_order_statistics(spark):
+    """q129's nine bucketed decile boundaries must equal the declared
+    smallest-value-with-10*cum>=k*n order statistic in plain Python."""
+    from calaspark.queries.advanced import q129_equidepth_deciles
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["pri"]: r for r in q129_equidepth_deciles(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["o_orderpriority"]].append(r["o_totalprice"])
+    for pri, xs in by.items():
+        xs = sorted(xs)
+        n = len(xs)
+        r = got[pri]
+        assert r["n"] == n
+        for k in range(1, 10):
+            # smallest index i (1-based) with 10*i >= k*n
+            i = -(-k * n // 10)
+            assert r[f"d{k}"] == xs[i - 1], (pri, k)
+
+
+def test_q130_gains_table_invariants(spark):
+    """q130's banding must cover every customer exactly once, shares
+    must telescope to 1, and per-decile spend must match a plain
+    Python banding against independently computed boundaries."""
+    from calaspark.queries.advanced import q130_decile_gains
+
+    sf = "/root/testdata/sf0.001"
+    out = q130_decile_gains(spark, sf).collect()
+    rows = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    spend = defaultdict(Decimal)
+    for r in rows:
+        spend[r["o_custkey"]] += Decimal(str(round(r["o_totalprice"], 4)))
+    vals = sorted(spend.values())
+    n = len(vals)
+    bounds = [vals[-(-k * n // 10) - 1] for k in range(1, 10)]
+    py = defaultdict(lambda: [0, Decimal(0)])
+    for s in spend.values():
+        d = 10 - sum(1 for b in bounds if s > b)
+        py[d][0] += 1
+        py[d][1] += s
+    assert sum(r["n_cust"] for r in out) == n
+    assert abs(out[-1]["cum_share"] - 1.0) < 1e-9
+    for r in out:
+        assert r["n_cust"] == py[r["decile"]][0]
+        assert r["decile_spend"] == float(round(py[r["decile"]][1], 2))
+
+
+def test_q128_leakage_matches_python(spark):
+    """q128's leaked groups must match a plain-Python recomputation of
+    the bag-of-words fingerprint + md5 fold."""
+    import hashlib
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q128_split_leakage
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["fp"]: r for r in q128_split_leakage(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        key = " ".join(sorted(set(r["text"].strip().lower().split())))
+        fp = hashlib.md5(key.encode()).hexdigest()
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < 90 else ("val" if b < 95 else "test")
+        groups[fp].append((r["doc_id"], split))
+    leaked = {
+        fp: ds for fp, ds in groups.items() if len({s for _, s in ds}) > 1
+    }
+    assert set(got) == set(leaked)
+    for fp, ds in leaked.items():
+        assert got[fp]["n_docs"] == len(ds)
+        assert got[fp]["splits"] == ",".join(sorted({s for _, s in ds}))
+        assert got[fp]["first_doc"] == min(d for d, _ in ds)

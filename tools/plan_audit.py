@@ -38,6 +38,12 @@ ALLOWED = {
     # dictionary window in bitmask_encode
     "q33": {"single_part_exchange"},
     "q38_cross": {"bnlj"},  # cross join demo (tiny dims)
+    # 9-row decile-boundary broadcast × customer-grain scan (q71's
+    # declared tiny-broadcast theta pattern) + the bounded global
+    # windows: the bucket-grain quantile search under a single global
+    # group (≤ value_range/1024 rows) and the 10-row cumulative-share
+    # window — never customer/data grain
+    "q130": {"bnlj", "single_part_exchange"},
     "q34": {"bnlj"},  # 1-row broadcast probe × corpus scan (single-probe ANN)
     "q71": {"bnlj"},  # 8-row broadcast query batch × corpus scan (batch ANN)
     "q01": {"single_part_exchange"},  # global 1-row aggregate: final merge
