@@ -3419,3 +3419,101 @@ SELECT decile,
 FROM d
 ORDER BY decile
 """
+
+# Q131 — A/B lift with Welch z from exact moment sums ----------------
+# Variant = ops/split.py md5 fold at n=2; metric = per-user total
+# purchase value in decimal; z from decimal power sums cast to
+# double once (q62/q116 idiom). DECIMAL(18,4) cap on the per-user
+# metric keeps m*m within decimal-38 in both engines.
+
+ORACLES["q131"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+              AS DECIMAL(18,4)) AS m
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         m
+  FROM u
+), s AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(m) AS sm, SUM(m * m) AS smm
+  FROM v GROUP BY variant
+), one AS (
+  SELECT
+    MIN(CASE WHEN variant = 'A' THEN n END) AS n_a,
+    MIN(CASE WHEN variant = 'B' THEN n END) AS n_b,
+    CAST(MIN(CASE WHEN variant = 'A' THEN sm END) AS DOUBLE) AS sa,
+    CAST(MIN(CASE WHEN variant = 'B' THEN sm END) AS DOUBLE) AS sb,
+    CAST(MIN(CASE WHEN variant = 'A' THEN smm END) AS DOUBLE) AS saa,
+    CAST(MIN(CASE WHEN variant = 'B' THEN smm END) AS DOUBLE) AS sbb
+  FROM s
+)
+SELECT n_a, n_b,
+       ROUND(sa / CAST(n_a AS DOUBLE), 6) AS mean_a,
+       ROUND(sb / CAST(n_b AS DOUBLE), 6) AS mean_b,
+       ROUND(sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE), 6) AS lift,
+       ROUND((sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE))
+             / sqrt(((CAST(n_a AS DOUBLE) * saa - sa * sa)
+                     / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                    / CAST(n_a AS DOUBLE)
+                    + ((CAST(n_b AS DOUBLE) * sbb - sb * sb)
+                       / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                      / CAST(n_b AS DOUBLE)), 6) AS welch_z
+FROM one
+"""
+
+# Q132 — duplicate baskets via set-valued keys -----------------------
+
+ORACLES["q132"] = """
+WITH b AS (
+  SELECT l.l_orderkey AS okey,
+         array_to_string(list_sort(array_agg(DISTINCT p.p_brand)), ',') AS basket,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_orderkey
+)
+SELECT basket, n_brands,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(okey) AS first_order
+FROM b
+GROUP BY basket, n_brands
+HAVING COUNT(*) > 1 AND n_brands >= 3
+ORDER BY n_orders DESC, basket ASC
+LIMIT 20
+"""
+
+# Q133 — weekly cohort retention (integer epoch-weeks) ---------------
+
+ORACLES["q133"] = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+  FROM events
+), su AS (
+  SELECT user_id, MIN(wk) AS cw FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, wk AS aw FROM e
+  WHERE event_type = 'purchase' AND value >= 150
+), coh AS (
+  SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM su GROUP BY cw
+)
+SELECT su.cw AS cohort_week,
+       act.aw - su.cw AS weeks_since,
+       CAST(COUNT(DISTINCT su.user_id) AS BIGINT) AS n_active,
+       MIN(coh.n_cohort) AS n_cohort,
+       ROUND(CAST(COUNT(DISTINCT su.user_id) AS DOUBLE)
+             / CAST(MIN(coh.n_cohort) AS DOUBLE), 6) AS retention
+FROM su
+JOIN act USING (user_id)
+JOIN coh USING (cw)
+WHERE act.aw >= su.cw
+GROUP BY su.cw, act.aw
+ORDER BY cohort_week, weeks_since
+"""

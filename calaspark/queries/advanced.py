@@ -2871,3 +2871,179 @@ def q130_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------- Q131
+
+
+def q131_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT (E2/E13 — the two-sample comparison
+    every product analytics stack runs): users deterministically
+    assigned to variants by the md5 fold (ops/split.py's bucket at
+    n=2 — never rand(), so the assignment survives reruns and
+    joins), per-user metric = total purchase value, and the Welch
+    z-statistic for the A→B lift computed from EXACT per-variant
+    moment sums (q62/q116's idiom: decimal power sums cast to
+    double ONCE, then one shared IEEE expression — engine-native
+    stddev would accumulate doubles in partition order and flake
+    the hash gate).
+
+    Plan: one events scan → user-grain hash agg (metric + variant
+    in codegen) → 2-row variant agg → 1-row readout (global final
+    merge, the declared q01/q53 tiny-aggregate class). Zero joins.
+    """
+    from ..ops.split import hash_bucket
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", dec("value"))
+        .otherwise(dec(F.lit(0.0)))
+        .alias("v"),
+    )
+    # cap the per-user metric at DECIMAL(18,4) so m*m stays within
+    # decimal-38 in BOTH engines (DuckDB silently falls back to
+    # DOUBLE past 38 digits, which would break exactness parity)
+    u = e.groupBy("user_id").agg(
+        F.sum("v").cast("decimal(18,4)").alias("m")
+    )
+    u = u.select(
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "m",
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    one = s.groupBy().agg(
+        F.min(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.min(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.min(F.when(F.col("variant") == "A", F.col("sm"))).alias("sa"),
+        F.min(F.when(F.col("variant") == "B", F.col("sm"))).alias("sb"),
+        F.min(F.when(F.col("variant") == "A", F.col("smm"))).alias("saa"),
+        F.min(F.when(F.col("variant") == "B", F.col("smm"))).alias("sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    var_a = (na * saa - sa * sa) / (na * (na - F.lit(1.0)))
+    var_b = (nb * sbb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(sb / nb - sa / na, 6).alias("lift"),
+        F.round(
+            (sb / nb - sa / na) / F.sqrt(var_a / na + var_b / nb), 6
+        ).alias("welch_z"),
+    )
+
+
+# ---------------------------------------------------------------- Q132
+
+
+def q132_dup_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE BASKET DETECTION via SET-VALUED GROUPING KEYS (E15
+    at composite grain — exact dedup where the identity is a SET,
+    not a row: orders whose distinct-brand basket is identical):
+    baskets of ≥ 3 brands shared by more than one order, top 20 by
+    multiplicity.
+
+    The basket key is ``array_sort(collect_set(brand))`` — grouping
+    BY an array column, the canonical-form trick that turns set
+    equality into hashable equality (q128's bag-of-words
+    fingerprint without the hash, so the key stays inspectable).
+    Plan: fact⋈dim partkey join (AQE broadcasts the dim at small
+    scale; a plain shuffle join at 100 TB — part scales with SF, so
+    no broadcast hint is forced), order-grain hash agg to build
+    baskets, basket-keyed hash agg to count, TakeOrdered for the
+    deterministic top-20 (total order: n_orders desc, basket asc).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("_basket"))
+        .select(
+            "l_orderkey",
+            F.array_join("_basket", ",").alias("basket"),
+            F.size("_basket").cast("long").alias("n_brands"),
+        )
+    )
+    return (
+        b.groupBy("basket", "n_brands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("l_orderkey").alias("first_order"),
+        )
+        .filter((F.col("n_orders") > 1) & (F.col("n_brands") >= 3))
+        .select("basket", "n_brands", "n_orders", "first_order")
+        .orderBy(F.col("n_orders").desc(), F.col("basket").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q133
+
+
+def q133_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY COHORT RETENTION (E2/E3 — the product-analytics matrix
+    q125's DAU/WAU and q126's time-to-convert both feed into): users
+    cohorted by FIRST signup epoch-week, "retained" in week w if
+    they made a high-value purchase (value ≥ 150) that week; one row
+    per (cohort_week, weeks_since) with the retained count, cohort
+    size, and rate.
+
+    Rule-2 time handling: integer epoch-weeks (``ep div 604800``)
+    only — no raw timestamps, no calendar functions. Plan: two
+    branches off ONE events scan shape (signup firsts: user-keyed
+    min-agg; active weeks: distinct over a selective filter), a
+    user-keyed equi-join (both sides user-partitioned), cohort
+    sizes from a cohort-grain agg joined back broadcast (cohort
+    cardinality is time-bounded, not data-bounded), final hash agg.
+    COUNT(DISTINCT user) inside the (cohort, week) group dedups
+    join fan-out exactly.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        (_ep("ts") / F.lit(604800)).cast("long").alias("wk"),
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cw"))
+    )
+    act = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .select("user_id", F.col("wk").alias("aw"))
+        .distinct()
+    )
+    coh = su.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    return (
+        su.join(act, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .groupBy("cw", (F.col("aw") - F.col("cw")).alias("weeks_since"))
+        .agg(F.count_distinct(F.col("user_id")).cast("long").alias("n_active"))
+        .join(F.broadcast(coh), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

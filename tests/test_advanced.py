@@ -758,3 +758,120 @@ def test_q128_leakage_matches_python(spark):
         assert got[fp]["n_docs"] == len(ds)
         assert got[fp]["splits"] == ",".join(sorted({s for _, s in ds}))
         assert got[fp]["first_doc"] == min(d for d, _ in ds)
+
+
+def test_q131_welch_z_matches_python(spark):
+    """q131's moment-sum Welch z must equal the statistic computed in
+    plain Python from per-user metrics and the same md5 fold."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q131_ab_lift
+
+    sf = "/root/testdata/sf0.001"
+    got = q131_ab_lift(spark, sf).collect()[0]
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    m = defaultdict(Decimal)
+    for r in rows:
+        m[r["user_id"]] += (
+            Decimal(str(round(r["value"], 2)))
+            if r["event_type"] == "purchase"
+            else Decimal(0)
+        )
+    ab = defaultdict(list)
+    for uid, v in m.items():
+        b = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        ab["A" if b == 0 else "B"].append(float(v))
+    na, nb = len(ab["A"]), len(ab["B"])
+    sa, sb = sum(ab["A"]), sum(ab["B"])
+    saa = sum(x * x for x in ab["A"])
+    sbb = sum(x * x for x in ab["B"])
+    var_a = (na * saa - sa * sa) / (na * (na - 1.0))
+    var_b = (nb * sbb - sb * sb) / (nb * (nb - 1.0))
+    z = (sb / nb - sa / na) / math.sqrt(var_a / na + var_b / nb)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert abs(got["mean_a"] - sa / na) < 1e-5
+    assert abs(got["mean_b"] - sb / nb) < 1e-5
+    assert abs(got["welch_z"] - z) < 1e-5
+
+
+def test_q132_baskets_match_python(spark):
+    """q132's set-valued grouping must equal a plain-Python basket
+    multiset build (top-20 under the same total order)."""
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q132_dup_baskets
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q132_dup_baskets(spark, sf).collect()]
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{sf}/part.parquet").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(brand[r["l_partkey"]])
+    g = defaultdict(list)
+    for okey, bs in baskets.items():
+        g[",".join(sorted(bs))].append(okey)
+    cand = [
+        (k, len(k.split(",")), len(v), min(v))
+        for k, v in g.items()
+        if len(v) > 1 and len(k.split(",")) >= 3
+    ]
+    cand.sort(key=lambda t: (-t[2], t[0]))
+    assert got == cand[:20]
+
+
+def test_q133_retention_matches_python(spark):
+    """q133's cohort matrix must match a plain-Python recomputation
+    at integer epoch-week grain."""
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q133_cohort_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["cohort_week"], r["weeks_since"]): (r["n_active"], r["n_cohort"])
+        for r in q133_cohort_retention(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "value",
+            "cast(unix_timestamp(cast(ts as timestamp)) / 604800 as long) as wk",
+        )
+        .collect()
+    )
+    first_signup = {}
+    active = defaultdict(set)
+    for r in rows:
+        if r["event_type"] == "signup":
+            cur = first_signup.get(r["user_id"])
+            if cur is None or r["wk"] < cur:
+                first_signup[r["user_id"]] = r["wk"]
+        if r["event_type"] == "purchase" and r["value"] >= 150:
+            active[r["user_id"]].add(r["wk"])
+    coh = defaultdict(int)
+    for cw in first_signup.values():
+        coh[cw] += 1
+    py = defaultdict(set)
+    for uid, cw in first_signup.items():
+        for aw in active.get(uid, ()):
+            if aw >= cw:
+                py[(cw, aw - cw)].add(uid)
+    expect = {k: (len(v), coh[k[0]]) for k, v in py.items()}
+    assert got == expect

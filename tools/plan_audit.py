@@ -48,6 +48,9 @@ ALLOWED = {
     "q71": {"bnlj"},  # 8-row broadcast query batch × corpus scan (batch ANN)
     "q01": {"single_part_exchange"},  # global 1-row aggregate: final merge
     "q53": {"single_part_exchange"},  # global 1-row aggregate: final merge
+    # 2-row variant table pivoted into the 1-row A/B readout: global
+    # final merge of a tiny aggregate (q01/q53 class)
+    "q131": {"single_part_exchange"},
     "approx_sketches": {"single_part_exchange"},  # global 1-row aggregate
     "q04": {"single_part_exchange"},  # global offset pagination
     "q03": {"single_part_exchange"},
