@@ -3517,3 +3517,59 @@ WHERE act.aw >= su.cw
 GROUP BY su.cw, act.aw
 ORDER BY cohort_week, weeks_since
 """
+
+# Q135 — reciprocal rank fusion --------------------------------------
+# Both ranks are row_number under total orders; the fused score is
+# two fixed IEEE divisions ranked exactly, rounded only for output.
+
+ORACLES["q135"] = """
+WITH e AS (
+  SELECT event_type, user_id, CAST(value AS DECIMAL(12,2)) AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), u AS (
+  SELECT event_type, user_id, SUM(v) AS tv, MAX(ep) AS last_ep
+  FROM e GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY tv DESC, user_id ASC) AS r_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY last_ep DESC, user_id ASC) AS r_recency
+  FROM u
+), f AS (
+  SELECT event_type, user_id, r_value, r_recency,
+         1.0 / (60.0 + CAST(r_value AS DOUBLE))
+         + 1.0 / (60.0 + CAST(r_recency AS DOUBLE)) AS rrf
+  FROM r
+), t AS (
+  SELECT event_type, user_id, r_value, r_recency, rrf,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rrf DESC, user_id ASC) AS rn
+  FROM f
+)
+SELECT event_type,
+       CAST(rn AS BIGINT) AS rnk,
+       user_id,
+       CAST(r_value AS BIGINT) AS r_value,
+       CAST(r_recency AS BIGINT) AS r_recency,
+       ROUND(rrf, 6) AS rrf
+FROM t WHERE rn <= 5
+ORDER BY event_type, rnk
+"""
+
+# Q136 — calibration / reliability bins ------------------------------
+
+ORACLES["q136"] = """
+SELECT CAST(least(9, floor(value / 100)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS purchase_rate,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3047,3 +3047,153 @@ def q133_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------- Q134
+
+
+def q134_clamped_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAMPED LEDGER — the grouped sequential recurrence that
+    windows provably cannot express (E22's honest engine use-case:
+    credit limits, inventory floors, token-bucket rate limits): per
+    user, purchases credit ``+value`` and errors debit ``-value``
+    into a balance clamped to [0, 500] after EVERY step; clamping
+    destroys associativity, so no window frame computes it and the
+    engine-correct shape is ops/sequential.py's per-key ordered
+    Arrow scan (chunkable-by-carry at 100 TB — see that module's
+    scale contract).
+
+    No SQL oracle by declaration (the recurrence needs recursion —
+    SURVEY §2.6 documents the rows-only downgrade); semantics are
+    pinned instead by tests/test_ops.py's Python-equivalence and
+    chunk-carry property tests. Output is user-grain: transaction
+    count, closing balance (the last row under the (ep, event_id)
+    total order via max_by), and the min/max watermarks.
+    """
+    from ..ops.sequential import clamped_running_sum
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    tx = e.select(
+        "user_id",
+        _ep("ts").alias("ep"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    b = clamped_running_sum(
+        tx, ["user_id"], ["ep", "event_id"], "delta", lo=0.0, hi=500.0
+    )
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tx"),
+            F.max_by("balance", F.struct("ep", "event_id")).alias(
+                "closing_balance"
+            ),
+            F.min("balance").alias("min_balance"),
+            F.max("balance").alias("max_balance"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- Q135
+
+
+def q135_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (E19 — the standard zero-tuning way to
+    merge heterogeneous rankings, the idiom behind every hybrid
+    search stack): within each event_type, users are ranked two
+    independent ways — by exact total value (desc) and by recency of
+    last activity (latest ep first) — and fused with
+    ``RRF = 1/(60 + r_value) + 1/(60 + r_recency)``; top 5 users per
+    type by the fused score.
+
+    Determinism: both ranks are ``row_number`` under total orders
+    (value desc tie-broken by user_id; recency desc tie-broken by
+    user_id), so the RRF sum is two fixed IEEE divisions — rounded
+    at 6 only for output, ranked on the exact value. Plan: one
+    events scan → (type, user) hash agg → two windows over the SAME
+    (type)-partitioned user-grain aggregate (partition-bounded, no
+    global sort) → TakeOrdered-per-group top-5 (WindowGroupLimit).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", dec("value").alias("v"), _ep("ts").alias("ep")
+    )
+    u = e.groupBy("event_type", "user_id").agg(
+        F.sum("v").alias("tv"), F.max("ep").alias("last_ep")
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("tv").desc(), F.col("user_id").asc()
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("last_ep").desc(), F.col("user_id").asc()
+    )
+    r = u.select(
+        "event_type",
+        "user_id",
+        F.row_number().over(wv).alias("r_value"),
+        F.row_number().over(wr).alias("r_recency"),
+    ).withColumn(
+        "rrf",
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_value").cast("double"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("r_recency").cast("double")),
+    )
+    wf = Window.partitionBy("event_type").orderBy(
+        F.col("rrf").desc(), F.col("user_id").asc()
+    )
+    return (
+        r.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.col("rnk").cast("long").alias("rnk"),
+            "user_id",
+            F.col("r_value").cast("long").alias("r_value"),
+            F.col("r_recency").cast("long").alias("r_recency"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- Q136
+
+
+def q136_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION / RELIABILITY CURVE (E13 — the model-eval
+    companion of q130's gains table: is a score's implied likelihood
+    honest?): treating each event's ``value`` as a score, bin it
+    into ten fixed-width bands (``least(9, floor(value/100))`` —
+    constants, not data-derived) and report per bin the event count,
+    the empirical purchase rate (exact integer counts, one rounded
+    IEEE division), and the mean score from a decimal sum (rule 4).
+
+    One scan, one 10-row hash agg — the curve is a pure map-side
+    fold at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / F.lit(100)))
+        .cast("long")
+        .alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        dec("value").alias("v"),
+    )
+    return (
+        e.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_p").alias("n_purchase"),
+            F.round(
+                F.sum("is_p").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("purchase_rate"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_value"),
+        )
+        .orderBy("bin")
+    )

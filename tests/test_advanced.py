@@ -875,3 +875,81 @@ def test_q133_retention_matches_python(spark):
                 py[(cw, aw - cw)].add(uid)
     expect = {k: (len(v), coh[k[0]]) for k, v in py.items()}
     assert got == expect
+
+
+def test_q135_rrf_matches_python(spark):
+    """q135's fused top-5 must match a plain-Python RRF over the same
+    two total orders."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q135_rrf_fusion
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["event_type"], r["rnk"], r["user_id"])
+        for r in q135_rrf_fusion(spark, sf).collect()
+    ]
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "user_id",
+            "value",
+            "cast(unix_timestamp(cast(ts as timestamp)) as long) as ep",
+        )
+        .collect()
+    )
+    agg = defaultdict(lambda: [Decimal(0), -1])
+    for r in rows:
+        a = agg[(r["event_type"], r["user_id"])]
+        a[0] += Decimal(str(round(r["value"], 2)))
+        a[1] = max(a[1], r["ep"])
+    by_type = defaultdict(list)
+    for (et, uid), (tv, lep) in agg.items():
+        by_type[et].append((uid, tv, lep))
+    expect = []
+    for et, us in by_type.items():
+        rv = {
+            uid: i + 1
+            for i, (uid, _, _) in enumerate(
+                sorted(us, key=lambda t: (-t[1], t[0]))
+            )
+        }
+        rr = {
+            uid: i + 1
+            for i, (uid, _, _) in enumerate(
+                sorted(us, key=lambda t: (-t[2], t[0]))
+            )
+        }
+        fused = sorted(
+            ((1 / (60 + rv[u]) + 1 / (60 + rr[u]), u) for u, _, _ in us),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect += [(et, i + 1, u) for i, (_, u) in enumerate(fused[:5])]
+    assert sorted(got) == sorted(expect)
+
+
+def test_q136_bins_are_exhaustive_and_exact(spark):
+    """q136's fixed-width bins must partition every event exactly once
+    and the purchase counts must match a plain recount."""
+    from collections import Counter
+
+    from calaspark.queries.advanced import q136_calibration_bins
+
+    sf = "/root/testdata/sf0.001"
+    out = q136_calibration_bins(spark, sf).collect()
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    n = Counter()
+    p = Counter()
+    for r in rows:
+        b = min(9, int(r["value"] // 100))
+        n[b] += 1
+        p[b] += r["event_type"] == "purchase"
+    assert sum(r["n"] for r in out) == len(rows)
+    for r in out:
+        assert r["n"] == n[r["bin"]] and r["n_purchase"] == p[r["bin"]]

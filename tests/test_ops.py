@@ -885,3 +885,77 @@ def test_pandas_grouped_ops_twins_agree(spark):
     for r in rows:
         assert abs(r["wmean_udf"] - r["wmean_builtin"]) < 1e-6
         assert r["n"] > 0 and r["max_abs_z"] >= 0.0
+
+
+def test_clamped_running_sum_matches_python(spark):
+    """ops/sequential.py's per-key Arrow scan must equal the plain
+    Python recurrence on real data."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.sequential import clamped_running_sum
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "cast(unix_timestamp(cast(ts as timestamp)) as long) as ep",
+            "case when event_type = 'purchase' then value else -value end as delta",
+        )
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in clamped_running_sum(
+            e, ["user_id"], ["ep", "event_id"], "delta", 0.0, 500.0
+        ).collect()
+    }
+    rows = sorted(
+        e.collect(), key=lambda r: (r["user_id"], r["ep"], r["event_id"])
+    )
+    bal = {}
+    expect = {}
+    for r in rows:
+        b = bal.get(r["user_id"], 0.0)
+        b = min(500.0, max(0.0, b + r["delta"]))
+        bal[r["user_id"]] = b
+        expect[(r["user_id"], r["event_id"])] = b
+    assert got == expect
+
+
+def test_clamped_running_sum_chunk_carry_property(spark):
+    """The 100-TB escape hatch documented in ops/sequential.py:
+    scanning a key's history in chunks, carrying each chunk's closing
+    balance into the next as `start`, must equal one full scan —
+    checked in plain Python over randomized streams (the carry
+    property is about the recurrence, not the Spark plumbing)."""
+    import random
+
+    rng = random.Random(134)
+
+    def scan(deltas, start):
+        b, out = start, []
+        for d in deltas:
+            b = min(500.0, max(0.0, b + d))
+            out.append(b)
+        return out
+
+    for _ in range(200):
+        n = rng.randrange(1, 60)
+        deltas = [round(rng.uniform(-300, 300), 2) for _ in range(n)]
+        full = scan(deltas, 0.0)
+        cut = rng.randrange(0, n)
+        head = scan(deltas[:cut], 0.0)
+        carry = head[-1] if head else 0.0
+        tail = scan(deltas[cut:], carry)
+        assert head + tail == full
+
+
+def test_clamped_running_sum_rejects_bad_start(spark):
+    import pytest
+
+    from calaspark.ops.sequential import clamped_running_sum
+
+    df = spark.range(1).selectExpr("id as k", "id as o", "1.0 as d")
+    with pytest.raises(ValueError):
+        clamped_running_sum(df, ["k"], ["o"], "d", 0.0, 10.0, start=99.0)
