@@ -3573,3 +3573,60 @@ FROM events
 GROUP BY 1
 ORDER BY 1
 """
+
+# Q137 — data-quality expectation suite ------------------------------
+# One row per declared check; all counts exact integers. FK checks
+# run at distinct-key grain, the scalable form.
+
+ORACLES["q137"] = """
+WITH checks AS (
+  SELECT 'unique_o_orderkey' AS check_id, 'orders' AS table_name,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+  FROM orders
+  UNION ALL
+  SELECT 'unique_c_custkey', 'customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'not_null_o_custkey', 'orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'range_l_discount_0_0.1', 'lineitem',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range_l_quantity_pos', 'lineitem',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'nonneg_event_value', 'events',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'fk_lineitem_orders', 'lineitem',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'fk_orders_customer', 'orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT)
+  FROM (SELECT DISTINCT o_custkey FROM orders) o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+)
+SELECT check_id, table_name, n_total, n_bad,
+       CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM checks
+ORDER BY check_id
+"""

@@ -34,8 +34,8 @@ QUERIES: dict[str, QueryFn] = {
     # round-7 `weak` — cut-grain shuffle fixed) and q108
     # (zero-denominator guard) — both changed this round; (3) the
     # stalest veterans q08-q26 (last driver rows r01-r05 — round-7
-    # verdict #2), then q27-q31 (r06).
-    # The cut falls after q31; q32-q43 and the r06 companions
+    # verdict #2), then q27-q30 (r06).
+    # The cut falls after q30; q31-q43 and the r06 companions
     # (q13_latest through q64) lead the below-cut block as the
     # round-9 rotation head —
     # everything below the cut is driver-green in r06/r07 and
@@ -66,6 +66,7 @@ QUERIES: dict[str, QueryFn] = {
     "q134": advanced.q134_clamped_ledger,
     "q135": advanced.q135_rrf_fusion,
     "q136": advanced.q136_calibration_bins,
+    "q137": advanced.q137_expectations,
     "q110": advanced.q110_cdc_chunks,
     "q108": advanced.q108_funnel,
     "q08": relational.q08_join_left_nullfill,
@@ -91,10 +92,10 @@ QUERIES: dict[str, QueryFn] = {
     "q28": etl.q28_json_extract,
     "q29": extensions.q29_tokens_explode_count,
     "q30": extensions.q30_pivot_events,
-    "q31": extensions.q31_sliding_window_batch,
     # --- position 51+ from here (driver window cut): every id below
     # is driver-green in CORRECTNESS_r06/r07 and re-verified every
     # round by tools/verify_local.py (full-keyset sweep). ---
+    "q31": extensions.q31_sliding_window_batch,
     "q32": extensions.q32_dedup_exact,
     "q33": extensions.q33_jaccard_neardup_pairs,
     "q34": extensions.q34_cosine_topk,

@@ -3197,3 +3197,127 @@ def q136_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------- Q137
+
+
+def q137_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATION SUITE (V1/V2's generalization — the
+    dbt-test / Great-Expectations idiom, and the closest modern
+    analogue of the reference's per-table verification reports,
+    SURVEY §2.2 V1): one row per declared check with exact
+    violation counts — key uniqueness, referential integrity,
+    not-null, and accepted-range checks across four tables.
+
+    Every check is a single-pass aggregate (uniqueness = count −
+    count(distinct); integrity = anti-join count with the dimension
+    side broadcast-eligible); the 7-row union of 1-row summaries is
+    the declared q01/q53 tiny-aggregate class. At 100 TB each check
+    stays one scan + map-side partials — the suite parallelizes
+    check-wise and the fact tables are never joined to each other.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+
+    def row(check: str, table: str, total: F.Column, bad: F.Column, src):
+        return src.agg(
+            F.lit(check).alias("check_id"),
+            F.lit(table).alias("table_name"),
+            total.cast("long").alias("n_total"),
+            bad.cast("long").alias("n_bad"),
+        ).select(
+            "check_id",
+            "table_name",
+            "n_total",
+            "n_bad",
+            (F.col("n_bad") == 0).cast("long").alias("passed"),
+        )
+
+    cnt = F.count(F.lit(1))
+    checks = [
+        row(
+            "unique_o_orderkey",
+            "orders",
+            cnt,
+            cnt - F.count_distinct(F.col("o_orderkey")),
+            o.groupBy(),
+        ),
+        row(
+            "unique_c_custkey",
+            "customer",
+            cnt,
+            cnt - F.count_distinct(F.col("c_custkey")),
+            c.groupBy(),
+        ),
+        row(
+            "not_null_o_custkey",
+            "orders",
+            cnt,
+            F.sum(F.col("o_custkey").isNull().cast("long")),
+            o.groupBy(),
+        ),
+        row(
+            "range_l_discount_0_0.1",
+            "lineitem",
+            cnt,
+            F.sum(
+                (
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+                ).cast("long")
+            ),
+            li.groupBy(),
+        ),
+        row(
+            "range_l_quantity_pos",
+            "lineitem",
+            cnt,
+            F.sum((F.col("l_quantity") <= 0).cast("long")),
+            li.groupBy(),
+        ),
+        row(
+            "nonneg_event_value",
+            "events",
+            cnt,
+            F.sum((F.col("value") < 0).cast("long")),
+            e.groupBy(),
+        ),
+        # referential integrity: lineitem orderkeys must exist in
+        # orders — count at the DISTINCT-key grain (the scalable
+        # form: dedup first, anti-join the key sets)
+        row(
+            "fk_lineitem_orders",
+            "lineitem",
+            cnt,
+            cnt
+            - F.count(F.col("o_orderkey")),
+            li.select("l_orderkey")
+            .distinct()
+            .join(
+                o.select("o_orderkey").distinct(),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left",
+            )
+            .groupBy(),
+        ),
+        row(
+            "fk_orders_customer",
+            "orders",
+            cnt,
+            cnt - F.count(F.col("c_custkey")),
+            o.select("o_custkey")
+            .distinct()
+            .join(
+                c.select("c_custkey").distinct(),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left",
+            )
+            .groupBy(),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.orderBy("check_id")

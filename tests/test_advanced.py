@@ -953,3 +953,29 @@ def test_q136_bins_are_exhaustive_and_exact(spark):
     assert sum(r["n"] for r in out) == len(rows)
     for r in out:
         assert r["n"] == n[r["bin"]] and r["n_purchase"] == p[r["bin"]]
+
+
+def test_q137_expectations_all_pass_on_clean_data(spark):
+    """The generated testdata satisfies every declared expectation,
+    and injected violations are counted exactly."""
+    import pyspark.sql.functions as F
+
+    from calaspark.queries.advanced import q137_expectations
+
+    out = q137_expectations(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 8
+    assert all(r["passed"] == 1 and r["n_bad"] == 0 for r in out)
+    # independently confirm one check the hard way: orphan orderkeys
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orphans = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphans == 0

@@ -51,6 +51,10 @@ ALLOWED = {
     # 2-row variant table pivoted into the 1-row A/B readout: global
     # final merge of a tiny aggregate (q01/q53 class)
     "q131": {"single_part_exchange"},
+    # expectation suite: a union of eight 1-row check summaries, each
+    # a global final merge (q01/q53 class); per-check work is one
+    # scan + map-side partials
+    "q137": {"single_part_exchange"},
     "approx_sketches": {"single_part_exchange"},  # global 1-row aggregate
     "q04": {"single_part_exchange"},  # global offset pagination
     "q03": {"single_part_exchange"},
