@@ -3518,6 +3518,46 @@ GROUP BY su.cw, act.aw
 ORDER BY cohort_week, weeks_since
 """
 
+# Q134 — clamped ledger ----------------------------------------------
+# The clamped recurrence is non-associative, so no window computes it;
+# DuckDB expresses the SAME fold exactly with list lambdas: per user,
+# the ordered delta list is prefix-folded through
+# greatest(0, least(500, acc + x)) — identical float64 op sequence to
+# the Spark-side Arrow scan, so the hashes must agree bitwise. The
+# prefix-transform is O(n^2) per user, fine at oracle scale (sf0.01).
+
+ORACLES["q134"] = """
+WITH tx AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id,
+         CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS delta
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+), g AS (
+  SELECT user_id, list(delta ORDER BY ep, event_id) AS ds
+  FROM tx GROUP BY user_id
+), f AS (
+  SELECT user_id, ds,
+         list_transform(
+           range(1, len(ds) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE), ds[1:i]),
+                  (acc, x) -> greatest(CAST(0.0 AS DOUBLE),
+                                       least(CAST(500.0 AS DOUBLE), acc + x))
+                )
+         ) AS bal
+  FROM g
+)
+SELECT user_id,
+       CAST(len(ds) AS BIGINT) AS n_tx,
+       bal[-1] AS closing_balance,
+       list_min(bal) AS min_balance,
+       list_max(bal) AS max_balance
+FROM f
+ORDER BY user_id
+"""
+
 # Q135 — reciprocal rank fusion --------------------------------------
 # Both ranks are row_number under total orders; the fused score is
 # two fixed IEEE divisions ranked exactly, rounded only for output.
@@ -3629,4 +3669,58 @@ SELECT check_id, table_name, n_total, n_bad,
        CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
 FROM checks
 ORDER BY check_id
+"""
+
+# Q138 — BM25-shaped lexical top-k ------------------------------------
+# Pre-log Robertson idf (ln is libm-dependent — q138 docstring), fixed
+# three-slot pivot sum, every float op written in the SAME infix order
+# as the Spark expression tree so the hash is a bitwise check.
+
+ORACLES["q138"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl
+  FROM dl
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), e3 AS (
+  SELECT doc_id, tok FROM e WHERE tok IN ('dup', 'hash', 'window')
+), dft AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfd
+  FROM (SELECT DISTINCT doc_id, tok FROM e3) GROUP BY tok
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tfd
+  FROM e3 GROUP BY doc_id, tok
+), w AS (
+  SELECT tf.doc_id, tf.tok,
+         (((st.nd - dft.dfd) + 0.5) / (dft.dfd + 0.5))
+         * ((tf.tfd * 2.2) /
+            (tf.tfd + 1.2 * (0.25 + 0.75 *
+              (CAST(dl.dl AS DOUBLE) / (st.sumdl / st.nd))))) AS w
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dft USING (tok)
+  CROSS JOIN st
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         MAX(CASE WHEN tok = 'dup' THEN w END) AS s_dup,
+         MAX(CASE WHEN tok = 'hash' THEN w END) AS s_hash,
+         MAX(CASE WHEN tok = 'window' THEN w END) AS s_window
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       ROUND((COALESCE(s_dup, 0.0) + COALESCE(s_hash, 0.0))
+             + COALESCE(s_window, 0.0), 6) AS score
+FROM scored
+ORDER BY (COALESCE(s_dup, 0.0) + COALESCE(s_hash, 0.0))
+         + COALESCE(s_window, 0.0) DESC, doc_id ASC
+LIMIT 20
 """

@@ -3063,10 +3063,12 @@ def q134_clamped_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow scan (chunkable-by-carry at 100 TB — see that module's
     scale contract).
 
-    No SQL oracle by declaration (the recurrence needs recursion —
-    SURVEY §2.6 documents the rows-only downgrade); semantics are
-    pinned instead by tests/test_ops.py's Python-equivalence and
-    chunk-carry property tests. Output is user-grain: transaction
+    Oracled exactly despite the non-associativity: DuckDB replays
+    the identical float64 fold with list lambdas (ordered delta list
+    prefix-folded through greatest/least — oracles.py §q134), so the
+    value hash is a bitwise check, with tests/test_ops.py's
+    Python-equivalence and chunk-carry property tests pinning the
+    operator itself. Output is user-grain: transaction
     count, closing balance (the last row under the (ep, event_id)
     total order via max_by), and the min/max watermarks.
     """
@@ -3321,3 +3323,95 @@ def q137_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out.orderBy("check_id")
+
+
+# ---------------------------------------------------------------- Q138
+
+
+def q138_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-SHAPED lexical retrieval top-k (E19 — the sparse half of
+    every hybrid search stack; q135's RRF is the fusion, demos'
+    ``hybrid_search`` composes all three): score every document
+    against the fixed query ``{dup, hash, window}`` with the BM25
+    term-saturation form (k1 = 1.2, b = 0.75) and return the top 20.
+
+    Hash-gateable BM25 needs two substitutions, both documented:
+    (1) the idf keeps Robertson's odds ratio PRE-log —
+    ``(N − df + 0.5)/(df + 0.5)`` — because ln() is libm-dependent
+    across engines (the tfidf_topterms precedent; the true-ln
+    variant runs rows-only inside ``hybrid_search``); (2) the
+    per-document sum over query terms is a FIXED three-slot pivot
+    (one conditional-max per term, added left-to-right), not an
+    order-undefined float aggregate. Every remaining op is IEEE
+    mult/div/add evaluated in the same written order in both
+    engines (the q34 dot-product precedent), so the hash is bitwise.
+
+    Plan: one documents scan tokenized once feeding (a) the doc-
+    length table, (b) the query-term posting explode; tf is a
+    (doc, term) hash agg; df (3 rows) and the global (N, Σdl) row
+    are broadcast; the scorer is pure codegen arithmetic; top-20 by
+    exact score is TakeOrderedAndProject — no global sort, no
+    window, nothing Python. At 100 TB the only shuffles are the two
+    hash aggs on (doc) and (doc, term); the posting explode is
+    pre-filtered to the query's terms (IN-list pushed to the scan
+    projection), so shuffle bytes scale with MATCHING tokens, not
+    corpus tokens.
+    """
+    from ..ops.text import tokens
+
+    TERMS = ["dup", "hash", "window"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = d.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl")
+    )
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("sumdl"),
+    )
+    e = d.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.col("tok").isin(TERMS)
+    )
+    dft = (
+        e.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("dfd"))
+    )
+    tf = e.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tfd")
+    )
+    avgdl = F.col("sumdl") / F.col("nd")
+    sat = (F.col("tfd") * F.lit(2.2)) / (
+        F.col("tfd")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    idf = ((F.col("nd") - F.col("dfd")) + F.lit(0.5)) / (
+        F.col("dfd") + F.lit(0.5)
+    )
+    w = tf.join(dl, "doc_id").join(F.broadcast(dft), "tok").crossJoin(
+        F.broadcast(st)
+    ).select("doc_id", "tok", (idf * sat).alias("w"))
+    slots = [
+        F.max(F.when(F.col("tok") == t, F.col("w"))).alias(f"s_{t}")
+        for t in TERMS
+    ]
+    scored = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"), *slots
+    )
+    score = (
+        F.coalesce(F.col("s_dup"), F.lit(0.0))
+        + F.coalesce(F.col("s_hash"), F.lit(0.0))
+    ) + F.coalesce(F.col("s_window"), F.lit(0.0))
+    return (
+        scored.select("doc_id", "n_terms", score.alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id", "n_terms", F.round("_score", 6).alias("score")
+        )
+    )

@@ -109,6 +109,12 @@ ALLOWED = {
     # final merge) broadcast-crossJoined onto the key-grain result
     # (1-row BNLJ) — q56/q80/tfidf's declared pattern
     "q104": {"bnlj", "single_part_exchange"},
+    # scalar-subquery shape: the 1-row (N, Σdl) corpus-stats
+    # aggregate (global final merge) broadcast-crossJoined onto the
+    # (doc, term) tf grain (1-row BNLJ) — q56/q80/q104's declared
+    # pattern; the data-scale work is two hash aggs + equi-joins,
+    # top-20 is TakeOrderedAndProject
+    "q138": {"bnlj", "single_part_exchange"},
     # four 1-row graph summaries (vertices/edges/wedges/triangles)
     # crossJoined into the report row (1×1 BNLJ) + their global
     # final merges — q65's declared tiny-row pattern; the data-scale
