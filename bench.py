@@ -132,6 +132,8 @@ _STDOUT_ABBREV = {
     "ngram_neardup": "ngnd",
     "simhash_neardup": "shnd",
     "tfidf_topterms": "tfidf",
+    "semdedup_clusters": "semdd",
+    "hybrid_search": "hybs",
 }
 
 

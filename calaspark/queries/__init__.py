@@ -214,4 +214,6 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_neardup": demos.ngram_neardup,
     "simhash_neardup": demos.simhash_neardup,
     "tfidf_topterms": demos.tfidf_topterms,
+    "semdedup_clusters": demos.semdedup_clusters,
+    "hybrid_search": demos.hybrid_search,
 }

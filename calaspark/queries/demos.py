@@ -827,3 +827,131 @@ def pandas_grouped_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     return agg.join(zz, "event_type").orderBy("event_type")
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17×E18 at scale: SemDeDup (Abbas et al. 2023) — semantic
+    dedup that compares embeddings ONLY within k-means cells
+    (ops/semdedup.py). Like embedding_neardup, the near-random
+    corpus gets synthesized duplicates (2% rotated-component bleed,
+    cosine ≈ 0.999); the operator then finds them with quantizer-
+    bounded compare work — a twin pair straddling a cell boundary is
+    missed BY DESIGN (the published recall trade; the exact
+    grid-blocked twin q73 sits beside it, and the within-cell stage
+    itself is pinned exact by tests/test_ops.py).
+
+    Output: per-cell summary (n_vecs, n_kept, n_dropped) — 16
+    stable rows."""
+    from ..ops.semdedup import semdedup
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
+    pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
+    dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
+    labeled = semdedup(e.unionAll(dup), n_cells=16, iters=2, threshold=0.95)
+    return (
+        labeled.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("is_canonical").cast("long").alias("n_kept"),
+            F.sum(1 - F.col("is_canonical")).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18×E19 composition — the canonical RAG retrieval stack in
+    one plan: TRUE BM25 lexical top-k (ln idf — libm-dependent, so
+    rows-only; q138 is the hash-gated pre-log twin) fused with IVF
+    approximate vector top-k (ann_topk_ivf over the shared persisted
+    index) by reciprocal rank fusion (q135's oracled operator,
+    k = 60). On this synthetic corpus the text query {dup, hash,
+    window} and probe vector 0 are independent signals — the point
+    is the composed plan: two TakeOrdered candidate lists (model-
+    sized), ranked by row_number over ≤50 rows, one full-outer
+    equi-join, one fused TakeOrdered. Nothing data-sized crosses a
+    single-partition boundary."""
+    from ..ops.ann_ivf import ann_topk_ivf
+    from ..ops.text import tokens as _toks
+    from pyspark.sql import Window as W
+
+    TERMS = ["dup", "hash", "window"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks("text").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("sumdl"),
+    )
+    e = d.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.col("tok").isin(TERMS)
+    )
+    dft = (
+        e.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("dfd"))
+    )
+    tf = e.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tfd")
+    )
+    avgdl = F.col("sumdl") / F.col("nd")
+    sat = (F.col("tfd") * F.lit(2.2)) / (
+        F.col("tfd")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("nd") - F.col("dfd")) + F.lit(0.5))
+        / (F.col("dfd") + F.lit(0.5))
+    )
+    lex = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * sat).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    vec = ann_topk_ivf(
+        ev, probe_id=0, k=10, n_cells=16, nprobe=4,
+        index_path=_ivf_index_path(sf_dir),
+    ).select(F.col("vec_id").alias("doc_id"), "sim")
+    # Both lists are ≤50 rows of model-sized state — the row_number
+    # windows are k-row single-partition by construction.
+    rl = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_lex"),
+    )
+    rv = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("r_vec"),
+    )
+    fused = rl.join(rv, "doc_id", "full").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(1.0 / (F.lit(60.0) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60.0) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf"))
+    )

@@ -959,3 +959,81 @@ def test_clamped_running_sum_rejects_bad_start(spark):
     df = spark.range(1).selectExpr("id as k", "id as o", "1.0 as d")
     with pytest.raises(ValueError):
         clamped_running_sum(df, ["k"], ["o"], "d", 0.0, 10.0, start=99.0)
+
+
+def test_semdedup_pairs_exact_within_cells(spark):
+    """SemDeDup's within-cell stage is EXACT by contract: for a
+    fixed cell assignment, semdedup_pairs must equal brute-force
+    all-pairs cosine restricted to same-cell pairs — the only
+    recall loss allowed is cross-cell (the published trade)."""
+    import itertools
+    import math
+
+    from calaspark.ops.semdedup import semdedup_pairs
+
+    dim, tau = 8, 0.95
+    base = []
+    for i in range(40):
+        v = [math.sin(0.7 * i + j) + 0.1 * j for j in range(dim)]
+        base.append((i, v))
+        if i % 5 == 0:
+            w = [v[j] + 0.02 * v[(j + 1) % dim] for j in range(dim)]
+            base.append((1000 + i, w))
+    # fixed 4-cell assignment independent of the quantizer so the
+    # expectation is computable in Python
+    cells = {vid: vid % 4 for vid, _ in base}
+    df = spark.createDataFrame(
+        [(vid, v, cells[vid]) for vid, v in base],
+        "vec_id: long, e: array<double>, cell: int",
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {
+        (min(ia, ib), max(ia, ib))
+        for (ia, va), (ib, vb) in itertools.combinations(base, 2)
+        if cells[ia] == cells[ib] and cos(va, vb) >= tau
+    }
+    assert expected, "test corpus must contain same-cell pairs"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(
+            df, threshold=tau, prefilter_dims=4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_semdedup_keeps_min_id_per_cluster(spark):
+    """End-to-end semdedup: every near-dup cluster keeps exactly its
+    minimum id; singletons survive as themselves."""
+    import math
+
+    from calaspark.ops.semdedup import semdedup
+
+    dim = 8
+    base = []
+    for i in range(24):
+        v = [math.sin(0.9 * i + j) + 0.2 * j for j in range(dim)]
+        base.append((i, v))
+        if i % 3 == 0:  # planted twin
+            w = [v[j] + 0.01 * v[(j + 1) % dim] for j in range(dim)]
+            base.append((100 + i, w))
+    df = spark.createDataFrame(base, "vec_id: long, e: array<double>")
+    rows = semdedup(
+        df, n_cells=4, iters=1, threshold=0.95, prefilter_dims=4
+    ).collect()
+    assert len(rows) == len(base)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        kept = sorted(m["vec_id"] for m in members if m["is_canonical"] == 1)
+        assert kept == [min(m["vec_id"] for m in members)], (cl, members)
+    # the planted twins that share a cell must have merged: at least
+    # one multi-member cluster exists
+    assert any(len(m) > 1 for m in by_cluster.values())

@@ -115,6 +115,11 @@ ALLOWED = {
     # pattern; the data-scale work is two hash aggs + equi-joins,
     # top-20 is TakeOrderedAndProject
     "q138": {"bnlj", "single_part_exchange"},
+    # q138's scalar-subquery stats shape (1-row BNLJ + final merge)
+    # plus the two row_number windows over the ≤50-row candidate
+    # lists (model-sized by construction — the demo's docstring
+    # declares them; the data-scale work is hash aggs + TakeOrdered)
+    "hybrid_search": {"bnlj", "single_part_exchange"},
     # four 1-row graph summaries (vertices/edges/wedges/triangles)
     # crossJoined into the report row (1×1 BNLJ) + their global
     # final merges — q65's declared tiny-row pattern; the data-scale
