@@ -3724,3 +3724,107 @@ ORDER BY (COALESCE(s_dup, 0.0) + COALESCE(s_hash, 0.0))
          + COALESCE(s_window, 0.0) DESC, doc_id ASC
 LIMIT 20
 """
+
+# Q139 — n-gram diversity per source ----------------------------------
+# Totals via the length formula (no explode); distincts via list-
+# comprehension n-grams; space-split tokenization matches the Spark
+# side exactly. One division, rounded at 6.
+
+ORACLES["q139"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), lens AS (
+  SELECT source, len(toks) AS l FROM d
+), ns AS (
+  SELECT unnest([1, 2, 3]) AS n
+), tot AS (
+  SELECT source, n,
+         CAST(SUM(greatest(0, l - (n - 1))) AS BIGINT) AS total_ngrams
+  FROM lens CROSS JOIN ns GROUP BY source, n
+), grams AS (
+  SELECT DISTINCT source, n, g
+  FROM (
+    SELECT d.source, ns.n,
+           unnest(list_transform(
+             range(1, len(toks) - (ns.n - 1) + 1),
+             i -> array_to_string(toks[i:i+ns.n-1], ' ')
+           )) AS g
+    FROM d CROSS JOIN ns
+  )
+), dis AS (
+  SELECT source, n, CAST(COUNT(*) AS BIGINT) AS distinct_ngrams
+  FROM grams GROUP BY source, n
+)
+SELECT source, CAST(n AS INT) AS n, total_ngrams, distinct_ngrams,
+       ROUND(CAST(distinct_ngrams AS DOUBLE)
+             / CAST(total_ngrams AS DOUBLE), 6) AS diversity
+FROM tot JOIN dis USING (source, n)
+ORDER BY source, n
+"""
+
+# Q140 — two-sample Kolmogorov–Smirnov --------------------------------
+# Integer-cents values (the o_totalprice ROUND(price*100) convention),
+# exact integer cumulative counts, one division per ECDF value, sqrt
+# is IEEE correctly-rounded in both engines (q116/q131 precedent).
+
+ORACLES["q140"] = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+), g AS (
+  SELECT v, SUM(isa) AS d1, SUM(1 - isa) AS d2 FROM v GROUP BY v
+), cum AS (
+  SELECT v,
+         SUM(d1) OVER (ORDER BY v) AS c1,
+         SUM(d2) OVER (ORDER BY v) AS c2
+  FROM g
+), nn AS (
+  SELECT CAST(SUM(d1) AS DOUBLE) AS n1, CAST(SUM(d2) AS DOUBLE) AS n2
+  FROM g
+), d AS (
+  SELECT MAX(abs(CAST(c1 AS DOUBLE) / nn.n1
+                 - CAST(c2 AS DOUBLE) / nn.n2)) AS _d,
+         MAX(nn.n1) AS _n1, MAX(nn.n2) AS _n2
+  FROM cum CROSS JOIN nn
+)
+SELECT CAST(_n1 AS BIGINT) AS n1,
+       CAST(_n2 AS BIGINT) AS n2,
+       ROUND(_d, 6) AS d_stat,
+       CAST(_d > 1.358 * sqrt((_n1 + _n2) / (_n1 * _n2)) AS INT)
+         AS reject_05
+FROM d
+"""
+
+# Q141 — token-frequency Gini per source ------------------------------
+# Ranked ascending under the (f, tok) total order; numerator and
+# denominator exact integers, one division, rounded at 6.
+
+ORACLES["q141"] = """
+WITH e AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source, tok, COUNT(*) AS f FROM e GROUP BY source, tok
+), r AS (
+  SELECT source, f,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY f ASC, tok ASC)
+           AS i
+  FROM freq
+), m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f) AS BIGINT) AS total_tokens,
+         CAST(SUM(i * f) AS BIGINT) AS _sif
+  FROM r GROUP BY source
+)
+SELECT source, n_tokens, total_tokens,
+       ROUND(CAST(2 * _sif - (n_tokens + 1) * total_tokens AS DOUBLE)
+             / CAST(n_tokens * total_tokens AS DOUBLE), 6) AS gini
+FROM m
+ORDER BY source
+"""

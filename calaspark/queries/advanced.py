@@ -3415,3 +3415,217 @@ def q138_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_terms", F.round("_score", 6).alias("score")
         )
     )
+
+
+# ---------------------------------------------------------------- Q139
+
+
+def q139_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM DIVERSITY report per document source (E19 — the
+    distinct-n-grams/total-n-grams ratio is the standard cheap
+    diversity proxy for training corpora, the aggregate cousin of
+    the self-BLEU family): for n ∈ {1, 2, 3}, total n-gram
+    occurrences, distinct n-grams, and their ratio per source.
+
+    Exactness: totals come from the LENGTH FORMULA
+    ``Σ max(0, len − n + 1)`` over the per-doc token counts (no
+    explode needed); distincts come from the posexplode+lead shingle
+    pattern (ops/ssjoin module rule: array HOF chains are
+    interpreted per element — measured 5× slower); the ratio is the
+    only double, one division, rounded at 6. Plan: one tokenized
+    scan feeds the length table; one explode per n feeds a
+    (source, gram) distinct + count — per-n shuffles carry distinct
+    grams only, never the corpus.
+    """
+    raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", raw.alias("toks")
+    )
+    lens = d.select("source", F.size("toks").alias("len"))
+    branches = []
+    for n in (1, 2, 3):
+        tot = lens.groupBy("source").agg(
+            F.sum(F.greatest(F.lit(0), F.col("len") - F.lit(n - 1)))
+            .cast("long")
+            .alias("total_ngrams")
+        )
+        if n == 1:
+            grams = d.select(
+                "source", F.explode("toks").alias("g")
+            ).distinct()
+        else:
+            tr = d.select(
+                "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
+            )
+            wd = Window.partitionBy("doc_id").orderBy("pos")
+            leads = [F.lead("tok", j).over(wd) for j in range(1, n)]
+            grams = (
+                tr.select(
+                    "source",
+                    F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                    leads[-1].alias("_last"),
+                )
+                .filter(F.col("_last").isNotNull())
+                .select("source", "g")
+                .distinct()
+            )
+        dis = grams.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams")
+        )
+        branches.append(
+            tot.join(dis, "source").select(
+                "source",
+                F.lit(n).cast("int").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                F.round(
+                    F.col("distinct_ngrams").cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                    6,
+                ).alias("diversity"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("source", "n")
+
+
+# ---------------------------------------------------------------- Q140
+
+
+def q140_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV distance (E13 — the
+    distribution-drift test every data-quality/monitoring stack
+    runs; q131's Welch z compares means, this compares whole
+    CDFs): D = max |F̂_A(v) − F̂_B(v)| between the order-price
+    distributions of the BUILDING and AUTOMOBILE customer segments,
+    with the 5%-level rejection verdict.
+
+    Exactness: prices become integer cents via ``ROUND(price·100)``
+    of the IEEE product (the documented o_totalprice convention);
+    ECDF numerators are exact integer cumulative counts; each ECDF
+    value is ONE division, the gap one subtraction/abs, the
+    threshold ``1.358·√((n1+n2)/(n1·n2))`` one sqrt (IEEE
+    correctly-rounded in both engines — the q116/q131 precedent).
+
+    Scale shape (the q98/ops-quantile discipline): the cumulative
+    count at value v = bucket-prefix + within-bucket running sum —
+    the only global window runs at BUCKET grain (value_range/2^16
+    rows, a domain constant), the per-value window is partitioned
+    by bucket; nothing data-grain crosses a single partition.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    v = (
+        o.join(
+            c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("isa"),
+        )
+    )
+    g = v.groupBy("v").agg(
+        F.sum("isa").alias("d1"),
+        F.sum(1 - F.col("isa")).alias("d2"),
+    ).withColumn("_bkt", F.floor(F.col("v") / F.lit(65536)))
+    b = g.groupBy("_bkt").agg(
+        F.sum("d1").alias("s1"), F.sum("d2").alias("s2")
+    )
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    bc = b.select(
+        "_bkt",
+        (F.sum("s1").over(wb) - F.col("s1")).alias("p1"),
+        (F.sum("s2").over(wb) - F.col("s2")).alias("p2"),
+    )
+    wv = (
+        Window.partitionBy("_bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.join(bc, "_bkt").select(
+        "v",
+        (F.col("p1") + F.sum("d1").over(wv)).alias("c1"),
+        (F.col("p2") + F.sum("d2").over(wv)).alias("c2"),
+    )
+    nn = g.agg(
+        F.sum("d1").cast("double").alias("n1"),
+        F.sum("d2").cast("double").alias("n2"),
+    )
+    diff = F.abs(
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c2").cast("double") / F.col("n2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.max(diff).alias("_d"),
+            F.max("n1").alias("_n1"),
+            F.max("n2").alias("_n2"),
+        )
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("_n1") + F.col("_n2")) / (F.col("_n1") * F.col("_n2"))
+    )
+    return d.select(
+        F.col("_n1").cast("bigint").alias("n1"),
+        F.col("_n2").cast("bigint").alias("n2"),
+        F.round("_d", 6).alias("d_stat"),
+        (F.col("_d") > crit).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------- Q141
+
+
+def q141_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI CONCENTRATION of the token-frequency distribution per
+    source (E19 — "how head-heavy is this corpus slice?", the
+    scalar the rank-frequency/Zipf plot summarizes; log-free so it
+    hash-gates where a fitted Zipf slope could not).
+
+    Exactness: with per-source frequencies f_i ranked ascending
+    (ties broken by token — a total order), Gini =
+    (2·Σi·f_i − (n+1)·Σf_i) / (n·Σf_i) — numerator and denominator
+    are EXACT integer aggregates; the single division is the only
+    double, rounded at 6. Plan: one token explode → (source, tok)
+    hash agg (map-side partials carry the corpus); the rank window
+    and the moment aggregation run at DICTIONARY grain (vocab-sized
+    partitions per source — the declared q100 class), never data
+    grain.
+    """
+    raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    e = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(raw).alias("tok")
+    )
+    freq = e.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("f").asc(), F.col("tok").asc()
+    )
+    r = freq.select("source", "f", F.row_number().over(w).alias("i"))
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("f").cast("long").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("f")).cast("long").alias("_sif"),
+    )
+    gini = (
+        (F.lit(2) * F.col("_sif") - (F.col("n_tokens") + 1) * F.col("total_tokens"))
+        .cast("double")
+        / (F.col("n_tokens") * F.col("total_tokens")).cast("double")
+    )
+    return (
+        m.select(
+            "source", "n_tokens", "total_tokens", F.round(gini, 6).alias("gini")
+        )
+        .orderBy("source")
+    )

@@ -115,6 +115,12 @@ ALLOWED = {
     # pattern; the data-scale work is two hash aggs + equi-joins,
     # top-20 is TakeOrderedAndProject
     "q138": {"bnlj", "single_part_exchange"},
+    # the bucket-grain cumulative window (value_range/2^16 rows — a
+    # domain constant, the q98/ops-quantile declared class), the
+    # 1-row (n1, n2) broadcast crossJoin (q56/q80 scalar-subquery
+    # shape), and the global 1-row max final merge; the per-value
+    # window is bucket-partitioned, data grain never single-partition
+    "q140": {"bnlj", "single_part_exchange"},
     # q138's scalar-subquery stats shape (1-row BNLJ + final merge)
     # plus the two row_number windows over the ≤50-row candidate
     # lists (model-sized by construction — the demo's docstring
