@@ -72,3 +72,48 @@ def clamped_running_sum(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(scan, schema=schema)
+
+
+def ewma_running(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per key (ordered by ``order_cols``), the exponentially
+    weighted moving average ``s_i = α·x_i + (1−α)·s_{i-1}`` with
+    ``s_1 = x_1``; appends ``out_col`` (double).
+
+    Same class as :func:`clamped_running_sum`: the recurrence is
+    non-associative in float (each step ROUNDS — reassociation
+    changes the result), so no window computes the identical values;
+    same chunkable-by-carry scale contract (carry = closing s).
+
+    Cross-engine determinism: the fold body is written as
+    ``α·x + (1−α)·s`` in BOTH this scan and the DuckDB list-lambda
+    oracle; with ``1−α`` precomputed once, every step is two IEEE
+    products and one add in fixed order, so the outputs are bitwise
+    equal (the q134 oracle technique).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    beta = 1.0 - alpha
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        s = None
+        out = []
+        for x in pdf[val_col].astype("float64"):
+            s = x if s is None else alpha * x + beta * s
+            out.append(s)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(scan, schema=schema)

@@ -3828,3 +3828,39 @@ SELECT source, n_tokens, total_tokens,
 FROM m
 ORDER BY source
 """
+
+# Q142 — EWMA signal (q134's list-lambda fold technique) ---------------
+# Same float64 op order as the Arrow scan: s = 0.25*x + 0.75*s with
+# s_1 = x_1 (list_reduce's first element IS the init), prefix folds
+# for the series min/max — O(n^2) per user, fine at oracle scale.
+
+ORACLES["q142"] = """
+WITH tx AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+  WHERE event_type = 'purchase'
+), g AS (
+  SELECT user_id, list(x ORDER BY ep, event_id) AS xs
+  FROM tx GROUP BY user_id
+), f AS (
+  SELECT user_id, xs,
+         list_transform(
+           range(1, len(xs) + 1),
+           i -> list_reduce(
+                  xs[1:i],
+                  (s, x) -> 0.25 * x + 0.75 * s
+                )
+         ) AS sm
+  FROM g
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_obs,
+       sm[-1] AS closing_ewma,
+       list_min(sm) AS min_ewma,
+       list_max(sm) AS max_ewma
+FROM f
+ORDER BY user_id
+"""

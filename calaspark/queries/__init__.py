@@ -35,9 +35,11 @@ QUERIES: dict[str, QueryFn] = {
     # readout, duplicate baskets, and cohort retention); (2) q110 (the
     # round-7 `weak` — cut-grain shuffle fixed) and q108
     # (zero-denominator guard) — both changed this round; (3) the
-    # stalest veterans q08-q26 (last driver rows r01-r05 — round-7
-    # verdict #2, covered ENTIRELY).
-    # The cut falls after q26; q27-q43 and the r06 companions
+    # stalest veterans q08-q26 (round-7 verdict #2's cohort, covered
+    # ENTIRELY — its explicit done-criterion).
+    # The cut falls after q26; q142 (the round-8b EWMA sequential
+    # fold, full-sweep green) leads the below-cut block as the
+    # round-9 rotation head, then q27-q43 and the r06 companions
     # (q13_latest through q64) lead the below-cut block as the
     # round-9 rotation head —
     # everything below the cut is driver-green in r06/r07 and
@@ -94,6 +96,8 @@ QUERIES: dict[str, QueryFn] = {
     "q24": etl.q24_date_parse,
     "q25": etl.q25_date_funcs,
     "q26": etl.q26_null_semantics,
+    # ---- driver cut (first 50 ids above) ----
+    "q142": advanced.q142_ewma_signal,
     "q27": etl.q27_quarantine_split,
     "q28": etl.q28_json_extract,
     "q29": extensions.q29_tokens_explode_count,

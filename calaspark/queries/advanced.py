@@ -3629,3 +3629,45 @@ def q141_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- Q142
+
+
+def q142_ewma_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each user's purchase-value stream (E22
+    sequential family, second member beside q134: the recurrence
+    ``s_i = α·x_i + (1−α)·s_{i-1}`` rounds at every step, so float
+    reassociation — hence any window/aggregate reformulation —
+    changes the result; the engine-correct shape is
+    ops/sequential.ewma_running's per-key ordered Arrow scan,
+    chunkable by carry at 100 TB).
+
+    Oracled BITWISE via the q134 list-lambda technique: DuckDB
+    prefix-folds the identically ordered value list through the
+    identically written ``0.25·x + 0.75·s`` body. Output is
+    user-grain: observation count, closing EWMA (the last row under
+    the (ep, event_id) total order), and the series min/max.
+    """
+    from ..ops.sequential import ewma_running
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    tx = e.select(
+        "user_id",
+        _ep("ts").alias("ep"),
+        "event_id",
+        F.col("value").alias("x"),
+    )
+    s = ewma_running(tx, ["user_id"], ["ep", "event_id"], "x", alpha=0.25)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.max_by("ewma", F.struct("ep", "event_id")).alias("closing_ewma"),
+            F.min("ewma").alias("min_ewma"),
+            F.max("ewma").alias("max_ewma"),
+        )
+        .orderBy("user_id")
+    )

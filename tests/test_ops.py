@@ -1037,3 +1037,60 @@ def test_semdedup_keeps_min_id_per_cluster(spark):
     # the planted twins that share a cell must have merged: at least
     # one multi-member cluster exists
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_ewma_running_matches_python(spark):
+    """ewma_running must equal the plain-Python recurrence
+    s_1 = x_1, s_i = a*x + (1-a)*s — bitwise, since both use the
+    identical float64 op order."""
+    from calaspark.ops.sequential import ewma_running
+
+    rows = [
+        ("u1", i, float(v))
+        for i, v in enumerate([10, 0, 5, 100, 2, 2, 2])
+    ] + [("u2", i, float(v)) for i, v in enumerate([1, 1000, 1])]
+    df = spark.createDataFrame(rows, "k: string, i: long, x: double")
+    got = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in ewma_running(df, ["k"], ["i"], "x", alpha=0.25).collect()
+    }
+    a, b = 0.25, 0.75
+    for k in ("u1", "u2"):
+        xs = [x for kk, _, x in rows if kk == k]
+        s = None
+        for i, x in enumerate(xs):
+            s = x if s is None else a * x + b * s
+            assert got[(k, i)] == s, (k, i, got[(k, i)], s)
+
+
+def test_ewma_running_chunk_carry_property(spark):
+    """The 100-TB escape hatch: running the scan over a chunk that
+    starts from the previous chunk's closing value must equal the
+    one-shot scan (carry = closing s). Verified in plain Python with
+    the same fold body the operator uses."""
+    a, b = 0.25, 0.75
+    xs = [3.0, -1.5, 8.25, 0.125, 7.0, 2.5]
+
+    def fold(seq, s=None):
+        out = []
+        for x in seq:
+            s = x if s is None else a * x + b * s
+            out.append(s)
+        return out, s
+
+    one, _ = fold(xs)
+    for cut in range(1, len(xs)):
+        head, carry = fold(xs[:cut])
+        # a resumed chunk folds from the carry (s is not None)
+        tail, _ = fold(xs[cut:], carry)
+        assert head + tail == one, cut
+
+
+def test_ewma_running_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from calaspark.ops.sequential import ewma_running
+
+    df = spark.createDataFrame([("u", 0, 1.0)], "k: string, i: long, x: double")
+    with _pytest.raises(ValueError):
+        ewma_running(df, ["k"], ["i"], "x", alpha=0.0)
