@@ -111,29 +111,31 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
 #: map used is recorded in the sidecar (`stdout_key_map`); full
 #: names + 3-decimal times always live there.
 _STDOUT_ABBREV = {
-    "lsh_minhash_pairs": "lshmh",
-    "ann_ivf_topk": "aivf",
-    "ann_lsh_topk": "alsh",
-    "ann_pq_topk": "apq",
-    "ann_ivfpq_topk": "aipq",
-    "ann_recall": "arec",
-    "pandas_udf_quality": "pudfq",
-    "pandas_grouped_ops": "pgrp",
-    "udtf_tokens": "udtf",
-    "arrow_native": "arrow",
-    "sampling_stratified": "strat",
-    "approx_sketches": "sketch",
-    "sketch_error": "skerr",
-    "multimodal_features": "mmf",
-    "text_quality": "txtq",
-    "text_langid": "langid",
-    "dedup_clusters_lsh": "dclust",
-    "embedding_neardup": "embnd",
-    "ngram_neardup": "ngnd",
-    "simhash_neardup": "shnd",
-    "tfidf_topterms": "tfidf",
-    "semdedup_clusters": "semdd",
-    "hybrid_search": "hybs",
+    # 2-char keys (round 8b: at 172 queries even the 4-6-char forms
+    # pushed the line to ~1,96x bytes — the round-3 overflow regime)
+    "lsh_minhash_pairs": "lm",
+    "ann_ivf_topk": "ai",
+    "ann_lsh_topk": "al",
+    "ann_pq_topk": "ap",
+    "ann_ivfpq_topk": "aq",
+    "ann_recall": "ar",
+    "pandas_udf_quality": "pu",
+    "pandas_grouped_ops": "pg",
+    "udtf_tokens": "ut",
+    "arrow_native": "aw",
+    "sampling_stratified": "ss",
+    "approx_sketches": "sk",
+    "sketch_error": "se",
+    "multimodal_features": "mm",
+    "text_quality": "tq",
+    "text_langid": "li",
+    "dedup_clusters_lsh": "dc",
+    "embedding_neardup": "en",
+    "ngram_neardup": "ng",
+    "simhash_neardup": "sh",
+    "tfidf_topterms": "tf",
+    "semdedup_clusters": "sd",
+    "hybrid_search": "hy",
 }
 
 

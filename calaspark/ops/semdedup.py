@@ -143,10 +143,20 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "e",
     prefilter_dims: int = 16,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: train the coarse quantizer, assign every
     vector to its cell, find within-cell near-dup pairs, cluster
     them, and elect the minimum-id survivor per cluster.
+
+    ``train_sample_mod``: when set, the quantizer trains on the
+    deterministic hash sample ``xxhash64(id) % mod == 0`` instead of
+    the full corpus — the standard at-scale recipe (a coarse
+    quantizer needs representative cell SHAPES, not every point; at
+    100 TB a full-corpus Lloyd pass per iteration is the dominant
+    cost for no recall benefit, since correctness comes from the
+    exact verify, not the clustering). Assignment still covers every
+    vector.
 
     Returns (id, cell, cluster, is_canonical) — filter
     ``is_canonical = 1`` for the semantically deduplicated corpus.
@@ -158,7 +168,15 @@ def semdedup(
     # materialize so the upstream (and quantizer assignment matmul)
     # computes once (the q94/q95 shared-table rule).
     e = materialize(emb.select(id_col, vec_col))
-    cents = train_ivf_centroids(e, n_cells, iters, id_col, vec_col)
+    train = (
+        e.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), train_sample_mod)
+            == 0
+        )
+        if train_sample_mod
+        else e
+    )
+    cents = train_ivf_centroids(train, n_cells, iters, id_col, vec_col)
     inv = materialize(ivf_assign(e, cents, id_col, vec_col))
     pairs = semdedup_pairs(
         inv,

@@ -851,7 +851,15 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
     pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
     dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
-    labeled = semdedup(e.unionAll(dup), n_cells=16, iters=2, threshold=0.95)
+    # quantizer trains on a 1-in-4 hash sample (the at-scale recipe —
+    # see semdedup's docstring); assignment and verify stay exact
+    labeled = semdedup(
+        e.unionAll(dup),
+        n_cells=16,
+        iters=2,
+        threshold=0.95,
+        train_sample_mod=4,
+    )
     return (
         labeled.groupBy("cell")
         .agg(
