@@ -11,26 +11,83 @@ window frame, no ``aggregate()`` fold over a collected array short
 of materializing the whole key's history in one row, computes it.
 The engine-correct shape is a per-key ORDERED scan.
 
-Scale contract: ``applyInPandas`` — one Arrow batch stream per key
-group, plain-Python recurrence over a numpy array inside the worker.
-Keys partition freely across executors (the shuffle is the groupBy);
-the boundary is the SAME one every grouped-map carries and the E22
-matrix documents: a single key's history must fit its worker. For
-histories beyond worker memory the recurrence is chunkable by
-CARRY (run each chunk from the previous chunk's closing balance)
-because the update is a monotone function composition — that
-two-phase variant is documented here as the 100-TB escape hatch and
-exercised by the equivalence test in tests/test_ops.py
-(property: composing chunk scans == one scan).
+Engine shape (round-8b rework): ``repartition(keys)`` +
+``sortWithinPartitions(keys, order)`` + ONE ``mapInPandas`` stream
+per partition, carrying the fold state across Arrow batches and
+resetting it at key changes. The earlier ``applyInPandas`` form was
+semantically identical but paid one Python invocation PER KEY — at
+~6k user keys that overhead was ~3× the actual fold work (q134
+measured 4.2 s → ~1.4 s at sf0.1). Same shuffle either way
+(grouped-map also hash-partitions by key); the rework only removes
+Python crossings — exactly the boundary-cost discipline E22
+documents.
+
+Scale contract: keys partition freely across executors; a single
+key's history streams through one partition in Arrow batches (the
+carry makes batch boundaries invisible), so the per-worker bound is
+the BATCH, not the key history. For resumable/out-of-core use the
+recurrences are chunkable by CARRY (run each chunk from the previous
+chunk's closing state) because each update is a monotone function
+composition — exercised by the chunk-carry property tests in
+tests/test_ops.py (property: composing chunk scans == one scan).
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
 from typing import Sequence
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+
+
+def _keyed_ordered_fold(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str,
+    step: Callable[[object, float], float],
+) -> DataFrame:
+    """Shared engine: one ordered Arrow stream per partition.
+
+    ``step(state, x) -> new_state`` is called once per row with
+    ``state=None`` at each key's first row; the emitted value IS the
+    state (both current recurrences output their running state —
+    generalize to a (state, emit) pair if a future one does not).
+    """
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    # StructType.add MUTATES — and df.schema is cached on the frame,
+    # so build the output schema from a fresh copy of the fields
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive partition-ordered by (keys, order); the carry
+        # survives batch boundaries, resets on key change
+        cur_key: tuple | None = None
+        state = None
+        for pdf in batches:
+            out = []
+            keys_iter = zip(*(pdf[k] for k in key_cols))
+            for key, x in zip(keys_iter, pdf[val_col].astype("float64")):
+                if key != cur_key:
+                    cur_key = key
+                    state = None
+                state = step(state, x)
+                out.append(state)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    ordered = df.repartition(
+        *[F.col(k) for k in key_cols]
+    ).sortWithinPartitions(*key_cols, *order_cols)
+    return ordered.mapInPandas(scan, schema=schema)
 
 
 def clamped_running_sum(
@@ -53,25 +110,14 @@ def clamped_running_sum(
     """
     if not (lo <= start <= hi):
         raise ValueError(f"start {start} outside clamp [{lo}, {hi}]")
-    key_cols = list(key_cols)
-    order_cols = list(order_cols)
-    # StructType.add MUTATES — and df.schema is cached on the frame,
-    # so build the output schema from a fresh copy of the fields
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+
+    def step(state, d):
+        b = start if state is None else state
+        return min(hi, max(lo, b + d))
+
+    return _keyed_ordered_fold(
+        df, key_cols, order_cols, delta_col, out_col, step
     )
-
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        b = start
-        out = []
-        for d in pdf[delta_col].astype("float64"):
-            b = min(hi, max(lo, b + d))
-            out.append(b)
-        pdf[out_col] = out
-        return pdf
-
-    return df.groupBy(*key_cols).applyInPandas(scan, schema=schema)
 
 
 def ewma_running(
@@ -99,21 +145,11 @@ def ewma_running(
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    key_cols = list(key_cols)
-    order_cols = list(order_cols)
     beta = 1.0 - alpha
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+
+    def step(state, x):
+        return x if state is None else alpha * x + beta * state
+
+    return _keyed_ordered_fold(
+        df, key_cols, order_cols, val_col, out_col, step
     )
-
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        s = None
-        out = []
-        for x in pdf[val_col].astype("float64"):
-            s = x if s is None else alpha * x + beta * s
-            out.append(s)
-        pdf[out_col] = out
-        return pdf
-
-    return df.groupBy(*key_cols).applyInPandas(scan, schema=schema)

@@ -162,6 +162,15 @@ ALLOWED = {
     # signup denominator (1-row COUNT) broadcast-crossJoined onto the
     # 1-row gap-quantile aggregate (q108's global summary shape)
     "q126": {"bnlj", "single_part_exchange"},
+    # the sequential-recurrence operators' Python boundary IS the
+    # declared engine use-case (ops/sequential.py: non-associative
+    # per-key folds no window can express). Round 8b moved them from
+    # applyInPandas (one Python call per key — invisible to this
+    # audit's MapInPandas probe but 3x slower) to a single
+    # mapInPandas stream per partition, which the probe sees; the
+    # boundary was always there and is the honest minimum
+    "q134": {"py_arrow"},
+    "q142": {"py_arrow"},
 }
 
 
