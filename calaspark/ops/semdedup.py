@@ -144,6 +144,7 @@ def semdedup(
     vec_col: str = "e",
     prefilter_dims: int = 16,
     train_sample_mod: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """End-to-end SemDeDup: train the coarse quantizer, assign every
     vector to its cell, find within-cell near-dup pairs, cluster
@@ -158,6 +159,11 @@ def semdedup(
     exact verify, not the clustering). Assignment still covers every
     vector.
 
+    ``centroids``: a pre-trained (k × dim) quantizer to reuse —
+    corpus-level MODEL state, the ann_ivf build/probe discipline:
+    train once per corpus, reuse across dedup invocations (repeated
+    pipeline runs over the same snapshot retrain nothing).
+
     Returns (id, cell, cluster, is_canonical) — filter
     ``is_canonical = 1`` for the semantically deduplicated corpus.
     """
@@ -168,15 +174,20 @@ def semdedup(
     # materialize so the upstream (and quantizer assignment matmul)
     # computes once (the q94/q95 shared-table rule).
     e = materialize(emb.select(id_col, vec_col))
-    train = (
-        e.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("long")), train_sample_mod)
-            == 0
+    if centroids is not None:
+        cents = centroids
+    else:
+        train = (
+            e.filter(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("long")), train_sample_mod
+                )
+                == 0
+            )
+            if train_sample_mod
+            else e
         )
-        if train_sample_mod
-        else e
-    )
-    cents = train_ivf_centroids(train, n_cells, iters, id_col, vec_col)
+        cents = train_ivf_centroids(train, n_cells, iters, id_col, vec_col)
     inv = materialize(ivf_assign(e, cents, id_col, vec_col))
     pairs = semdedup_pairs(
         inv,
