@@ -979,3 +979,60 @@ def test_q137_expectations_all_pass_on_clean_data(spark):
         .count()
     )
     assert orphans == 0
+
+
+def test_q140_per_value_window_is_bucket_partitioned(spark):
+    """q140's scale claim: the only GLOBAL (unpartitioned) window
+    runs at bucket grain; the per-value cumulative window must be
+    PARTITIONED by the bucket key — data grain never flows through a
+    single-partition window. And the bucketed two-level cumulative
+    must equal the naive global-window KS computed in Python."""
+    from calaspark.queries.advanced import q140_ks_test
+
+    df = q140_ks_test(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the per-value windows carry the bucket key in their PARTITION
+    # spec — windowspecdefinition(_bkt#n, v#m ASC ...) — while the
+    # bucket-grain pair is the only global (order-only) spec:
+    # windowspecdefinition(_bkt#n ASC ...
+    import re
+
+    part_specs = len(
+        re.findall(r"windowspecdefinition\(_bkt#\d+L?, v#", plan)
+    )
+    global_specs = len(
+        re.findall(r"windowspecdefinition\(_bkt#\d+L? ASC", plan)
+    )
+    assert part_specs >= 1, plan
+    assert global_specs >= 1, plan
+    # no windowspec orders on the raw value WITHOUT the bucket
+    # partition (that would be the data-grain global window)
+    assert not re.search(r"windowspecdefinition\(v#\d+L? ASC", plan), plan
+
+    # value cross-check vs naive Python ECDF walk
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    rows = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").alias("isa"),
+        )
+        .collect()
+    )
+    a = sorted(r["v"] for r in rows if r["isa"])
+    b = sorted(r["v"] for r in rows if not r["isa"])
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d = 0.0
+    for v in support:
+        f1 = bisect.bisect_right(a, v) / len(a)
+        f2 = bisect.bisect_right(b, v) / len(b)
+        d = max(d, abs(f1 - f2))
+    got = df.collect()[0]
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert got["d_stat"] == round(d, 6), (got["d_stat"], d)
