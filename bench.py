@@ -136,6 +136,7 @@ _STDOUT_ABBREV = {
     "tfidf_topterms": "tf",
     "semdedup_clusters": "sd",
     "hybrid_search": "hy",
+    "cms_shingle_error": "cm",
 }
 
 

@@ -40,8 +40,7 @@ QUERIES: dict[str, QueryFn] = {
     # The cut falls after q26; q142 (the round-8b EWMA sequential
     # fold, full-sweep green) leads the below-cut block as the
     # round-9 rotation head, then q27-q43 and the r06 companions
-    # (q13_latest through q64) lead the below-cut block as the
-    # round-9 rotation head —
+    # (q13_latest through q64) —
     # everything below the cut is driver-green in r06/r07 and
     # re-verified every round by tools/verify_local.py (full-keyset
     # sweep) and pytest until it rotates back in.  Ordering is
@@ -224,4 +223,5 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_topterms": demos.tfidf_topterms,
     "semdedup_clusters": demos.semdedup_clusters,
     "hybrid_search": demos.hybrid_search,
+    "cms_shingle_error": demos.cms_shingle_error,
 }

@@ -987,3 +987,52 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf"))
     )
+
+
+def cms_shingle_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14, frequency-sketch half (beside sketch_error's HLL
+    cardinality half): count-min estimates of 3-token-shingle
+    frequencies vs their exact counts, error MEASURED over every
+    distinct shingle. Width 256 on a multi-thousand-key domain makes
+    collisions real — the report shows the one-sided error the
+    depth-min bounds: share of keys overestimated, mean/max absolute
+    and relative overestimate (est ≥ exact ALWAYS; the property test
+    in test_ops pins the invariant). Rows-only (xxhash64 buckets
+    have no SQL oracle); 1 summary row."""
+    from ..ops.cms import cms_counters, cms_estimate
+    from ..ops.ssjoin import shingle_rows
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # occurrence stream: NON-distinct shingles (id-grain explode)
+    raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tr = d.select("doc_id", F.posexplode(raw).alias("pos", "tok"))
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(wd), F.lead("tok", 2).over(wd)
+    occ = materialize(
+        tr.select(
+            F.concat_ws(" ", F.col("tok"), l1, l2).alias("g"),
+            l2.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("g")
+    )
+    DEPTH, WIDTH = 4, 256
+    counters = cms_counters(occ, "g", depth=DEPTH, width=WIDTH)
+    exact = occ.groupBy("g").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(counters, exact, "g", depth=DEPTH, width=WIDTH)
+    j = est.join(exact, "g").select(
+        "g", "est", "exact", (F.col("est") - F.col("exact")).alias("over")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("exact").alias("n_occurrences"),
+        F.count_if(F.col("over") > 0).alias("n_overestimated"),
+        F.count_if(F.col("over") < 0).alias("n_underestimated"),
+        F.round(F.avg("over"), 3).alias("mean_over"),
+        F.max("over").alias("max_over"),
+        F.round(
+            F.max(F.col("over").cast("double") / F.col("exact")), 3
+        ).alias("max_rel_over"),
+    )

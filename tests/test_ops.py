@@ -1094,3 +1094,46 @@ def test_ewma_running_rejects_bad_alpha(spark):
     df = spark.createDataFrame([("u", 0, 1.0)], "k: string, i: long, x: double")
     with _pytest.raises(ValueError):
         ewma_running(df, ["k"], ["i"], "x", alpha=0.0)
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    """The count-min guarantees: (1) est >= exact for EVERY key
+    (one-sided error — min over depth rows can only over-count);
+    (2) with width >> #distinct keys and no collisions the estimate
+    degenerates to the exact count."""
+    from calaspark.ops.cms import cms_counters, cms_estimate
+
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{rng.randrange(40)}" for _ in range(600)]
+    df = spark.createDataFrame([(k,) for k in keys], "g: string")
+    exact: dict[str, int] = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+
+    # narrow sketch: collisions certain (width 8 << 40 keys)
+    counters = cms_counters(df, "g", depth=3, width=8)
+    est = {
+        r["g"]: r["est"]
+        for r in cms_estimate(
+            counters, df.select("g").distinct(), "g", depth=3, width=8
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), {
+        k: (est[k], exact[k]) for k in exact if est[k] < exact[k]
+    }
+    assert any(est[k] > exact[k] for k in exact)  # collisions happened
+
+    # wide sketch: exact (40 keys vs width 4096 x depth 4 —
+    # a collision in EVERY row is ~impossible; depth-min kills any
+    # single-row one)
+    counters_w = cms_counters(df, "g", depth=4, width=4096)
+    est_w = {
+        r["g"]: r["est"]
+        for r in cms_estimate(
+            counters_w, df.select("g").distinct(), "g", depth=4, width=4096
+        ).collect()
+    }
+    assert est_w == exact

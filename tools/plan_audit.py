@@ -171,6 +171,10 @@ ALLOWED = {
     # boundary was always there and is the honest minimum
     "q134": {"py_arrow"},
     "q142": {"py_arrow"},
+    # the CMS error report's global 1-row summary aggregate (final
+    # merge — q01/q53 class); the sketch build itself is a bounded
+    # (depth x width)-state hash agg with map-side partials
+    "cms_shingle_error": {"single_part_exchange"},
 }
 
 
