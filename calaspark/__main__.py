@@ -6,6 +6,8 @@
     python -m calaspark clean   TSV TABLE OUT_DIR
     python -m calaspark report  OUT_DIR
     python -m calaspark query   QID [--sf DIR] [-n N]
+    python -m calaspark compact SRC DST [--target-mb N]
+    python -m calaspark dedup   SRC DST --id-col C [--method exact|minhash|semantic]
 
 `update` is the flagship (`updatecalaccessrawdata` twin): acquire →
 clean → type → load → verify, manifest-resumable. `report` prints the
@@ -54,6 +56,24 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument(
         "--partition-cols", default=None, help="comma-separated, optional"
     )
+
+    dd = sub.add_parser(
+        "dedup",
+        help="deduplicate a parquet table (exact / minhash / semantic)",
+    )
+    dd.add_argument("src")
+    dd.add_argument("dst")
+    dd.add_argument("--id-col", required=True)
+    dd.add_argument(
+        "--method", choices=("exact", "minhash", "semantic"), default="exact"
+    )
+    dd.add_argument(
+        "--text-col", default=None, help="minhash: the text column"
+    )
+    dd.add_argument(
+        "--vec-col", default=None, help="semantic: the embedding column"
+    )
+    dd.add_argument("--threshold", type=float, default=0.5)
 
     args = p.parse_args(argv)
 
@@ -124,6 +144,65 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             )
             print(stats)
+        elif args.cmd == "dedup":
+            import pyspark.sql.functions as F
+
+            src = spark.read.parquet(args.src)
+            n_in = src.count()
+            if args.method == "exact":
+                kept = src.dropDuplicates([args.id_col])
+            elif args.method == "minhash":
+                if not args.text_col:
+                    p.error("--method minhash requires --text-col")
+                from .ops.components import dedup_clusters
+                from .ops.lsh import neardup_pairs_lsh
+                from .ops.text import tokens
+
+                docs = src.select(
+                    F.col(args.id_col).alias("doc_id"),
+                    F.array_distinct(tokens(args.text_col)).alias("toks"),
+                )
+                pairs = neardup_pairs_lsh(docs, threshold=args.threshold)
+                lab = dedup_clusters(
+                    pairs, src.select(args.id_col), args.id_col
+                )
+                kept = src.join(
+                    lab.filter(F.col("is_canonical") == 1).select(
+                        args.id_col
+                    ),
+                    args.id_col,
+                    "left_semi",
+                )
+            else:  # semantic
+                if not args.vec_col:
+                    p.error("--method semantic requires --vec-col")
+                from .ops.semdedup import semdedup
+
+                e = src.select(
+                    F.col(args.id_col),
+                    F.transform(
+                        args.vec_col, lambda x: x.cast("double")
+                    ).alias("_v"),
+                )
+                lab = semdedup(
+                    e,
+                    threshold=max(args.threshold, 0.8),
+                    id_col=args.id_col,
+                    vec_col="_v",
+                )
+                kept = src.join(
+                    lab.filter(F.col("is_canonical") == 1).select(
+                        args.id_col
+                    ),
+                    args.id_col,
+                    "left_semi",
+                )
+            kept.write.mode("overwrite").parquet(args.dst)
+            n_out = spark.read.parquet(args.dst).count()
+            print(
+                f"method={args.method} rows_in={n_in} rows_out={n_out} "
+                f"dropped={n_in - n_out}"
+            )
         return 0
     finally:
         if pre_existing is None:

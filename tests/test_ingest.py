@@ -497,3 +497,43 @@ def test_split_clean_fuzz_accounting_always_balances(spark, tmp_path):
             )
 
     check()
+
+
+def test_cli_dedup_exact_and_minhash(spark, tmp_path, capsys):
+    """The `dedup` CLI: exact keyed dedup and minhash near-dup dedup
+    both write a deduplicated table and report honest counts."""
+    import pyspark.sql.functions as F
+
+    from calaspark.__main__ import main
+
+    src = tmp_path / "docs"
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),     # near-exact of 1
+        (3, "totally different words here"),
+        (3, "totally different words here"),  # duplicate id
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src)
+    )
+
+    out1 = tmp_path / "exact"
+    assert main(
+        ["dedup", str(src), str(out1), "--id-col", "doc_id"]
+    ) == 0
+    assert "rows_in=4 rows_out=3" in capsys.readouterr().out
+
+    out2 = tmp_path / "mh"
+    assert main(
+        [
+            "dedup", str(src), str(out2),
+            "--id-col", "doc_id", "--method", "minhash",
+            "--text-col", "text", "--threshold", "0.5",
+        ]
+    ) == 0
+    text = capsys.readouterr().out
+    assert "method=minhash rows_in=4" in text
+    kept = spark.read.parquet(str(out2))
+    # doc 2 (near-dup of 1) must be gone; min-id 1 survives
+    ids = {r["doc_id"] for r in kept.select("doc_id").distinct().collect()}
+    assert 1 in ids and 2 not in ids and 3 in ids
