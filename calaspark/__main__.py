@@ -73,7 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument(
         "--vec-col", default=None, help="semantic: the embedding column"
     )
-    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="similarity cut; defaults per method (minhash Jaccard "
+        "0.5, semantic cosine 0.95)",
+    )
 
     args = p.parse_args(argv)
 
@@ -162,7 +168,8 @@ def main(argv: list[str] | None = None) -> int:
                     F.col(args.id_col).alias("doc_id"),
                     F.array_distinct(tokens(args.text_col)).alias("toks"),
                 )
-                pairs = neardup_pairs_lsh(docs, threshold=args.threshold)
+                thr = 0.5 if args.threshold is None else args.threshold
+                pairs = neardup_pairs_lsh(docs, threshold=thr)
                 lab = dedup_clusters(
                     pairs, src.select(args.id_col), args.id_col
                 )
@@ -186,7 +193,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 lab = semdedup(
                     e,
-                    threshold=max(args.threshold, 0.8),
+                    threshold=(
+                        0.95 if args.threshold is None else args.threshold
+                    ),
                     id_col=args.id_col,
                     vec_col="_v",
                 )
