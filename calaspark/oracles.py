@@ -3864,3 +3864,46 @@ SELECT user_id,
 FROM f
 ORDER BY user_id
 """
+
+# Q143 — chi-squared independence (categorical drift) ------------------
+# Integer-cleared per-cell form (O*N - rt*ct)^2 / (N*rt*ct): exact
+# DECIMAL(38,0) numerator, one double division, ROUND(.,6); headline
+# chi2 = exact DECIMAL sum of the rounded fragments (order-free).
+
+ORACLES["q143"] = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS observed
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+), rt AS (
+  SELECT c_mktsegment, SUM(observed) AS rt FROM cells GROUP BY c_mktsegment
+), ct AS (
+  SELECT o_orderpriority, SUM(observed) AS ct
+  FROM cells GROUP BY o_orderpriority
+), n AS (
+  SELECT SUM(observed) AS n FROM cells
+), j AS (
+  SELECT cells.c_mktsegment, cells.o_orderpriority, observed, rt, ct, n
+  FROM cells JOIN rt USING (c_mktsegment) JOIN ct USING (o_orderpriority)
+  CROSS JOIN n
+), f AS (
+  SELECT c_mktsegment, o_orderpriority, observed,
+         ROUND(CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                    AS DOUBLE) / CAST(n AS DOUBLE), 4) AS expected,
+         CAST(ROUND(
+           CAST((CAST(observed AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                 - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                * (CAST(observed AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                   - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * CAST(rt AS DECIMAL(38,0))
+                  * CAST(ct AS DECIMAL(38,0)) AS DOUBLE),
+           6) AS DECIMAL(18,6)) AS _frag
+  FROM j
+)
+SELECT c_mktsegment, o_orderpriority, observed, expected,
+       CAST(_frag AS DOUBLE) AS contrib,
+       CAST(SUM(_frag) OVER () AS DOUBLE) AS chi2
+FROM f
+ORDER BY c_mktsegment, o_orderpriority
+"""

@@ -38,7 +38,8 @@ QUERIES: dict[str, QueryFn] = {
     # stalest veterans q08-q26 (round-7 verdict #2's cohort, covered
     # ENTIRELY — its explicit done-criterion).
     # The cut falls after q26; q142 (the round-8b EWMA sequential
-    # fold, full-sweep green) leads the below-cut block as the
+    # fold, full-sweep green) and q143 (chi-squared independence,
+    # q140's categorical drift twin) lead the below-cut block as the
     # round-9 rotation head, then q27-q43 and the r06 companions
     # (q13_latest through q64) —
     # everything below the cut is driver-green in r06/r07 and
@@ -97,6 +98,7 @@ QUERIES: dict[str, QueryFn] = {
     "q26": etl.q26_null_semantics,
     # ---- driver cut (first 50 ids above) ----
     "q142": advanced.q142_ewma_signal,
+    "q143": advanced.q143_chi_squared,
     "q27": etl.q27_quarantine_split,
     "q28": etl.q28_json_extract,
     "q29": extensions.q29_tokens_explode_count,

@@ -3671,3 +3671,84 @@ def q142_ewma_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------- Q143
+
+
+def q143_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARED independence test over the segment × priority
+    contingency table (E13 — the categorical half of the drift
+    toolkit beside q140's continuous KS: "did the distribution of
+    priorities shift across customer segments?").
+
+    Exactness: observed counts, row/column totals and N are exact
+    integers; each cell's contribution uses the integer-cleared form
+    ``(O·N − rt·ct)² / (N·rt·ct)`` — numerator exact in
+    DECIMAL(38,0), ONE double division per cell, ROUND(.,6). The
+    headline χ² is the DECIMAL SUM of the rounded per-cell
+    fragments — exact and order-free (the repo's declared
+    decimal-fragment convention), so no float accumulation order can
+    flake the hash. Expected counts are reported per cell (one
+    division, ROUND(.,4)).
+
+    Plan: ONE fact scan → (seg, prio) hash agg (25 cells — a
+    category-domain constant); margins derive from the cell table
+    (25-row aggregates, broadcast back); every window/aggregate
+    after the first runs at category grain. Scale-invariant: the
+    only data-sized work is the first agg's map-side partials.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cells = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("rt"))
+    ct = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("ct"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    d38 = "decimal(38,0)"
+    j = (
+        cells.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+    )
+    num = (
+        F.col("observed").cast(d38) * F.col("n").cast(d38)
+        - F.col("rt").cast(d38) * F.col("ct").cast(d38)
+    )
+    den = (
+        F.col("n").cast(d38) * F.col("rt").cast(d38) * F.col("ct").cast(d38)
+    )
+    contrib = F.round(
+        (num * num).cast("double") / den.cast("double"), 6
+    )
+    expected = F.round(
+        (F.col("rt").cast(d38) * F.col("ct").cast(d38)).cast("double")
+        / F.col("n").cast("double"),
+        4,
+    )
+    per_cell = j.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "observed",
+        expected.alias("expected"),
+        contrib.cast("decimal(18,6)").alias("_frag"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_cell.select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            "expected",
+            F.col("_frag").cast("double").alias("contrib"),
+            F.sum("_frag").over(w).cast("double").alias("chi2"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )

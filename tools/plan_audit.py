@@ -175,6 +175,11 @@ ALLOWED = {
     # merge — q01/q53 class); the sketch build itself is a bounded
     # (depth x width)-state hash agg with map-side partials
     "cms_shingle_error": {"single_part_exchange"},
+    # the chi2 headline sum runs as a global window over the 25-cell
+    # contingency table (bounded by the CATEGORY domain, not the
+    # data) + the 1-row N crossJoin (scalar-subquery shape) — the
+    # data-sized work is one hash agg with map-side partials
+    "q143": {"bnlj", "single_part_exchange"},
 }
 
 
