@@ -3907,3 +3907,213 @@ SELECT c_mktsegment, o_orderpriority, observed, expected,
 FROM f
 ORDER BY c_mktsegment, o_orderpriority
 """
+
+# Q144 — pairwise source total-variation distance + vocab Jaccard ----
+# Exact rational arithmetic: |p_a - p_b| cleared to integer
+# numerators, DECIMAL(38,0) sums, ONE division per pair (rule 1's
+# spirit — nothing float accumulates).
+
+ORACLES["q144"] = """
+WITH e AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source, tok, COUNT(*) AS f FROM e GROUP BY source, tok
+), tot AS (
+  SELECT source, SUM(f) AS n, COUNT(*) AS v FROM freq GROUP BY source
+), ft AS (
+  SELECT freq.source, tok, f, n, v FROM freq JOIN tot USING (source)
+), g AS (
+  SELECT a.source AS sa, b.source AS sb,
+         a.n AS na, b.n AS nb, a.v AS va, b.v AS vb,
+         COUNT(*) AS shared_vocab,
+         SUM(ABS(CAST(a.f AS DECIMAL(38,0)) * CAST(b.n AS DECIMAL(38,0))
+                 - CAST(b.f AS DECIMAL(38,0)) * CAST(a.n AS DECIMAL(38,0))))
+           AS s,
+         SUM(a.f) AS ia, SUM(b.f) AS ib
+  FROM ft a JOIN ft b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source, a.n, b.n, a.v, b.v
+)
+SELECT sa AS source_a, sb AS source_b, shared_vocab,
+       va AS vocab_a, vb AS vocab_b,
+       ROUND(CAST(shared_vocab AS DOUBLE)
+             / CAST(va + vb - shared_vocab AS DOUBLE), 6) AS jaccard,
+       ROUND(CAST(s + CAST(na - ia AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+                    + CAST(nb - ib AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / CAST(CAST(2 AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))
+                    * CAST(nb AS DECIMAL(38,0)) AS DOUBLE), 6) AS tvd
+FROM g
+ORDER BY source_a, source_b
+"""
+
+# Q145 — Mann-Whitney U rank-sum test, tie-corrected -----------------
+# Doubled mid-ranks keep every rank sum BIGINT-exact; z costs one
+# subtraction, three divisions and one sqrt in the same written
+# order as the Spark side.
+
+ORACLES["q145"] = """
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+), c2 AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+), v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM c)
+              THEN 1 ELSE 0 END AS isa
+  FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM c)
+     OR o_custkey IN (SELECT c_custkey FROM c2)
+), g AS (
+  SELECT v, SUM(isa) AS d1, SUM(1 - isa) AS d2, COUNT(*) AS t
+  FROM v GROUP BY v
+), r AS (
+  SELECT d1, d2, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM g
+), m AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+         CAST(SUM(d1 * (2 * prefix + t + 1)) AS BIGINT) AS ra2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM r
+)
+SELECT n1, n2,
+       CAST(ra2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       tie_term,
+       ROUND(
+         ((CAST(ra2 - n1 * (n1 + 1) AS DOUBLE)
+           - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+         / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+         6) AS z,
+       CASE WHEN ABS(
+         ((CAST(ra2 - n1 * (n1 + 1) AS DOUBLE)
+           - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+         / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+       ) > 1.959963984540054 THEN 1 ELSE 0 END AS reject_05
+FROM m
+"""
+
+# Q146 — eval-vs-train shingle containment (decontamination) ---------
+# Trigram shingles via the q95 slice technique; distinct sets; exact
+# integer counts, one division.
+
+ORACLES["q146"] = """
+WITH tr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+  FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(rawt) - 1),
+           i -> array_to_string(rawt[i : i + 2], ' '))) AS gs
+  FROM tr WHERE len(rawt) >= 3
+), train AS (
+  SELECT DISTINCT unnest(gs) AS g FROM sets WHERE doc_id % 10 <> 0
+), ev AS (
+  SELECT doc_id, unnest(gs) AS g FROM sets WHERE doc_id % 10 = 0
+), m AS (
+  SELECT ev.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN train.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contained
+  FROM ev LEFT JOIN train ON ev.g = train.g
+  GROUP BY ev.doc_id
+)
+SELECT doc_id, n_shingles, n_contained,
+       ROUND(CAST(n_contained AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         AS containment,
+       CASE WHEN CAST(n_contained AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                 >= 0.5 THEN 1 ELSE 0 END AS contaminated
+FROM m
+ORDER BY doc_id
+"""
+
+# Q147 — multi-source BFS hop distance, 4 hops -----------------------
+# Recursive CTE enumerates every <=4-hop path (bounded: out-degree
+# <= 2) and takes MIN(hop) per node — the oracle-side formulation of
+# the engine's frontier BFS.
+
+ORACLES["q147"] = """
+WITH RECURSIVE nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst
+    FROM documents WHERE doc_id > 0
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+  )
+), r(id, hop) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT e.dst, r.hop + 1
+  FROM r JOIN edges e ON e.src = r.id
+  WHERE r.hop < 4
+)
+SELECT id, CAST(MIN(hop) AS INT) AS dist
+FROM r
+GROUP BY id
+ORDER BY id
+"""
+
+# Q148 — Benford first-digit chi-squared per priority ----------------
+# First digit from integer cents (exact int-to-string); Benford
+# probabilities as shared 17-digit double literals; decimal-fragment
+# chi-squared (the q143 convention); zero cells scaffolded.
+
+ORACLES["q148"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT o_orderpriority, digit, COUNT(*) AS observed
+  FROM o GROUP BY o_orderpriority, digit
+), scaffold AS (
+  SELECT p.o_orderpriority, d.digit
+  FROM (SELECT DISTINCT o_orderpriority FROM o) p
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+), cells AS (
+  SELECT s.o_orderpriority, CAST(s.digit AS INT) AS digit,
+         COALESCE(obs.observed, 0) AS observed
+  FROM scaffold s
+  LEFT JOIN obs ON s.o_orderpriority = obs.o_orderpriority
+              AND s.digit = obs.digit
+), tot AS (
+  SELECT o_orderpriority, SUM(observed) AS nt
+  FROM cells GROUP BY o_orderpriority
+), f AS (
+  SELECT c.o_orderpriority, c.digit, c.observed,
+         CAST(t.nt AS DOUBLE) * ([
+           0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+           0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+           0.05799194697768673, 0.05115252244738129, 0.04575749056067514
+         ][c.digit]) AS expected
+  FROM cells c JOIN tot t USING (o_orderpriority)
+), frags AS (
+  SELECT o_orderpriority, digit, observed,
+         ROUND(expected, 4) AS expected,
+         CAST(ROUND((CAST(observed AS DOUBLE) - expected)
+                    * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+              AS DECIMAL(18,6)) AS _frag
+  FROM f
+)
+SELECT o_orderpriority, digit, observed, expected,
+       CAST(_frag AS DOUBLE) AS contrib,
+       CAST(SUM(_frag) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS chi2
+FROM frags
+ORDER BY o_orderpriority, digit
+"""

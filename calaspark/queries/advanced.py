@@ -3752,3 +3752,414 @@ def q143_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------- Q144
+
+
+def q144_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION DISTANCE between source unigram
+    distributions (E19 — the mixture-drift matrix a training-data
+    pipeline reads before re-weighting its sources; q140/q143 test
+    one numeric/categorical column, this compares whole corpus
+    slices). TVD is the log-free f-divergence, chosen over KL/JSD
+    deliberately: per-token ``ln`` is libm-dependent across engines
+    (the q138 idf precedent), while TVD is EXACT rational
+    arithmetic end to end.
+
+    Exactness: with integer token counts f and totals N,
+    ``|p_a − p_b| = |f_a·N_b − f_b·N_a| / (N_a·N_b)`` — and tokens
+    private to one side contribute their whole mass, so
+    ``TVD = (S + (N_a−I_a)·N_b + (N_b−I_b)·N_a) / (2·N_a·N_b)``
+    with S the DECIMAL(38,0) sum of shared-token numerators and
+    I the shared-token count mass: ONE division per pair, ROUND 6.
+    Vocabulary Jaccard rides along from the same exact integers.
+
+    Plan: one documents scan → token explode → (source, tok) hash
+    agg (the only data-grain shuffle; map-side partials carry the
+    corpus). Everything after runs at VOCAB grain: the 20-row
+    totals broadcast onto the freq table, the pair join is a
+    tok-equi self-join whose output is Σ shared-vocab rows, and the
+    final agg has one row per source pair. At 100 TB vocab grows
+    ~log(data) (dictionary-sized — the declared q100 class), so the
+    pair join never touches data grain.
+    """
+    raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    e = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(raw).alias("tok")
+    )
+    freq = e.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ft = freq.join(F.broadcast(tot), "source")
+    d38 = "decimal(38,0)"
+    fa = ft.select(
+        F.col("source").alias("sa"),
+        "tok",
+        F.col("f").alias("f_a"),
+        F.col("n").alias("na"),
+        F.col("v").alias("va"),
+    )
+    fb = ft.select(
+        F.col("source").alias("sb"),
+        "tok",
+        F.col("f").alias("f_b"),
+        F.col("n").alias("nb"),
+        F.col("v").alias("vb"),
+    )
+    j = fa.join(fb, "tok").filter(F.col("sa") < F.col("sb"))
+    g = j.groupBy("sa", "sb", "na", "nb", "va", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_vocab"),
+        F.sum(
+            F.abs(
+                F.col("f_a").cast(d38) * F.col("nb").cast(d38)
+                - F.col("f_b").cast(d38) * F.col("na").cast(d38)
+            )
+        ).alias("_s"),
+        F.sum("f_a").cast("long").alias("_ia"),
+        F.sum("f_b").cast("long").alias("_ib"),
+    )
+    tvd_num = (
+        F.col("_s")
+        + (F.col("na") - F.col("_ia")).cast(d38) * F.col("nb").cast(d38)
+        + (F.col("nb") - F.col("_ib")).cast(d38) * F.col("na").cast(d38)
+    )
+    tvd_den = F.lit(2).cast(d38) * F.col("na").cast(d38) * F.col("nb").cast(d38)
+    jac = F.col("shared_vocab").cast("double") / (
+        F.col("va") + F.col("vb") - F.col("shared_vocab")
+    ).cast("double")
+    return (
+        g.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "shared_vocab",
+            F.col("va").alias("vocab_a"),
+            F.col("vb").alias("vocab_b"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(
+                tvd_num.cast("double") / tvd_den.cast("double"), 6
+            ).alias("tvd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------- Q145
+
+
+def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample MANN-WHITNEY U rank-sum test (E13 — the
+    nonparametric drift test between q131's Welch z on means and
+    q140's KS on whole CDFs: "does one segment's price distribution
+    stochastically dominate the other's?"), FURNITURE vs MACHINERY
+    order prices, with the tie-corrected normal approximation.
+
+    Exactness: prices become integer cents (the q140 convention);
+    for a tied block of t values after ``prefix`` smaller ones, the
+    shared mid-rank is (2·prefix + t + 1)/2 — kept DOUBLED so rank
+    sums stay BIGINT: ``ra2 = Σ d_a·(2·prefix + t + 1)`` and
+    ``2·U_a = ra2 − n_a·(n_a+1)`` are exact integers, as is the tie
+    term ``T = Σ(t³ − t)``. The z statistic then costs exactly one
+    subtraction, three divisions and one IEEE-correctly-rounded
+    sqrt, written in the same order in both engines; ROUND 6.
+
+    Plan (the q140/ops-quantile prefix discipline): one (cents)
+    hash agg off the fact scan; the cumulative count before each
+    value = bucket-prefix + within-bucket running sum, so the only
+    global window runs at BUCKET grain (a domain constant) and the
+    per-value window is partitioned by bucket — nothing data-grain
+    crosses one partition at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    v = (
+        o.join(
+            c.filter(F.col("c_mktsegment").isin("FURNITURE", "MACHINERY")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("v"),
+            (F.col("c_mktsegment") == "FURNITURE").cast("long").alias("isa"),
+        )
+    )
+    g = (
+        v.groupBy("v")
+        .agg(
+            F.sum("isa").alias("d1"),
+            F.sum(1 - F.col("isa")).alias("d2"),
+        )
+        .withColumn("t", F.col("d1") + F.col("d2"))
+        .withColumn("_bkt", F.floor(F.col("v") / F.lit(65536)))
+    )
+    b = g.groupBy("_bkt").agg(F.sum("t").alias("st"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    bc = b.select(
+        "_bkt", (F.sum("st").over(wb) - F.col("st")).alias("pt")
+    )
+    wv = (
+        Window.partitionBy("_bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranks = g.join(bc, "_bkt").select(
+        "d1",
+        "d2",
+        "t",
+        (F.col("pt") + F.sum("t").over(wv) - F.col("t")).alias("prefix"),
+    )
+    m = ranks.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+        F.sum(
+            F.col("d1") * (2 * F.col("prefix") + F.col("t") + 1)
+        ).cast("long").alias("_ra2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie_term"),
+    )
+    u1_2 = F.col("_ra2") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    num = (u1_2.cast("double") - n1d * n2d) / F.lit(2.0)
+    sigma = F.sqrt(
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = num / sigma
+    return m.select(
+        "n1",
+        "n2",
+        (u1_2.cast("double") / F.lit(2.0)).alias("u1"),
+        "tie_term",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.959963984540054)).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------- Q146
+
+
+def q146_containment_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT decontamination audit (E17/E19 — the
+    GPT-3/C4 eval-set leak check: for every held-out document, what
+    fraction of its word trigrams appears ANYWHERE in the training
+    side?). Jaccard (q33/q95) is symmetric and misses a short eval
+    doc swallowed by a long train doc; containment
+    |S_eval ∩ S_train| / |S_eval| is the decontamination metric.
+
+    Split is deterministic: ``doc_id % 10 = 0`` holds out ~10 % as
+    the eval slice (the q131 no-rand() rule). Exactness: both
+    counts are exact integers over DISTINCT trigram sets; one
+    division, ROUND 6; the ≥ 0.5 flag is an integer compare.
+
+    Plan: train side collapses to a DISTINCT shingle set (hash agg
+    — the inverted-index build); eval docs explode to distinct
+    (doc, shingle) pairs and LEFT-join the train set on the shingle
+    key (no fanout — the right side is a set), then re-aggregate to
+    doc grain. Two data-grain shuffles total, both on the shingle
+    key. At 100 TB you join on 64-bit shingle hashes instead of
+    strings (ops/text.with_shingle_hashes — set-equivalent, ~4×
+    narrower shuffle); the contract query keeps raw strings so the
+    oracle is bit-exact.
+    """
+    from ..ops.text import shingles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("gs")
+    ).filter(F.size("gs") > 0)
+    train = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    m = (
+        ev.join(train, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contained"),
+        )
+    )
+    cont = F.col("n_contained").cast("double") / F.col("n_shingles").cast(
+        "double"
+    )
+    return (
+        m.select(
+            "doc_id",
+            "n_shingles",
+            "n_contained",
+            F.round(cont, 6).alias("containment"),
+            (cont >= F.lit(0.5)).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q147
+
+
+def q147_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS HOP DISTANCE, 4 hops (E1/graph — the
+    bounded-traversal primitive beside q96's full closure and q80's
+    fixpoint: "which records are within k links of a seed set?",
+    the blast-radius / influence-frontier query). Graph: q80's
+    deterministic doc graph (ternary-tree parent + mixing edge);
+    seeds: ``doc_id % 97 = 0``.
+
+    Exactness: distances are exact integers — the first hop at
+    which BFS reaches a node; no floats anywhere.
+
+    Plan: textbook frontier BFS — per hop, ONE equi-join of the
+    current frontier against the edge table, a distinct, and an
+    anti-join against the visited set; the frontier only ever
+    carries (id, dist) pairs, never payload. 4 hops = 4 bounded
+    shuffle rounds. At 100 TB each round's visited/frontier tables
+    are checkpointed to break lineage (the q80/dedup_clusters_lsh
+    note); out-degree here is ≤ 2 so the frontier is ≤ 2× the seed
+    set per hop — no supernode blowup (a skewed graph would salt
+    the join on dst, ops/skew.py).
+
+    Oracle: DuckDB recursive CTE enumerating all ≤4-hop paths with
+    MIN(hop) per node — exponential in path count and fine at
+    contract scale, which is exactly why the engine side is the
+    frontier formulation and the CTE is only the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n_df = docs.agg(F.count(F.lit(1)).alias("_n"))
+    tree = docs.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), F.expr("id div 3").alias("dst")
+    )
+    mix = docs.crossJoin(F.broadcast(n_df)).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") * 7 + 1, F.col("_n")).alias("dst"),
+    )
+    edges = tree.unionByName(mix).distinct()
+
+    dist = docs.filter(F.col("id") % 97 == 0).select(
+        "id", F.lit(0).cast("int").alias("dist")
+    )
+    frontier = dist
+    for h in range(1, 5):
+        # frontier descends from edges.dst after hop 1 — explicit
+        # aliases keep the self-referential equi-join unambiguous
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("id"), "id", "left_anti").select(
+            "id", F.lit(h).cast("int").alias("dist")
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+    return dist.orderBy("id")
+
+
+# ---------------------------------------------------------------- Q148
+
+
+def q148_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit conformance test per order priority
+    (V2/E13 — the fraud/synthetic-data screen auditors run on
+    money columns; q143 tests two observed margins against each
+    other, this tests one observed distribution against a THEORY).
+    χ² against Benford's law over the 5 × 9 (priority, digit)
+    table.
+
+    Exactness: the first significant digit comes from integer
+    cents — ``substring(CAST(round(price·100) AS BIGINT), 1, 1)``
+    — integer-string conversion is exact in both engines (no
+    float formatting); observed counts and group totals are exact.
+    The nine Benford probabilities are 17-digit DOUBLE LITERALS
+    (log10(1+1/d) precomputed — both engines parse decimal
+    literals to the same IEEE double, sidestepping cross-libm
+    log10; the q138 pre-log discipline). Each cell's χ² fragment
+    is (O−E)²/E in fixed written order, ROUND 6, summed as exact
+    decimal fragments per group (the q143 convention). Zero-count
+    cells are materialized via a priority × digit scaffold so the
+    full expected mass is tested.
+
+    Plan: one orders scan → (priority, digit) hash agg (45 cells,
+    map-side partials carry the fact table); the scaffold, totals
+    and χ² all run at category grain. Scale-invariant beyond the
+    first agg.
+    """
+    BENFORD = [
+        0.3010299956639812,
+        0.17609125905568124,
+        0.12493873660829992,
+        0.09691001300805642,
+        0.07918124604762482,
+        0.06694678963061322,
+        0.05799194697768673,
+        0.05115252244738129,
+        0.04575749056067514,
+    ]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = o.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    scaffold = prios.crossJoin(F.broadcast(digits))
+    cells = scaffold.join(obs, ["o_orderpriority", "digit"], "left").select(
+        "o_orderpriority",
+        "digit",
+        F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+    )
+    tot = cells.groupBy("o_orderpriority").agg(
+        F.sum("observed").cast("long").alias("nt")
+    )
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD]), F.col("digit"))
+    expected = F.col("nt").cast("double") * p
+    dev = F.col("observed").cast("double") - expected
+    frag = F.round(dev * dev / expected, 6).cast("decimal(18,6)")
+    per_cell = cells.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "digit",
+        "observed",
+        F.round(expected, 4).alias("expected"),
+        frag.alias("_frag"),
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    return (
+        per_cell.select(
+            "o_orderpriority",
+            "digit",
+            "observed",
+            "expected",
+            F.col("_frag").cast("double").alias("contrib"),
+            F.sum("_frag").over(wg).cast("double").alias("chi2"),
+        )
+        .orderBy("o_orderpriority", "digit")
+    )

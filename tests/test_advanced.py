@@ -1036,3 +1036,211 @@ def test_q140_per_value_window_is_bucket_partitioned(spark):
     got = df.collect()[0]
     assert got["n1"] == len(a) and got["n2"] == len(b)
     assert got["d_stat"] == round(d, 6), (got["d_stat"], d)
+
+
+def test_q144_tvd_matches_python(spark):
+    """q144's cleared-integer TVD and vocab Jaccard must equal the
+    textbook half-sum-of-absolute-differences over unigram
+    distributions computed in plain Python, for every source pair."""
+    from collections import Counter, defaultdict
+
+    from calaspark.queries.advanced import q144_tvd_drift
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q144_tvd_drift(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    freq: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        freq[r["source"]].update(t for t in r["text"].split(" ") if t)
+    srcs = sorted(freq)
+    n_pairs = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            ca, cb = freq[sa], freq[sb]
+            if not set(ca) & set(cb):
+                continue  # inner-join formulation drops disjoint pairs
+            na, nb = sum(ca.values()), sum(cb.values())
+            tvd = 0.5 * sum(
+                abs(ca.get(t, 0) / na - cb.get(t, 0) / nb)
+                for t in set(ca) | set(cb)
+            )
+            shared = len(set(ca) & set(cb))
+            jac = shared / (len(ca) + len(cb) - shared)
+            r = got[(sa, sb)]
+            n_pairs += 1
+            assert r["vocab_a"] == len(ca) and r["vocab_b"] == len(cb)
+            assert r["shared_vocab"] == shared
+            assert abs(r["jaccard"] - jac) < 1e-6
+            assert abs(r["tvd"] - tvd) < 1e-6, (sa, sb, r["tvd"], tvd)
+    assert n_pairs == len(got)
+
+
+def test_q145_mannwhitney_matches_python_ranks(spark):
+    """q145's doubled-midrank formulation must equal the textbook
+    tie-corrected Mann-Whitney U and z computed from explicitly
+    assigned mid-ranks in plain Python."""
+    import pyspark.sql.functions as F
+
+    from calaspark.queries.advanced import q145_mannwhitney_u
+
+    sf = "/root/testdata/sf0.001"
+    got = q145_mannwhitney_u(spark, sf).collect()[0]
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    rows = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("FURNITURE", "MACHINERY"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            (F.col("c_mktsegment") == "FURNITURE").alias("isa"),
+        )
+        .collect()
+    )
+    xs = sorted((r["v"], r["isa"]) for r in rows)
+    n = len(xs)
+    # mid-ranks with ties
+    ranks: dict[int, float] = {}
+    ties = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j][0] == xs[i][0]:
+            j += 1
+        t = j - i
+        ranks[xs[i][0]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        ties.append(t)
+        i = j
+    a = [v for v, isa in xs if isa]
+    b = [v for v, isa in xs if not isa]
+    n1, n2 = len(a), len(b)
+    ra = sum(ranks[v] for v in a)
+    u1 = ra - n1 * (n1 + 1) / 2
+    tie_term = sum(t**3 - t for t in ties)
+    sigma = (
+        (n1 * n2 / 12) * ((n + 1) - tie_term / (n * (n - 1)))
+    ) ** 0.5
+    z = (u1 - n1 * n2 / 2) / sigma
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["u1"] == u1
+    assert got["tie_term"] == tie_term
+    assert abs(got["z"] - z) < 1e-6
+    assert got["reject_05"] == int(abs(z) > 1.959963984540054)
+
+
+def test_q146_containment_matches_python_sets(spark):
+    """q146's containment must equal plain-Python trigram-set
+    intersection against the union of all train-side shingles, for
+    every eval document."""
+    from calaspark.queries.advanced import q146_containment_decontam
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r
+        for r in q146_containment_decontam(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def tri(text):
+        toks = [t for t in text.split() if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    train: set[str] = set()
+    ev = {}
+    for r in rows:
+        gs = tri(r["text"])
+        if not gs:
+            continue
+        if r["doc_id"] % 10 == 0:
+            ev[r["doc_id"]] = gs
+        else:
+            train |= gs
+    assert set(got) == set(ev)
+    for did, gs in ev.items():
+        hit = len(gs & train)
+        r = got[did]
+        assert r["n_shingles"] == len(gs)
+        assert r["n_contained"] == hit
+        assert abs(r["containment"] - hit / len(gs)) < 1e-6
+        assert r["contaminated"] == int(hit / len(gs) >= 0.5)
+
+
+def test_q147_bfs_matches_python(spark):
+    """q147's frontier BFS must equal a plain-Python breadth-first
+    search over the same deterministic doc graph, node for node."""
+    from collections import deque
+
+    from calaspark.queries.advanced import q147_hop_distance
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["id"]: r["dist"] for r in q147_hop_distance(spark, sf).collect()}
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    adj: dict[int, set[int]] = {i: set() for i in ids}
+    for i in ids:
+        if i > 0:
+            adj[i].add(i // 3)
+        adj[i].add((7 * i + 1) % n)
+    dist = {i: 0 for i in ids if i % 97 == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] == 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
+
+
+def test_q148_benford_matches_python(spark):
+    """q148's scaffolded cells, expected masses and decimal-fragment
+    chi-squared must match a plain-Python recomputation digit by
+    digit (including zero-observed cells)."""
+    import math
+    from collections import Counter
+
+    from calaspark.queries.advanced import q148_benford_test
+
+    sf = "/root/testdata/sf0.001"
+    rows = q148_benford_test(spark, sf).collect()
+    o = spark.read.parquet(f"{sf}/orders.parquet").collect()
+    cnt = Counter(
+        (r["o_orderpriority"], int(str(round(r["o_totalprice"] * 100))[0]))
+        for r in o
+    )
+    prios = sorted({r["o_orderpriority"] for r in o})
+    assert len(rows) == 9 * len(prios)
+    benford = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    by = {(r["o_orderpriority"], r["digit"]): r for r in rows}
+    for p in prios:
+        nt = sum(cnt.get((p, d), 0) for d in range(1, 10))
+        chi2 = 0.0
+        for d in range(1, 10):
+            obs = cnt.get((p, d), 0)
+            exp = nt * benford[d - 1]
+            r = by[(p, d)]
+            assert r["observed"] == obs
+            assert abs(r["expected"] - exp) < 5e-5  # reported ROUND(.,4)
+            frag = round((obs - exp) ** 2 / exp, 6)
+            assert abs(r["contrib"] - frag) < 1e-6
+            chi2 += frag
+        assert abs(by[(p, 1)]["chi2"] - chi2) < 1e-5

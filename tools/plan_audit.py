@@ -180,6 +180,21 @@ ALLOWED = {
     # data) + the 1-row N crossJoin (scalar-subquery shape) — the
     # data-sized work is one hash agg with map-side partials
     "q143": {"bnlj", "single_part_exchange"},
+    # q140's declared two-level prefix shape: the only global window
+    # runs at BUCKET grain (value_range/2^16 rows — a domain
+    # constant); the per-value window is bucket-partitioned and the
+    # final (n1,n2,ra2,T) aggregate is a global 1-row final merge
+    "q145": {"single_part_exchange"},
+    # q80's edge derivation: 1-row N (= COUNT(documents)) broadcast-
+    # crossJoined onto the mixing-edge map (1-row BNLJ + the global
+    # 1-row COUNT's final merge — q80's declared scalar-subquery
+    # shape); BFS itself is equi-join + anti-join rounds only
+    "q147": {"bnlj", "single_part_exchange"},
+    # the 5×9 scaffold: 9-digit literal range broadcast-crossJoined
+    # onto the 5-row priority dim (1-row-class BNLJ over category
+    # domains); every aggregate after the first fact-scan hash agg
+    # runs at the 45-cell category grain
+    "q148": {"bnlj"},
 }
 
 
