@@ -4117,3 +4117,250 @@ SELECT o_orderpriority, digit, observed, expected,
 FROM frags
 ORDER BY o_orderpriority, digit
 """
+
+# Q149 — golden-record survivorship (max-of-struct per field) ---------
+# Struct comparison is lexicographic in both engines; (ep, event_id)
+# is a total order, so every CASE-guarded max picks one exact row.
+
+ORACLES["q149"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(event_id AS BIGINT) AS event_id,
+         event_type,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ep) AS first_seen,
+       MAX(ep) AS last_seen,
+       (MIN(struct_pack(ep := ep, event_id := event_id,
+                        event_type := event_type))).event_type
+         AS first_event_type,
+       (MAX(struct_pack(ep := ep, event_id := event_id,
+                        event_type := event_type))).event_type
+         AS last_event_type,
+       CAST((MAX(CASE WHEN event_type = 'purchase'
+                 THEN struct_pack(ep := ep, event_id := event_id, v := v)
+            END)).v AS DOUBLE) AS last_purchase_value,
+       (MAX(CASE WHEN k >= 50
+            THEN struct_pack(ep := ep, event_id := event_id, k := k)
+        END)).k AS last_big_k
+FROM e
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# Q150 — quantile normalization across sources ------------------------
+# The oracle uses plain global windows (correctness only); the Spark
+# side decomposes the same ranks scale-safely. ceil(r*N/m) is the
+# shared integer expression (r*N + m - 1) // m.
+
+ORACLES["q150"] = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT)
+           AS src_rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+  FROM d
+), p AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS pooled_rank,
+         n_chars AS norm_chars
+  FROM d
+)
+SELECT r.doc_id, r.source, r.n_chars, r.src_rank, p.norm_chars
+FROM r JOIN p ON (r.src_rank * r.n_total + r.m - 1) // r.m = p.pooled_rank
+ORDER BY r.doc_id
+"""
+
+# Q151 — positional phrase search ("table hash", overlap-correct) -----
+
+ORACLES["q151"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), post AS (
+  SELECT doc_id, i, l[i] AS tok
+  FROM t, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), m AS (
+  SELECT p0.doc_id, p0.i
+  FROM post p0
+  JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+  WHERE p0.tok = 'table' AND p1.tok = 'hash'
+)
+SELECT doc_id,
+       COUNT(*) AS n_matches,
+       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+FROM m
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# Q152 — Cohen's kappa per source (q93's langid vs the lang label) ----
+# Confusion cells / marginals / pe_num exact BIGINT; po, pe, kappa are
+# the same IEEE expressions in the same operand order as the Spark
+# side (no rounding needed — q131's convention).
+
+ORACLES["q152"] = r"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source, lang,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it','that','for'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_en,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','que','en','un','es','se','no'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_es,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['le','la','de','et','que','en','un','est','se','ne'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_fr,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','zu','in','ist','es','den','nicht'],
+             lower(x)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_de
+  FROM t
+), p AS (
+  SELECT source, lang,
+         CASE
+           WHEN greatest(score_en, score_es, score_fr, score_de) <= 0
+             THEN 'unknown'
+           WHEN score_de = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'de'
+           WHEN score_en = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'en'
+           WHEN score_es = greatest(score_en, score_es, score_fr, score_de)
+             THEN 'es'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM s
+), cells AS (
+  SELECT source, lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p GROUP BY source, lang, pred_lang
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+), agree AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS agree_n
+  FROM cells WHERE lang = pred_lang GROUP BY source
+), rm AS (
+  SELECT source, lang, CAST(SUM(c) AS BIGINT) AS rm
+  FROM cells GROUP BY source, lang
+), cm AS (
+  SELECT source, pred_lang, CAST(SUM(c) AS BIGINT) AS cm
+  FROM cells GROUP BY source, pred_lang
+), pe_num AS (
+  SELECT rm.source, CAST(SUM(rm.rm * cm.cm) AS BIGINT) AS pe_num
+  FROM rm JOIN cm ON rm.source = cm.source AND rm.lang = cm.pred_lang
+  GROUP BY rm.source
+), j AS (
+  SELECT t.source, t.n,
+         CAST(COALESCE(a.agree_n, 0) AS BIGINT) AS agree_n,
+         CAST(COALESCE(pn.pe_num, 0) AS BIGINT) AS pe_num
+  FROM tot t
+  LEFT JOIN agree a ON t.source = a.source
+  LEFT JOIN pe_num pn ON t.source = pn.source
+)
+SELECT source, n, agree_n,
+       CAST(agree_n AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       CASE WHEN CAST(pe_num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) >= 1.0
+            THEN NULL
+            ELSE (CAST(agree_n AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(pe_num AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       END AS kappa
+FROM j
+ORDER BY source
+"""
+
+# Q153 — Wilson 95% score intervals per event type --------------------
+# z enters as the shared 1.96 literal CAST to DOUBLE (DuckDB parses a
+# bare 1.96 as DECIMAL and would square it EXACTLY; Spark squares the
+# double), z^2 as the in-engine double product;
+# sqrt is IEEE-correctly-rounded in both engines.
+
+ORACLES["q153"] = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n, successes,
+       CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) / 2.0)
+        / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+       - (CAST(1.96 AS DOUBLE) * sqrt(
+            CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+            * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n AS DOUBLE)
+            + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)
+              / (4.0 * CAST(n AS DOUBLE)))
+          / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+         AS wilson_lo,
+       ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) / 2.0)
+        / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+       + (CAST(1.96 AS DOUBLE) * sqrt(
+            CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+            * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n AS DOUBLE)
+            + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)
+              / (4.0 * CAST(n AS DOUBLE)))
+          / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+         AS wilson_hi
+FROM g
+ORDER BY event_type
+"""
+
+# Q154 — Herfindahl-Hirschman concentration per region ----------------
+# Revenue in exact DECIMAL; share^2 fragments ROUND(.,12) into
+# DECIMAL(18,12) and summed exactly (q148's convention).
+
+ORACLES["q154"] = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS _rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+), w AS (
+  SELECT r_name, n_name,
+         CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue,
+         CAST(_rev AS DOUBLE)
+           / CAST(SUM(_rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+  FROM rev
+), f AS (
+  SELECT r_name, n_name, revenue, share,
+         CAST(ROUND(share * share, 12) AS DECIMAL(18,12)) AS _frag
+  FROM w
+)
+SELECT r_name, n_name, revenue, share,
+       CAST(SUM(_frag) OVER (PARTITION BY r_name) AS DOUBLE) AS hhi,
+       1.0 / CAST(SUM(_frag) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS effective_n
+FROM f
+ORDER BY r_name, n_name
+"""

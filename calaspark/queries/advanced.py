@@ -4163,3 +4163,371 @@ def q148_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "digit")
     )
+
+
+# ---------------------------------------------------------------- Q149
+
+
+def q149_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship (E16/R10 — the MDM "merge the
+    change stream into one best row per entity" op; the reference's
+    latest-amendment-wins semantics generalized from whole-row to
+    PER-FIELD: each attribute survives from the latest row that
+    QUALIFIES for it, not from one winning row).
+
+    Survivorship rules, all resolved in ONE hash aggregation via the
+    max-of-struct trick — ``max(struct(ep, event_id, payload))``
+    picks the payload of the latest qualifying row because struct
+    comparison is lexicographic in both engines, and ``(ep,
+    event_id)`` is a total order (event_id breaks timestamp ties);
+    conditional rules wrap the struct in CASE, and max/min skip the
+    NULL structs of non-qualifying rows:
+
+    - ``first/last_event_type`` — min/max over all rows;
+    - ``last_purchase_value`` — latest row WHERE type='purchase'
+      (NULL when the user never purchased);
+    - ``last_big_k`` — latest row WHERE props.k ≥ 50.
+
+    Plan: one events scan → one groupBy(user_id) with map-side
+    partial max/min (structs combine associatively), ONE shuffle at
+    user grain. No window, no self-join, no second pass — at 100 TB
+    this is the cheapest possible shape for per-field survivorship
+    (the row_number-then-join-per-rule alternative costs one shuffle
+    PER RULE). Value survives as exact decimal, cast to double only
+    on output (§2.6 rule 1); timestamps as floored epoch bigints
+    (rule 2)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        _ep("ts").alias("ep"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        dec("value").alias("v"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    order_key = lambda payload: F.struct(  # noqa: E731 — local shape helper
+        F.col("ep"), F.col("event_id"), payload
+    )
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ep").alias("first_seen"),
+        F.max("ep").alias("last_seen"),
+        F.min(order_key(F.col("event_type"))).alias("_f"),
+        F.max(order_key(F.col("event_type"))).alias("_l"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", order_key(F.col("v")))
+        ).alias("_lp"),
+        F.max(F.when(F.col("k") >= 50, order_key(F.col("k")))).alias("_lk"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "first_seen",
+        "last_seen",
+        F.col("_f.event_type").alias("first_event_type"),
+        F.col("_l.event_type").alias("last_event_type"),
+        F.col("_lp.v").cast("double").alias("last_purchase_value"),
+        F.col("_lk.k").alias("last_big_k"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- Q150
+
+
+def q150_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (E13/E19 — the
+    distribution-matching transform: replace each document's length
+    with the POOLED corpus length at the same within-source quantile,
+    so every source's length distribution becomes comparable; the
+    microarray-normalization classic applied to corpus curation,
+    where per-source score scales drift and rank is the only
+    trustworthy signal).
+
+    Exactness: ranks are integers with a total order (``(n_chars,
+    doc_id)`` tie-break); the rank map is pure integer arithmetic —
+    target pooled rank = ``ceil(r·N/m)`` computed as ``(r*N + m - 1)
+    DIV m`` in BIGINT (both engines floor-divide non-negative
+    integers identically); the normalized value is a lookup, never a
+    float interpolation.
+
+    Plan (the two-level rank pattern of ops/quantile.py, q98/q121):
+    a GLOBAL row_number would be a single-partition sort, so pooled
+    rank = (prefix count of strictly-smaller n_chars values, from a
+    VALUE-GRAIN aggregate whose window is the declared tiny-grain
+    single-partition exception) + (row_number within each n_chars
+    partition — fine-grained, scale-safe). The per-source rank uses
+    the same decomposition partitioned by source. The final
+    rank→value lookup joins on the unique pooled rank — a balanced
+    equi-join with no skew by construction (ranks are distinct).
+    Three shuffles total at 100 TB: value-grain agg, per-value
+    row_number, rank join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    # pooled side: value-grain counts -> prefix of strictly-smaller
+    pooled_cnt = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_pool = Window.orderBy("n_chars")  # value-grain (tiny): declared exception
+    pooled_pref = pooled_cnt.select(
+        "n_chars", (F.sum("c").over(w_pool) - F.col("c")).alias("below")
+    )
+    w_in_val = Window.partitionBy("n_chars").orderBy("doc_id")
+    pooled = d.join(F.broadcast(pooled_pref), "n_chars").select(
+        (F.col("below") + F.row_number().over(w_in_val)).alias("pooled_rank"),
+        F.col("n_chars").alias("norm_chars"),
+    )
+    # per-source side: (source, value)-grain counts -> prefix per source
+    src_cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_src = Window.partitionBy("source").orderBy("n_chars")
+    src_pref = src_cnt.select(
+        "source",
+        "n_chars",
+        (F.sum("c").over(w_src) - F.col("c")).alias("below"),
+    )
+    w_in_src = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    ranked = d.join(F.broadcast(src_pref), ["source", "n_chars"]).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("below") + F.row_number().over(w_in_src))
+        .cast("long")
+        .alias("src_rank"),
+    )
+    m_tab = src_cnt.groupBy("source").agg(F.sum("c").cast("long").alias("m"))
+    n_tab = pooled_cnt.agg(F.sum("c").cast("long").alias("n_total"))
+    t = (
+        ranked.join(F.broadcast(m_tab), "source")
+        .crossJoin(F.broadcast(n_tab))
+        .withColumn(
+            "target_rank", F.expr("(src_rank * n_total + m - 1) DIV m")
+        )
+    )
+    return (
+        t.join(pooled, t.target_rank == pooled.pooled_rank)
+        .select("doc_id", "source", "n_chars", "src_rank", "norm_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q151
+
+
+def q151_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL PHRASE SEARCH via an inverted positional index
+    (E19/E1 — the search-engine primitive: find documents containing
+    the exact consecutive phrase "table hash", with OVERLAPPING
+    occurrences counted, which no non-overlapping regex scan gets
+    right). q119 mines which bigrams are interesting; this query
+    ANSWERS for one — the index shape is the point.
+
+    Plan: tokenize once, posexplode into postings (doc_id, pos, tok),
+    filter each phrase term to its own posting list — the selective
+    step: at 100 TB the posting list for one term is a tiny fraction
+    of the corpus, and Catalyst prunes the filter before the join —
+    then a positional equi-join ``p1.pos = p0.pos + 1`` on (doc_id,
+    pos) recovers adjacency. Counts per doc finish at match grain.
+    Every value is an exact integer (positions 0-based); the join is
+    an equi-join on composite keys (no theta/BNLJ), and both posting
+    lists derive from one exploded child so the scan is shared."""
+    w0, w1 = "table", "hash"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    post = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    p0 = post.filter(F.col("tok") == w0).select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    p1 = post.filter(F.col("tok") == w1).select(
+        F.col("doc_id").alias("d1"), (F.col("pos") - 1).cast("long").alias("pos1")
+    )
+    m = p0.join(p1, (p0.doc_id == p1.d1) & (p0.pos == p1.pos1))
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q152
+
+
+def q152_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-rater agreement per source (V2/E19 — the
+    label-quality statistic every annotation pipeline reports:
+    chance-corrected agreement between the declared ``lang`` column
+    and the q93 stopword-ratio language-ID heuristic; q93 publishes
+    the confusion grid, this reduces it to the decision number).
+
+    Exactness: the confusion cells, marginals, and the chance-
+    agreement numerator pe_num = Σ_label row_marginal·col_marginal
+    are exact BIGINTs; po = agree/n and pe = pe_num/(n·n) are single
+    divisions of those integers, and κ = (po − pe)/(1 − pe) is the
+    same IEEE expression written in the same operand order in both
+    engines — bit-identical without rounding (q131's convention).
+    The degenerate pe = 1 case (both raters constant and identical)
+    yields NULL via a mirrored CASE guard.
+
+    Plan: one documents scan → (source, lang, pred) hash agg — after
+    that everything runs at category grain (≤ sources × 5 × 5
+    cells), so the query is scan-bound at any scale."""
+    from ..ops.text import langid_scores
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    cells = (
+        langid_scores(d)
+        .groupBy("source", "lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    agree = (
+        cells.filter(F.col("lang") == F.col("pred_lang"))
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("agree_n"))
+    )
+    rm = cells.groupBy("source", "lang").agg(F.sum("c").cast("long").alias("rm"))
+    cm = cells.groupBy(
+        F.col("source").alias("c_source"), F.col("pred_lang").alias("c_label")
+    ).agg(F.sum("c").cast("long").alias("cm"))
+    pe_num = (
+        rm.join(
+            cm,
+            (F.col("source") == F.col("c_source"))
+            & (F.col("lang") == F.col("c_label")),
+        )
+        .groupBy("source")
+        .agg(F.sum(F.col("rm") * F.col("cm")).cast("long").alias("pe_num"))
+    )
+    j = (
+        tot.join(agree, "source", "left")
+        .join(pe_num, "source", "left")
+        .select(
+            "source",
+            "n",
+            F.coalesce(F.col("agree_n"), F.lit(0)).cast("long").alias("agree_n"),
+            F.coalesce(F.col("pe_num"), F.lit(0)).cast("long").alias("pe_num"),
+        )
+    )
+    po = F.col("agree_n").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    kappa = F.when(pe >= 1.0, F.lit(None).cast("double")).otherwise(
+        (po - pe) / (F.lit(1.0) - pe)
+    )
+    return j.select(
+        "source",
+        "n",
+        "agree_n",
+        po.alias("po"),
+        pe.alias("pe"),
+        kappa.alias("kappa"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------- Q153
+
+
+def q153_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON 95 % score intervals per event type (V2/E13 — the
+    uncertainty-aware proportion readout: "what fraction of events
+    are high-value, and how sure are we per segment?" The Wilson
+    interval is the standard fix for the Wald interval's collapse at
+    small n / extreme p — the same statistic ranking engines use for
+    lower-bound sorting).
+
+    Exactness: n and successes are exact BIGINTs; z = 1.96 enters as
+    a shared literal — CAST to DOUBLE in the oracle, because DuckDB
+    parses a bare 1.96 as DECIMAL(3,2) and would square it EXACTLY
+    where Spark squares the nearest double — and z² as the in-engine
+    product z·z (never a second literal); p̂, the
+    center, and the half-width are one fixed IEEE expression —
+    division, multiplication and a SQRT (correctly rounded per
+    IEEE-754 in both engines) written in identical operand order, so
+    the bounds are bit-identical with no rounding step (the q131/
+    q152 discipline).
+
+    Plan: one events scan → one 5-row hash agg with map-side
+    partials; the interval math is constant work per group. Scan-
+    bound at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 100.0).cast("int").alias("hit")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("successes"),
+    )
+    z = F.lit(1.96)
+    nn = F.col("n").cast("double")
+    ph = F.col("successes").cast("double") / nn
+    z2n = (z * z) / nn
+    denom = F.lit(1.0) + z2n
+    center = (ph + z2n / F.lit(2.0)) / denom
+    rad = F.sqrt(ph * (F.lit(1.0) - ph) / nn + z2n / (F.lit(4.0) * nn))
+    half = z * rad / denom
+    return g.select(
+        "event_type",
+        "n",
+        "successes",
+        ph.alias("p_hat"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- Q154
+
+
+def q154_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN market concentration per region (E2/R9
+    — the antitrust/portfolio statistic: how concentrated is order
+    revenue across the nations of each region? HHI = Σ share² and
+    its reciprocal, the effective number of competitors).
+
+    Exactness: revenue sums in exact DECIMAL (§2.6 rule 1); each
+    share is one double division of those decimals; each share² is
+    ROUND(·,12) into DECIMAL(18,12) and the per-region HHI is the
+    EXACT decimal sum of those fragments (q148's fragment-sum
+    convention — float addition order never matters), cast to double
+    only on output; effective_n = 1/hhi is a single division.
+
+    Plan: the one real shuffle is orders ⨝ customer on custkey (both
+    fact-sized); nation and region are BROADCAST dims; the (region,
+    nation) aggregate carries map-side partials, and the share /
+    HHI window runs at the 25-row category grain. At 100 TB this is
+    scan + one co-partitioned join + one tiny window."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("_rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    tot = F.sum("_rev").over(wr)
+    share = F.col("_rev").cast("double") / tot.cast("double")
+    with_share = rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        share.alias("share"),
+        F.round(share * share, 12).cast("decimal(18,12)").alias("_frag"),
+    )
+    return (
+        with_share.select(
+            "r_name",
+            "n_name",
+            "revenue",
+            "share",
+            F.sum("_frag").over(wr).cast("double").alias("hhi"),
+            (F.lit(1.0) / F.sum("_frag").over(wr).cast("double")).alias(
+                "effective_n"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )

