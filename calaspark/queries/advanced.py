@@ -3973,12 +3973,30 @@ def q146_containment_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (ops/text.with_shingle_hashes — set-equivalent, ~4×
     narrower shuffle); the contract query keeps raw strings so the
     oracle is bit-exact.
+
+    The doc_id repartition BEFORE the shingle expression is
+    deliberate: shingling is an interpreted higher-order expression
+    (transform/slice — no codegen), so its cost is CPU-per-row, and
+    a small-file scan otherwise pins all of it to the scan's few
+    input partitions (a single partition at bench SF — measured 13 s
+    serial vs ~2 s spread). Both branches filter ABOVE the exchange,
+    so the plan reuses it (one scan, one shuffle) instead of
+    duplicating the scan subtree. At cluster scale the scan already
+    has enough partitions and the exchange is a cheap narrow-row
+    pass-through that still buys the subtree reuse.
     """
     from ..ops.text import shingles
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("gs")
-    ).filter(F.size("gs") > 0)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # explicit count: AQE would coalesce a bare repartition("doc_id")
+        # right back to one partition on byte size, re-serializing the
+        # CPU-bound shingle stage
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.array_distinct(shingles("text", 3)).alias("gs"))
+        .filter(F.size("gs") > 0)
+    )
     train = (
         d.filter(F.col("doc_id") % 10 != 0)
         .select(F.explode("gs").alias("g"))
