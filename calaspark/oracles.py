@@ -4364,3 +4364,79 @@ SELECT r_name, n_name, revenue, share,
 FROM f
 ORDER BY r_name, n_name
 """
+
+# Q155 — Gini best-split over fixed thresholds ------------------------
+# Bucket-prefix construction (no fact fanout); impurity from exact
+# BIGINTs in one fixed IEEE expression, ROUND 6 DECIMAL for ranking.
+
+ORACLES["q155"] = """
+WITH e AS (
+  SELECT CAST(least(19, floor(value / 25)) AS BIGINT) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), b AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(pos) AS BIGINT) AS p
+  FROM e GROUP BY bucket
+), pre AS (
+  SELECT bucket,
+         CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS n_left,
+         CAST(SUM(p) OVER (ORDER BY bucket) AS BIGINT) AS pos_left,
+         CAST(SUM(c) OVER () AS BIGINT) AS n_all,
+         CAST(SUM(p) OVER () AS BIGINT) AS pos_all
+  FROM b
+), scored AS (
+  SELECT CAST((bucket + 1) * 25 AS BIGINT) AS threshold,
+         n_left, pos_left,
+         n_all - n_left AS n_right,
+         pos_all - pos_left AS pos_right,
+         CAST(ROUND(
+           (CASE WHEN n_left > 0
+                 THEN (CAST(n_left AS DOUBLE) / CAST(n_all AS DOUBLE))
+                      * (2.0 * (CAST(pos_left AS DOUBLE)
+                                / CAST(n_left AS DOUBLE))
+                             * (1.0 - CAST(pos_left AS DOUBLE)
+                                      / CAST(n_left AS DOUBLE)))
+                 ELSE 0.0 END)
+           + (CASE WHEN n_all - n_left > 0
+                   THEN (CAST(n_all - n_left AS DOUBLE)
+                         / CAST(n_all AS DOUBLE))
+                        * (2.0 * (CAST(pos_all - pos_left AS DOUBLE)
+                                  / CAST(n_all - n_left AS DOUBLE))
+                               * (1.0 - CAST(pos_all - pos_left AS DOUBLE)
+                                        / CAST(n_all - n_left AS DOUBLE)))
+                   ELSE 0.0 END), 6) AS DECIMAL(18,6)) AS _imp
+  FROM pre
+  WHERE bucket < 19
+)
+SELECT threshold, n_left, pos_left, n_right, pos_right,
+       CAST(_imp AS DOUBLE) AS weighted_gini,
+       CAST(ROW_NUMBER() OVER (ORDER BY _imp ASC, threshold ASC) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY threshold
+"""
+
+# Q156 — k-anonymity + l-diversity audit ------------------------------
+
+ORACLES["q156"] = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt
+  FROM customer
+), g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT in_debt) AS BIGINT) AS l_diversity
+  FROM c GROUP BY c_mktsegment, c_nationkey
+), o AS (
+  SELECT g.c_mktsegment AS segment, nn.n_name AS nation, g.n,
+         g.l_diversity,
+         CASE WHEN g.n < 5 THEN 1 ELSE 0 END AS at_risk
+  FROM g JOIN nation nn ON g.c_nationkey = nn.n_nationkey
+)
+SELECT segment, nation, n, l_diversity, at_risk,
+       CAST(SUM(CAST(at_risk AS BIGINT) * n) OVER () AS DOUBLE)
+         / CAST(SUM(n) OVER () AS DOUBLE) AS risk_share
+FROM o
+ORDER BY segment, nation
+"""

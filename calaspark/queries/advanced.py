@@ -4549,3 +4549,142 @@ def q154_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------- Q155
+
+
+def q155_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-SPLIT scoring by GINI IMPURITY (E13 — the decision-tree
+    / feature-quality primitive: for candidate thresholds on
+    ``value``, how cleanly does "value ≤ t" separate purchases from
+    non-purchases? Gini is the log-free impurity — entropy would
+    drag cross-libm ``ln`` into the hash gate, Gini is pure
+    arithmetic, the same reason q144 picked TVD over KL).
+
+    Thresholds are the FIXED constants 25, 50, …, 475 (q136's
+    fixed-bin discipline — never data-derived). Exactness: the scan
+    folds into per-bucket (floor(value/25)) exact label counts; a
+    category-grain prefix sum turns those into (n_left, pos_left)
+    per threshold with NO fact-table fanout (the naive
+    threshold × event explode is a 19× shuffle at 100 TB; the
+    bucket-prefix form is one tiny window over ≤20 rows). The
+    weighted impurity 2·(nL·posL·negL/nL² … ) is assembled from
+    exact BIGINTs in one fixed IEEE expression, ROUND 6 into
+    DECIMAL so ranking ties are exact; rank 1 = best split.
+
+    Plan: one events scan → ≤20-cell hash agg (map-side partials)
+    → prefix window + impurity math at category grain. Scan-bound
+    at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.least(F.lit(19), F.floor(F.col("value") / F.lit(25)))
+        .cast("long")
+        .alias("bucket"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    b = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    w = Window.orderBy("bucket")  # ≤20 rows: declared category grain
+    pre = b.select(
+        "bucket",
+        F.sum("c").over(w).cast("long").alias("n_left"),
+        F.sum("p").over(w).cast("long").alias("pos_left"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n_all"),
+        F.sum("p").over(Window.partitionBy()).cast("long").alias("pos_all"),
+    ).filter(F.col("bucket") < 19)  # threshold after the last bucket splits nothing
+    thr = ((F.col("bucket") + 1) * 25).cast("long")
+    nl = F.col("n_left").cast("double")
+    nr = (F.col("n_all") - F.col("n_left")).cast("double")
+    pl = F.col("pos_left").cast("double")
+    pr = (F.col("pos_all") - F.col("pos_left")).cast("double")
+    na = F.col("n_all").cast("double")
+    # gini(side) = 2·p·(1−p); weighted: (nl/na)·gini_l + (nr/na)·gini_r,
+    # guarded for empty sides (0-weight terms dropped exactly)
+    gini_l = F.when(
+        F.col("n_left") > 0,
+        (nl / na) * (F.lit(2.0) * (pl / nl) * (F.lit(1.0) - pl / nl)),
+    ).otherwise(F.lit(0.0))
+    gini_r = F.when(
+        F.col("n_all") - F.col("n_left") > 0,
+        (nr / na) * (F.lit(2.0) * (pr / nr) * (F.lit(1.0) - pr / nr)),
+    ).otherwise(F.lit(0.0))
+    imp = F.round(gini_l + gini_r, 6).cast("decimal(18,6)")
+    scored = pre.select(
+        thr.alias("threshold"),
+        F.col("n_left"),
+        F.col("pos_left"),
+        (F.col("n_all") - F.col("n_left")).alias("n_right"),
+        (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+        imp.alias("_imp"),
+    )
+    wrank = Window.orderBy(F.col("_imp").asc(), F.col("threshold").asc())
+    return scored.select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.col("_imp").cast("double").alias("weighted_gini"),
+        F.row_number().over(wrank).cast("long").alias("rank"),
+    ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------- Q156
+
+
+def q156_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY + L-DIVERSITY privacy audit (V2 — the
+    data-governance screen run before a dataset leaves the
+    curation pipeline: which quasi-identifier combinations are so
+    rare they re-identify people, and do small groups at least
+    carry diverse sensitive values?). QI = (market segment,
+    nation); sensitive attribute = the SIGN of the account balance
+    (a debt flag — the classic binary-sensitive example).
+
+    Exactness: group sizes and distinct-sensitive counts are exact
+    integers; ``at_risk`` is the integer compare n < 5; the global
+    risk share (fraction of ALL customers sitting in an at-risk
+    group) is one division of exact BIGINTs, identical on every
+    row (the q148 repeated-headline convention).
+
+    Plan: one customer scan → (segment, nationkey) hash agg
+    counting rows and distinct sensitive values (two-level agg:
+    exact count_distinct at QI grain via a pre-distinct — map-side
+    partials both levels); the nation-name join is BROADCAST; the
+    risk-share window runs at the ≤125-cell category grain.
+    Scan-bound at any scale."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_acctbal") < 0).cast("int").alias("in_debt"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("in_debt")).cast("long").alias("l_diversity"),
+    )
+    wall = Window.partitionBy()
+    at_risk = (F.col("n") < 5).cast("int")
+    out = (
+        g.join(F.broadcast(n), g.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            "n",
+            "l_diversity",
+            at_risk.alias("at_risk"),
+        )
+    )
+    return out.select(
+        "segment",
+        "nation",
+        "n",
+        "l_diversity",
+        "at_risk",
+        (
+            F.sum(F.col("at_risk").cast("long") * F.col("n")).over(wall).cast("double")
+            / F.sum("n").over(wall).cast("double")
+        ).alias("risk_share"),
+    ).orderBy("segment", "nation")

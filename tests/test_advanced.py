@@ -1473,3 +1473,85 @@ def test_q154_hhi_matches_python(spark):
         assert 1.0 / k - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
     for rn, s in shares.items():
         assert abs(s - 1.0) < 1e-9
+
+
+def test_q155_gini_matches_python(spark):
+    """q155's weighted Gini per threshold must equal the textbook
+    impurity computed in plain Python, and rank 1 must be the
+    impurity argmin (threshold tie-break)."""
+    from calaspark.queries.advanced import q155_gini_split
+
+    sf = "/root/testdata/sf0.001"
+    rows = q155_gini_split(spark, sf).collect()
+    assert rows
+    evs = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr("value", "event_type = 'purchase' AS pos")
+        .collect()
+    )
+    pts = [(min(19, int(r["value"] // 25)), bool(r["pos"])) for r in evs]
+    n_all = len(pts)
+    pos_all = sum(1 for _, p in pts if p)
+
+    def gini_at(thr_bucket):
+        nl = sum(1 for b, _ in pts if b <= thr_bucket)
+        pl = sum(1 for b, p in pts if b <= thr_bucket and p)
+        nr, pr = n_all - nl, pos_all - pl
+        g = 0.0
+        if nl:
+            g += (nl / n_all) * (2.0 * (pl / nl) * (1.0 - pl / nl))
+        if nr:
+            g += (nr / n_all) * (2.0 * (pr / nr) * (1.0 - pr / nr))
+        return nl, pl, nr, pr, round(g, 6)
+
+    by_thr = {r["threshold"]: r for r in rows}
+    scored = []
+    for b in range(0, 19):
+        thr = (b + 1) * 25
+        if thr not in by_thr:
+            continue  # bucket empty at tiny SF -> no row
+        nl, pl, nr, pr, g = gini_at(b)
+        r = by_thr[thr]
+        assert (r["n_left"], r["pos_left"], r["n_right"], r["pos_right"]) == (
+            nl,
+            pl,
+            nr,
+            pr,
+        )
+        assert abs(r["weighted_gini"] - g) < 1e-9
+        scored.append((g, thr))
+    best = min(scored)[1]
+    assert next(r["threshold"] for r in rows if r["rank"] == 1) == best
+
+
+def test_q156_k_anonymity_matches_python(spark):
+    """Group sizes, l-diversity, at-risk flags and the global risk
+    share must match a plain-Python replay."""
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q156_k_anonymity
+
+    sf = "/root/testdata/sf0.001"
+    rows = q156_k_anonymity(spark, sf).collect()
+    assert rows
+    cust = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .selectExpr("c_mktsegment", "c_nationkey", "c_acctbal < 0 AS d")
+        .collect()
+    )
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{sf}/nation.parquet").collect()
+    }
+    groups = defaultdict(list)
+    for r in cust:
+        groups[(r["c_mktsegment"], nat[r["c_nationkey"]])].append(bool(r["d"]))
+    assert len(rows) == len(groups)
+    risk_n = sum(len(v) for v in groups.values() if len(v) < 5)
+    total = sum(len(v) for v in groups.values())
+    for r in rows:
+        v = groups[(r["segment"], r["nation"])]
+        assert r["n"] == len(v)
+        assert r["l_diversity"] == len(set(v))
+        assert r["at_risk"] == (1 if len(v) < 5 else 0)
+        assert abs(r["risk_share"] - risk_n / total) < 1e-12

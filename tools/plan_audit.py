@@ -195,6 +195,15 @@ ALLOWED = {
     # domains); every aggregate after the first fact-scan hash agg
     # runs at the 45-cell category grain
     "q148": {"bnlj"},
+    # Gini best-split: the prefix/total/rank windows all run over the
+    # ≤20-row fixed-threshold bucket aggregate (a domain constant —
+    # q136's fixed-bin class); the fact table folds map-side into
+    # that aggregate before any window
+    "q155": {"single_part_exchange"},
+    # k-anonymity: the risk-share window runs over the ≤125-cell
+    # (segment × nation) QI aggregate (category domain, not data
+    # grain); the customer scan folds map-side into it
+    "q156": {"single_part_exchange"},
     # quantile normalization: the pooled prefix window runs at VALUE
     # grain (distinct n_chars — a domain constant, the q98/ops-
     # quantile declared class) and the 1-row N aggregate broadcast-
