@@ -521,6 +521,15 @@ def q65_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two hash aggregations; no Python, no window, no join — the
     funnel a 100 TB corpus pays exactly one scan plus one
     dedup-keyed shuffle for.
+
+    The explicit repartition ABOVE the counter projection is the
+    subtree-reuse lever: three summary branches hang off `d`, and
+    without an exchange each one re-scans the table and re-runs the
+    interpreted stopword lambda (3 scans of a 100 TB corpus; a 3×
+    serial stage at bench SF). With it the scan + projection +
+    exchange subtree is canonical-identical under every branch, so
+    the plan computes it ONCE (ReusedExchange) and the shuffle
+    carries ~50-byte counter rows, never the text.
     """
     from ..ops.text import STOPWORDS, tokens
 
@@ -539,7 +548,7 @@ def q65_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.lower(F.regexp_replace(F.trim(c), "[\t\n\f\r ]+", " "))
         ).alias("content_key"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     q = d.filter(
         (F.col("n_tokens") >= 10)
         & (F.col("n_chars") >= 50)
