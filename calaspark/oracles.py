@@ -4440,3 +4440,123 @@ SELECT segment, nation, n, l_diversity, at_risk,
 FROM o
 ORDER BY segment, nation
 """
+
+# Q157 — Fano-factor burstiness per user ------------------------------
+
+ORACLES["q157"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+           AS day
+  FROM events
+), dc AS (
+  SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM e GROUP BY user_id, day
+), g AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS n_events,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM dc GROUP BY user_id
+)
+SELECT user_id, n_days, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_daily,
+       ROUND(CASE WHEN n_days > 1
+             THEN (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+             ELSE NULL END, 6) AS var_daily,
+       ROUND((CASE WHEN n_days > 1
+              THEN (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                   / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+              ELSE NULL END)
+             / (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+         AS fano
+FROM g
+ORDER BY user_id
+"""
+
+# Q158 — lag-1..7 autocorrelation of daily order revenue --------------
+# q89's exact-decimal power sums + fixed IEEE Pearson, lag fanout at
+# DATE grain only.
+
+ORACLES["q158"] = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS v
+  FROM orders
+), daily AS (
+  SELECT day, CAST(SUM(v) AS DECIMAL(18,2)) AS s
+  FROM o GROUP BY day
+), lagged AS (
+  SELECT d.day, d.s AS x, l.lag,
+         d.day + CAST(l.lag AS INT) AS day_y
+  FROM daily d
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+), j AS (
+  SELECT lg.lag, lg.x, d2.s AS y
+  FROM lagged lg JOIN daily d2 ON lg.day_y = d2.day
+), st AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr
+FROM st
+ORDER BY lag
+"""
+
+# Q159 — winsorized mean per return flag ------------------------------
+# The [p05, p95] cut points restate ops/quantile's declared order
+# statistic: smallest price with 20*cum >= num*tot over exact counts.
+
+ORACLES["q159"] = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem
+), grain AS (
+  SELECT l_returnflag, price, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li GROUP BY l_returnflag, price
+), cum AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS c,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM grain
+), bounds AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN 20 * c >= 1 * tot THEN price END) AS lo,
+         MIN(CASE WHEN 20 * c >= 19 * tot THEN price END) AS hi
+  FROM cum GROUP BY l_returnflag
+), cl AS (
+  SELECT g.l_returnflag, g.w,
+         least(greatest(g.price, b.lo), b.hi) AS cp,
+         CASE WHEN g.price < b.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN g.price > b.hi THEN 1 ELSE 0 END AS is_hi,
+         g.price, b.lo, b.hi
+  FROM grain g JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(SUM(w) AS BIGINT) AS n,
+       CAST(MIN(lo) AS DOUBLE) AS p05,
+       CAST(MIN(hi) AS DOUBLE) AS p95,
+       CAST(SUM(is_lo * w) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(is_hi * w) AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(cp * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+         AS winsorized_mean,
+       ROUND(CAST(SUM(price * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+         AS raw_mean
+FROM cl
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -4688,3 +4688,184 @@ def q156_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wall).cast("double")
         ).alias("risk_share"),
     ).orderBy("segment", "nation")
+
+
+# ---------------------------------------------------------------- Q157
+
+
+def q157_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO-FACTOR burstiness per user (E13 — the dispersion
+    index var/mean of daily activity counts: ≈1 is Poisson-like
+    traffic, ≫1 is bursty bot/batch behavior, the anomaly screen
+    run on event streams). Computed over ACTIVE days only (days
+    with ≥1 event — the zero-inflated variant is a different
+    statistic, declared here).
+
+    Exactness: the day index is floor(epoch/86400) (rule 2 — never
+    a raw timestamp); daily counts, Σx and Σx² are exact BIGINTs;
+    the sample variance (n·Σx² − (Σx)²)/(n·(n−1)), the mean and
+    fano = var/mean are one fixed IEEE expression from those
+    integers (q89's convention); n = 1 users get NULL var/fano via
+    a mirrored CASE.
+
+    Plan: one events scan → (user, day) hash agg → user-grain agg,
+    both with map-side partials; no window, no join. Two keyed
+    shuffles at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(_ep("ts") / 86400).cast("long").alias("day")
+    )
+    dc = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    g = dc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("n_events").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / n
+    var = F.when(
+        F.col("n_days") > 1,
+        (n * sxx - sx * sx) / (n * (n - F.lit(1.0))),
+    ).otherwise(F.lit(None).cast("double"))
+    return g.select(
+        "user_id",
+        "n_days",
+        "n_events",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("fano"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- Q158
+
+
+def q158_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION (k = 1…7) of daily order revenue (E13/
+    E3 — the seasonality probe: a weekly cycle shows as a lag-7
+    peak; q89 correlates two SERIES, this correlates a series with
+    its own calendar shifts). Pairs are calendar-joined — lag k
+    pairs day d with d+k only when BOTH days traded (gap semantics
+    declared; no gap-filling).
+
+    Exactness: daily revenue is an exact DECIMAL(18,2) sum (q89's
+    grain); pair power sums Σx, Σy, Σxy, Σx², Σy² stay exact
+    decimal; Pearson r is q89's fixed IEEE expression over their
+    double casts, ROUND 6. The 7-lag fanout happens at DATE grain
+    via explode (≤7·|days| rows — never the fact table, and never
+    a BNLJ), and the shift is a date-grain equi-join on
+    date_add(day, lag).
+
+    Plan: one orders scan → date-grain hash agg (map-side) → tiny
+    explode + self-equi-join + 7-row agg. Scan-bound at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        dec("o_totalprice").alias("v"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum("v").cast("decimal(18,2)").alias("s")
+    )
+    lagged = daily.select(
+        "day",
+        F.col("s").alias("x"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+    ).withColumn("day_y", F.date_add(F.col("day"), F.col("lag")))
+    j = lagged.join(
+        daily.select(F.col("day").alias("day_y"), F.col("s").alias("y")),
+        "day_y",
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(corr, 6).alias("autocorr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------- Q159
+
+
+def q159_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per return flag (E13 — the robust average:
+    clamp to the exact [p05, p95] order statistics, then average;
+    q127 DETECTS outliers, this neutralizes them — the estimator
+    used when you must keep every row but not its tail leverage).
+
+    Both cut points come from ops/quantile.exact_quantiles_bucketed
+    (the q98/q121/q127 scale contract: smallest value with
+    den·cum ≥ num·tot over exact integer weights — bucket-grain
+    windows only, declared identically in the oracle). Clamping is
+    exact decimal compares (least/greatest); the winsorized mean is
+    a decimal sum / count divided in double (rule 4), ROUND 6; the
+    clip counts are exact integers.
+
+    Plan: one lineitem scan → (flag, price) grain pre-agg feeding
+    the quantile search; the 3-row bounds table broadcasts back
+    onto the same pre-agg (weights carry the clamp — the fact table
+    is never re-scanned); one 3-row final agg."""
+    from ..ops.quantile import exact_quantiles_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", dec("l_extendedprice").alias("price")
+    )
+    grain = li.groupBy("l_returnflag", "price").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    qs = exact_quantiles_bucketed(
+        grain, "l_returnflag", "price", "w", [1, 19], 20
+    )
+    bounds = qs.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("_num") == 1, F.col("q"))).alias("lo"),
+        F.min(F.when(F.col("_num") == 19, F.col("q"))).alias("hi"),
+    )
+    c = grain.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "w",
+        "price",
+        F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi")).alias(
+            "cp"
+        ),
+        (F.col("price") < F.col("lo")).cast("long").alias("is_lo"),
+        (F.col("price") > F.col("hi")).cast("long").alias("is_hi"),
+        "lo",
+        "hi",
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.min("lo").cast("double").alias("p05"),
+            F.min("hi").cast("double").alias("p95"),
+            F.sum(F.col("is_lo") * F.col("w")).cast("long").alias("n_clipped_low"),
+            F.sum(F.col("is_hi") * F.col("w")).cast("long").alias("n_clipped_high"),
+            F.round(
+                F.sum(F.col("cp") * F.col("w")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.col("price") * F.col("w")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("raw_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1555,3 +1555,130 @@ def test_q156_k_anonymity_matches_python(spark):
         assert r["l_diversity"] == len(set(v))
         assert r["at_risk"] == (1 if len(v) < 5 else 0)
         assert abs(r["risk_share"] - risk_n / total) < 1e-12
+
+
+def test_q157_fano_matches_python(spark):
+    """Fano = var/mean of active-day counts must match a plain-Python
+    replay, with NULLs exactly on single-day users."""
+    from collections import Counter
+
+    from calaspark.queries.advanced import q157_fano_burstiness
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in q157_fano_burstiness(spark, sf).collect()}
+    evs = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(floor(unix_timestamp(CAST(ts AS TIMESTAMP)) / 86400) AS LONG)"
+            " AS day",
+        )
+        .collect()
+    )
+    per_user = Counter()
+    daily = Counter()
+    for r in evs:
+        daily[(r["user_id"], r["day"])] += 1
+    users = {}
+    for (u, _), x in daily.items():
+        users.setdefault(u, []).append(x)
+    assert set(users) == set(got)
+    for u, xs in users.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        r = got[u]
+        assert (r["n_days"], r["n_events"]) == (n, sx)
+        mean = sx / n
+        assert abs(r["mean_daily"] - round(mean, 6)) < 1e-9
+        if n == 1:
+            assert r["var_daily"] is None and r["fano"] is None
+        else:
+            var = (n * sxx - sx * sx) / (n * (n - 1))
+            assert abs(r["var_daily"] - round(var, 6)) < 1e-9
+            assert abs(r["fano"] - round(var / mean, 6)) < 1e-6
+
+
+def test_q158_autocorr_matches_python(spark):
+    """Lag-k Pearson over daily revenue must match a plain-Python
+    replay pairing day d with d+k on the calendar."""
+    from collections import defaultdict
+    from decimal import Decimal
+    import datetime
+    import math
+
+    from calaspark.queries.advanced import q158_autocorrelation
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lag"]: r for r in q158_autocorrelation(spark, sf).collect()}
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS v",
+        )
+        .collect()
+    )
+    daily = defaultdict(Decimal)
+    for r in o:
+        daily[r["day"]] += r["v"]
+    for lag in range(1, 8):
+        pairs = [
+            (float(daily[d]), float(daily[d + datetime.timedelta(days=lag)]))
+            for d in daily
+            if d + datetime.timedelta(days=lag) in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        r = got[lag]
+        assert r["n_pairs"] == n
+        want = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(r["autocorr"] - want) < 1e-4  # float sums vs exact decimal
+
+
+def test_q159_winsorized_invariants(spark):
+    """Winsorized mean must sit inside [p05, p95], clip counts must
+    match the bound definition, and the bounds must satisfy the
+    declared order-statistic contract (smallest value with
+    20*cum >= num*tot)."""
+    from calaspark.queries.advanced import q159_winsorized_mean
+
+    sf = "/root/testdata/sf0.001"
+    rows = q159_winsorized_mean(spark, sf).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag", "CAST(l_extendedprice AS DECIMAL(12,2)) AS p"
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in li:
+        per[r["l_returnflag"]].append(r["p"])
+    for r in rows:
+        vals = sorted(per[r["l_returnflag"]])
+        n = len(vals)
+        assert r["n"] == n
+
+        def order_stat(num, den=20):
+            # smallest value with den*cum >= num*tot over unit weights
+            import bisect
+
+            for i, v in enumerate(vals, start=1):
+                if den * i >= num * n:
+                    return float(v)
+
+        assert r["p05"] == order_stat(1)
+        assert r["p95"] == order_stat(19)
+        assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
+        assert r["n_clipped_low"] == sum(1 for v in vals if float(v) < r["p05"])
+        assert r["n_clipped_high"] == sum(1 for v in vals if float(v) > r["p95"])
+        clamped = [min(max(float(v), r["p05"]), r["p95"]) for v in vals]
+        assert abs(r["winsorized_mean"] - round(sum(clamped) / n, 6)) < 1e-6
