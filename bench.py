@@ -107,7 +107,7 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
 
 #: Fixed stdout abbreviations for the named demo queries — the
 #: driver's 2000-byte capture tail can't afford their full names at
-#: 138+ queries. Numeric ids drop the `q` prefix instead. The exact
+#: 138+ queries. Numeric ids go base36 instead (round 9). The exact
 #: map used is recorded in the sidecar (`stdout_key_map`); full
 #: names + 3-decimal times always live there.
 _STDOUT_ABBREV = {
@@ -141,10 +141,34 @@ _STDOUT_ABBREV = {
 
 
 def _short_key(qid: str) -> str:
-    """Compact stdout key: q113 -> 113, named demos via _STDOUT_ABBREV."""
+    """Compact stdout key: numeric ids in base36 (q113 -> '35' — at
+    190 queries even bare decimal ids brush the 2000-byte capture;
+    base36 keeps every id ≤2 chars up to q1295), named demos via
+    _STDOUT_ABBREV, companions (q13_latest…) verbatim. The sidecar's
+    stdout_key_map records the exact mapping every run."""
     if qid.startswith("q") and qid[1:].isdigit():
-        return qid[1:]
+        n = int(qid[1:])
+        digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+        out = ""
+        while True:
+            out = digs[n % 36] + out
+            n //= 36
+            if n == 0:
+                return out
     return _STDOUT_ABBREV.get(qid, qid)
+
+
+def _short_keyed(times: dict) -> dict:
+    """Apply _short_key to every id, REFUSING silent collisions — a
+    base36 numeric key landing on a demo abbreviation would merge two
+    queries' figures in the stdout dict."""
+    out = {}
+    for k, v in times.items():
+        sk = _short_key(k)
+        if sk in out:
+            raise RuntimeError(f"stdout key collision: {sk} ({k})")
+        out[sk] = round(v, 1)
+    return out
 
 
 def main() -> None:
@@ -235,8 +259,9 @@ def main() -> None:
     # stderr), and extras overflowed it in round 3 (BENCH_r03.json
     # parsed=null). Round 8: at 138 queries even 2-decimal full-name
     # keys hit 1,876/2,000 bytes (~10 queries of headroom), so the
-    # stdout line now carries SHORT keys (numeric ids lose the `q`
-    # prefix; named demos use the fixed abbreviations below) and
+    # stdout line now carries SHORT keys (numeric ids in base36 —
+    # round 9: bare decimal ids brushed 1,9xx bytes again at 190
+    # queries; named demos use the fixed abbreviations below) and
     # 1-decimal times — both options the round-7 verdict sanctioned.
     # Full names + 3-decimal figures stay in the sidecar, which also
     # records the exact stdout_key_map used, so cross-round per-query
@@ -246,7 +271,7 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "sf": _sf_of(sf_dir),
-        "queries": {_short_key(k): round(v, 1) for k, v in times.items()},
+        "queries": _short_keyed(times),
     }
     line = json.dumps(out, separators=(",", ":"))
     print(f"stdout line: {len(line)} bytes", file=sys.stderr)

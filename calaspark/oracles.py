@@ -4560,3 +4560,45 @@ FROM cl
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+# Q160 — key-space sampled join audit ---------------------------------
+# The 1-in-8 bucket is the q67/q70 md5-prefix hash; both sides filter
+# BEFORE the join so per-key structure survives the sample.
+
+ORACLES["q160"] = """
+WITH cs AS (
+  SELECT c_custkey FROM customer
+  WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) % 8 = 0
+), os AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS v
+  FROM orders
+  WHERE CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) % 8 = 0
+), sample AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_sample,
+         ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_value_est
+  FROM os JOIN cs ON os.o_custkey = cs.c_custkey
+  GROUP BY o_orderpriority
+), full_j AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value_exact
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o_orderpriority
+)
+SELECT f.o_orderpriority,
+       CAST(COALESCE(s.n_sample, 0) AS BIGINT) AS n_sample,
+       CAST(COALESCE(s.n_sample, 0) * 8 AS BIGINT) AS n_est,
+       f.n_exact,
+       s.avg_value_est,
+       f.avg_value_exact,
+       ROUND(CAST(COALESCE(s.n_sample, 0) * 8 AS DOUBLE)
+             / CAST(f.n_exact AS DOUBLE), 6) AS count_ratio
+FROM full_j f LEFT JOIN sample s USING (o_orderpriority)
+ORDER BY f.o_orderpriority
+"""

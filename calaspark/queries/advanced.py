@@ -4869,3 +4869,79 @@ def q159_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------- Q160
+
+
+def q160_sampled_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SPACE SAMPLED JOIN audit (E13/E1 — the cardinality/
+    statistics estimation technique for joins too big to run in
+    full: sample the JOIN KEY domain, not rows. Filtering BOTH
+    sides to the same 1-in-8 hash bucket of c_custkey BEFORE the
+    join keeps every sampled customer's orders INTACT — row
+    sampling would shred the per-key structure and bias every
+    per-customer statistic; key sampling is unbiased for them by
+    construction).
+
+    The query reports, per order priority, the sampled estimate
+    (count × 8, and the sample's own exact average value) NEXT TO
+    the full-join truth, plus the estimate/truth count ratio — the
+    audit a pipeline runs once to certify the estimator before
+    trusting sampled joins at 100 TB (where only the sampled side
+    would ever run: both filters push below the join, so the join
+    touches ~1/8 of each side's rows and 1/8 of the shuffle).
+
+    Exactness: the bucket is ops/split.hash_bucket (md5-prefix mod —
+    the q67/q70 engine-portable hash); counts exact BIGINT, sums
+    exact decimal, averages rule-4 divisions, the ratio one double
+    division of exact BIGINTs, ROUND 6 everywhere a float is
+    emitted."""
+    from ..ops.split import hash_bucket
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", dec("o_totalprice").alias("v")
+    )
+    in_bucket = hash_bucket(F.col("c_custkey"), 8) == 0
+    cs = c.filter(in_bucket)
+    os_ = o.filter(hash_bucket(F.col("o_custkey"), 8) == 0)
+    sample = (
+        os_.join(cs, os_.o_custkey == cs.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_value_est"),
+        )
+    )
+    full = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_value_exact"),
+        )
+    )
+    return (
+        full.join(sample, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("n_sample"), F.lit(0)).cast("long").alias("n_sample"),
+            (F.coalesce(F.col("n_sample"), F.lit(0)) * 8)
+            .cast("long")
+            .alias("n_est"),
+            "n_exact",
+            "avg_value_est",
+            "avg_value_exact",
+            F.round(
+                (F.coalesce(F.col("n_sample"), F.lit(0)) * 8).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("count_ratio"),
+        )
+        .orderBy("o_orderpriority")
+    )

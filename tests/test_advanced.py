@@ -1682,3 +1682,85 @@ def test_q159_winsorized_invariants(spark):
         assert r["n_clipped_high"] == sum(1 for v in vals if float(v) > r["p95"])
         clamped = [min(max(float(v), r["p05"]), r["p95"]) for v in vals]
         assert abs(r["winsorized_mean"] - round(sum(clamped) / n, 6)) < 1e-6
+
+
+def test_q146_shingle_stage_is_parallel_and_scan_shared(spark):
+    """q146's scale shape: the shingle expression must sit ABOVE an
+    explicit hash repartition (so the CPU-bound interpreted stage
+    parallelizes beyond the scan's input split count), and the plan
+    must contain exactly ONE documents scan feeding both the train
+    and eval branches through that exchange."""
+    from calaspark.queries.advanced import q146_containment_decontam
+
+    df = q146_containment_decontam(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # explicit REPARTITION_BY_NUM survives AQE (a bare column
+    # repartition would be coalesced back to one partition)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    import re
+
+    scans = len(re.findall(r"FileScan parquet .*documents", plan)) + len(
+        re.findall(r"Scan parquet[^\n]*documents", plan)
+    )
+    reused = "ReusedExchange" in plan
+    # either the exchange is reused (1 scan) or, if AQE re-plans the
+    # branches independently, each branch still parallelizes; the
+    # load-bearing claim is >= parallel stage + <= 2 scans
+    assert reused or scans <= 2, plan
+
+
+def test_q160_key_sampling_is_unbiased_per_key(spark):
+    """The load-bearing property of key-space sampling: every sampled
+    customer keeps ALL their orders (no per-key shredding), the
+    sample is exactly the hash-bucket-0 keys, and the per-priority
+    sample stats match a Python replay over those keys."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q160_sampled_join_audit
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["o_orderpriority"]: r for r in
+            q160_sampled_join_audit(spark, sf).collect()}
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 8
+
+    cust = {
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{sf}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    }
+    sampled_keys = {k for k in cust if bucket(k) == 0}
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "o_orderpriority",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS v",
+        )
+        .collect()
+    )
+    n_s = defaultdict(int)
+    sum_s = defaultdict(Decimal)
+    n_e = defaultdict(int)
+    for r in orders:
+        if r["o_custkey"] in cust:
+            n_e[r["o_orderpriority"]] += 1
+        if r["o_custkey"] in sampled_keys:
+            # both-side bucket filters agree because they hash the
+            # same key value — an order of a sampled customer is
+            # never dropped
+            assert bucket(r["o_custkey"]) == 0
+            n_s[r["o_orderpriority"]] += 1
+            sum_s[r["o_orderpriority"]] += r["v"]
+    for p, r in rows.items():
+        assert r["n_sample"] == n_s[p]
+        assert r["n_est"] == 8 * n_s[p]
+        assert r["n_exact"] == n_e[p]
+        if n_s[p]:
+            want = round(float(sum_s[p]) / n_s[p], 6)
+            assert abs(r["avg_value_est"] - want) < 1e-9
+        assert abs(r["count_ratio"] - round(8 * n_s[p] / n_e[p], 6)) < 1e-9
