@@ -4385,9 +4385,15 @@ def q152_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     The degenerate pe = 1 case (both raters constant and identical)
     yields NULL via a mirrored CASE guard.
 
-    Plan: one documents scan → (source, lang, pred) hash agg — after
-    that everything runs at category grain (≤ sources × 5 × 5
-    cells), so the query is scan-bound at any scale."""
+    Plan: one documents scan → (source, lang, pred) hash agg → one
+    source-grain collect_list, then every marginal folds out of the
+    ≤25-element cell array with higher-order aggregates (pe_num is
+    the nested pair fold Σ_{e1,e2: e1.lang = e2.pred} c1·c2 — exactly
+    Σ_label rm·cm, ≤625 integer products per source). The first
+    formulation hung five aggregation branches off `cells`; column
+    pruning made each branch's scan subtree canonically different,
+    so NOTHING was reused — six corpus scans in the physical plan.
+    One pass, two keyed shuffles, scan-bound at any scale."""
     from ..ops.text import langid_scores
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
@@ -4396,34 +4402,34 @@ def q152_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    tot = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    agree = (
-        cells.filter(F.col("lang") == F.col("pred_lang"))
-        .groupBy("source")
-        .agg(F.sum("c").cast("long").alias("agree_n"))
+    per_src = cells.groupBy("source").agg(
+        F.collect_list(F.struct("lang", "pred_lang", "c")).alias("cs")
     )
-    rm = cells.groupBy("source", "lang").agg(F.sum("c").cast("long").alias("rm"))
-    cm = cells.groupBy(
-        F.col("source").alias("c_source"), F.col("pred_lang").alias("c_label")
-    ).agg(F.sum("c").cast("long").alias("cm"))
-    pe_num = (
-        rm.join(
-            cm,
-            (F.col("source") == F.col("c_source"))
-            & (F.col("lang") == F.col("c_label")),
-        )
-        .groupBy("source")
-        .agg(F.sum(F.col("rm") * F.col("cm")).cast("long").alias("pe_num"))
+    zero = F.lit(0).cast("long")
+    n_ = F.aggregate("cs", zero, lambda acc, e: acc + e["c"])
+    agree_ = F.aggregate(
+        "cs",
+        zero,
+        lambda acc, e: acc
+        + F.when(e["lang"] == e["pred_lang"], e["c"]).otherwise(zero),
     )
-    j = (
-        tot.join(agree, "source", "left")
-        .join(pe_num, "source", "left")
-        .select(
-            "source",
-            "n",
-            F.coalesce(F.col("agree_n"), F.lit(0)).cast("long").alias("agree_n"),
-            F.coalesce(F.col("pe_num"), F.lit(0)).cast("long").alias("pe_num"),
-        )
+    pe_num_ = F.aggregate(
+        "cs",
+        zero,
+        lambda acc, e1: acc
+        + e1["c"]
+        * F.aggregate(
+            "cs",
+            zero,
+            lambda a2, e2: a2
+            + F.when(e2["pred_lang"] == e1["lang"], e2["c"]).otherwise(zero),
+        ),
+    )
+    j = per_src.select(
+        "source",
+        n_.alias("n"),
+        agree_.alias("agree_n"),
+        pe_num_.alias("pe_num"),
     )
     po = F.col("agree_n").cast("double") / F.col("n").cast("double")
     pe = F.col("pe_num").cast("double") / (

@@ -1250,8 +1250,6 @@ def test_q149_golden_record_matches_python(spark):
     """q149's per-field survivorship must equal a plain-Python replay
     of the rules: each attribute from the latest (ep, event_id)
     qualifying row, NULL when no row qualifies."""
-    from decimal import Decimal
-
     import json
 
     from calaspark.queries.advanced import q149_golden_record
