@@ -1387,7 +1387,18 @@ def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient is ONE IEEE division (3·T / wedges — exact-
     deterministic in both engines). Global 1-row aggregate → final
     merge is the declared q01 single-partition pattern.
+
+    Edges, degrees and oriented edges are MATERIALIZED
+    (ops/materialize — reliable checkpoint when the session has a
+    checkpoint dir, else localCheckpoint): e feeds 4 consumers, deg
+    4, o 3, and per-consumer column pruning makes their subtrees
+    canonically different, so without lineage truncation nothing is
+    reused — the round-9 plan audit counted FORTY lineitem scans in
+    the physical plan. Materialized: ONE scan, and the wedge join
+    reads cached narrow rows.
     """
+    from ..ops.materialize import materialize
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 0)
@@ -1404,12 +1415,14 @@ def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+    e = materialize(e)
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    deg = materialize(deg)
     du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
     lo_is_u = (F.col("du") < F.col("dv")) | (
@@ -1424,6 +1437,7 @@ def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
     )
+    o = materialize(o)
     o1, o2 = o.alias("o1"), o.alias("o2")
     wedges = o1.join(
         o2,
@@ -3432,63 +3446,101 @@ def q139_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode needed); distincts come from the posexplode+lead shingle
     pattern (ops/ssjoin module rule: array HOF chains are
     interpreted per element — measured 5× slower); the ratio is the
-    only double, one division, rounded at 6. Plan: one tokenized
-    scan feeds the length table; one explode per n feeds a
-    (source, gram) distinct + count — per-n shuffles carry distinct
-    grams only, never the corpus.
-    """
+    only double, one division, rounded at 6.
+
+    Plan (round-9 single-pass rewrite): ONE posexplode + ONE lead
+    window derives all three gram widths in the same projection —
+    g1 = tok, g2 = tok·lead1, g3 = tok·lead1·lead2 — unpivoted to
+    (source, n, gram) rows and deduped in one distinct shuffle; the
+    three totals are three sums of ONE per-source aggregate. The
+    first formulation built each n's grams from its own branch —
+    per-branch column pruning defeated subtree reuse and the plan
+    scanned documents six times; this one scans twice (the tiny
+    length table + the posting derivation)."""
     raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", raw.alias("toks")
     )
-    lens = d.select("source", F.size("toks").alias("len"))
-    branches = []
-    for n in (1, 2, 3):
-        tot = lens.groupBy("source").agg(
-            F.sum(F.greatest(F.lit(0), F.col("len") - F.lit(n - 1)))
-            .cast("long")
-            .alias("total_ngrams")
+    # totals: one (source)-grain agg carrying all three length sums
+    tots = (
+        d.select("source", F.size("toks").alias("len"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(F.greatest(F.lit(0), F.col("len") - F.lit(n - 1)))
+                .cast("long")
+                .alias(f"t{n}")
+                for n in (1, 2, 3)
+            ]
         )
-        if n == 1:
-            grams = d.select(
-                "source", F.explode("toks").alias("g")
-            ).distinct()
-        else:
-            tr = d.select(
-                "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
-            )
-            wd = Window.partitionBy("doc_id").orderBy("pos")
-            leads = [F.lead("tok", j).over(wd) for j in range(1, n)]
-            grams = (
-                tr.select(
-                    "source",
-                    F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
-                    leads[-1].alias("_last"),
+        .select(
+            "source",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("int").alias("n"),
+                            F.col(f"t{n}").alias("total_ngrams"),
+                        )
+                        for n in (1, 2, 3)
+                    ]
                 )
-                .filter(F.col("_last").isNotNull())
-                .select("source", "g")
-                .distinct()
-            )
-        dis = grams.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("distinct_ngrams")
+            ).alias("_e"),
         )
-        branches.append(
-            tot.join(dis, "source").select(
-                "source",
-                F.lit(n).cast("int").alias("n"),
-                "total_ngrams",
-                "distinct_ngrams",
-                F.round(
-                    F.col("distinct_ngrams").cast("double")
-                    / F.col("total_ngrams").cast("double"),
-                    6,
-                ).alias("diversity"),
+        .select("source", "_e.n", "_e.total_ngrams")
+    )
+    tr = d.select("doc_id", "source", F.posexplode("toks").alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    led = tr.select(
+        "source",
+        "tok",
+        F.lead("tok", 1).over(wd).alias("l1"),
+        F.lead("tok", 2).over(wd).alias("l2"),
+    )
+    l1, l2 = F.col("l1"), F.col("l2")
+    stacked = led.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("n"), F.col("tok").alias("g")
+                ),
+                F.struct(
+                    F.lit(2).cast("int").alias("n"),
+                    F.when(
+                        l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)
+                    ).alias("g"),
+                ),
+                F.struct(
+                    F.lit(3).cast("int").alias("n"),
+                    F.when(
+                        l2.isNotNull(),
+                        F.concat_ws(" ", F.col("tok"), l1, l2),
+                    ).alias("g"),
+                ),
             )
+        ).alias("_e"),
+    ).select("source", "_e.n", "_e.g").filter(F.col("g").isNotNull())
+    dis = (
+        stacked.distinct()
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_ngrams"))
+    )
+    return (
+        tots.join(dis, ["source", "n"])
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("diversity"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("source", "n")
+        .orderBy("source", "n")
+    )
 
 
 # ---------------------------------------------------------------- Q140
@@ -3709,6 +3761,13 @@ def q143_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
+    # 25-row contingency table feeding FOUR consumers (rt/ct/n and
+    # the cell join) — without lineage truncation each one re-runs
+    # the fact-sized orders x customer join (8 scans in the round-9
+    # plan audit); materialized, the join runs once.
+    from ..ops.materialize import materialize
+
+    cells = materialize(cells)
     rt = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("rt"))
     ct = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("ct"))
     n = cells.agg(F.sum("observed").alias("n"))
