@@ -1186,9 +1186,12 @@ def q101_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     data even when row_number splits them arbitrarily. Everything
     is bigint (cents < 6e7, qᵢ ≤ 50 ⟹ products < 2⁶³).
 
-    Plan: one join, one order-keyed aggregation for (Q, Σshare),
-    one order-partitioned rank window, codegen arithmetic — three
-    order-keyed shuffles, parallel at any scale.
+    Plan (round-9 rewrite): one join, then EVERY per-order quantity
+    — Q, Σshare, the leftover R and the remainder rank — comes from
+    windows over the SAME o_orderkey partitioning: one shuffle
+    total, and no aggregate-then-join-back branches (the original
+    agg+join form re-derived the fact join per consumer — 8 scans
+    in the round-9 plan audit; window chaining reuses one sort).
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1208,8 +1211,14 @@ def q101_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     j = li.join(o, "o_orderkey")
-    tot = j.groupBy("o_orderkey").agg(F.sum("q").alias("qsum"))
-    j = j.join(tot, "o_orderkey").select(
+    worder = Window.partitionBy("o_orderkey")
+    j = j.select(
+        "o_orderkey",
+        "l_linenumber",
+        "q",
+        "cents",
+        F.sum("q").over(worder).alias("qsum"),
+    ).select(
         "o_orderkey",
         "l_linenumber",
         "q",
@@ -1217,14 +1226,14 @@ def q101_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cents * q) div qsum").alias("share"),
         F.expr("(cents * q) % qsum").alias("frac"),
     )
-    rem = j.groupBy("o_orderkey").agg(
-        (F.max("cents") - F.sum("share")).alias("R")
-    )
     w = Window.partitionBy("o_orderkey").orderBy(
         F.col("frac").desc(), F.col("l_linenumber").asc(), F.col("q").asc()
     )
     return (
-        j.join(rem, "o_orderkey")
+        j.select(
+            "*",
+            (F.col("cents") - F.sum("share").over(worder)).alias("R"),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .select(
             "o_orderkey",
@@ -4340,36 +4349,46 @@ def q150_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    # pooled side: value-grain counts -> prefix of strictly-smaller
-    pooled_cnt = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    # ONE (source, value)-grain aggregate feeds everything tiny:
+    # pooled value counts, per-source prefixes, m and N all derive
+    # from it (round-9 scan discipline — the first formulation also
+    # aggregated d separately per consumer and scanned 6×).
+    src_cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    from .. ops.materialize import materialize
+
+    src_cnt = materialize(src_cnt)  # (source × value)-grain: tiny
+    pooled_cnt = src_cnt.groupBy("n_chars").agg(F.sum("c").alias("c"))
     w_pool = Window.orderBy("n_chars")  # value-grain (tiny): declared exception
     pooled_pref = pooled_cnt.select(
-        "n_chars", (F.sum("c").over(w_pool) - F.col("c")).alias("below")
+        "n_chars", (F.sum("c").over(w_pool) - F.col("c")).alias("p_below")
     )
-    w_in_val = Window.partitionBy("n_chars").orderBy("doc_id")
-    pooled = d.join(F.broadcast(pooled_pref), "n_chars").select(
-        (F.col("below") + F.row_number().over(w_in_val)).alias("pooled_rank"),
-        F.col("n_chars").alias("norm_chars"),
-    )
-    # per-source side: (source, value)-grain counts -> prefix per source
-    src_cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
     w_src = Window.partitionBy("source").orderBy("n_chars")
     src_pref = src_cnt.select(
         "source",
         "n_chars",
-        (F.sum("c").over(w_src) - F.col("c")).alias("below"),
-    )
-    w_in_src = Window.partitionBy("source", "n_chars").orderBy("doc_id")
-    ranked = d.join(F.broadcast(src_pref), ["source", "n_chars"]).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        (F.col("below") + F.row_number().over(w_in_src))
-        .cast("long")
-        .alias("src_rank"),
+        (F.sum("c").over(w_src) - F.col("c")).alias("s_below"),
     )
     m_tab = src_cnt.groupBy("source").agg(F.sum("c").cast("long").alias("m"))
     n_tab = pooled_cnt.agg(F.sum("c").cast("long").alias("n_total"))
+    # ONE doc-grain pass computes BOTH ranks (two windows over the
+    # same rows); the rank->value lookup self-joins its projection
+    w_in_val = Window.partitionBy("n_chars").orderBy("doc_id")
+    w_in_src = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(pooled_pref), "n_chars")
+        .join(F.broadcast(src_pref), ["source", "n_chars"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("p_below") + F.row_number().over(w_in_val))
+            .cast("long")
+            .alias("pooled_rank"),
+            (F.col("s_below") + F.row_number().over(w_in_src))
+            .cast("long")
+            .alias("src_rank"),
+        )
+    )
     t = (
         ranked.join(F.broadcast(m_tab), "source")
         .crossJoin(F.broadcast(n_tab))
@@ -4377,8 +4396,12 @@ def q150_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_rank", F.expr("(src_rank * n_total + m - 1) DIV m")
         )
     )
+    lookup = ranked.select(
+        F.col("pooled_rank").alias("target_rank"),
+        F.col("n_chars").alias("norm_chars"),
+    )
     return (
-        t.join(pooled, t.target_rank == pooled.pooled_rank)
+        t.join(lookup, "target_rank")
         .select("doc_id", "source", "n_chars", "src_rank", "norm_chars")
         .orderBy("doc_id")
     )
