@@ -106,12 +106,20 @@ def q80_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan per iteration: one equi-join rank⋈edges (edge table
     carries its precomputed outdeg) + one map-side-combined sum by
     dst + one left join back to nodes — the standard distributed
-    PageRank step. 3 iterations = 3 shuffle rounds; at 100 TB you
-    checkpoint each round (as dedup_clusters_lsh does) — at
-    query-contract scale the lineage is 3 deep and fine.
+    PageRank step. 3 iterations = 3 shuffle rounds, and (round 9)
+    the node set, the edge table and EACH round's ranks are
+    MATERIALIZED (ops/materialize) — iterative lineage re-derived
+    everything per consumer before (22 scans in the plan audit);
+    checkpointed, each round reads the previous round's blocks and
+    the scan runs once, which is also the shape that survives a
+    real cluster (reliable checkpoint when a dir is set).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id")
+    from ..ops.materialize import materialize
+
+    docs = materialize(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id")
+        )
     )
     n_df = docs.agg(F.count(F.lit(1)).alias("_n"))
     tree = docs.filter(F.col("id") > 0).select(
@@ -123,7 +131,7 @@ def q80_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = tree.unionByName(mix).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")
+    ed = materialize(edges.join(deg, "src"))
 
     r = docs.withColumn("r", F.lit(1_000_000).cast("long"))
     for _ in range(3):
@@ -131,12 +139,14 @@ def q80_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst", F.expr("r div outdeg").alias("c")
         )
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        r = docs.join(s, docs["id"] == s["dst"], "left").select(
-            docs["id"],
-            (
-                F.lit(150_000).cast("long")
-                + F.expr("(85 * coalesce(s, cast(0 as bigint))) div 100")
-            ).alias("r"),
+        r = materialize(
+            docs.join(s, docs["id"] == s["dst"], "left").select(
+                docs["id"],
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr("(85 * coalesce(s, cast(0 as bigint))) div 100")
+                ).alias("r"),
+            )
         )
     return (
         r.select("id", F.col("r").alias("rank_e6"))
@@ -440,14 +450,22 @@ def q88_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    tf = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from ..ops.materialize import materialize
+
+    # (doc, term) counts feed the df cap AND the capped table; the
+    # capped table feeds norms and BOTH self-join sides — without
+    # truncation each consumer re-tokenized the corpus (8 scans,
+    # round-9 audit); two checkpoints make the explode run once
+    tf = materialize(
+        d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_cap = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_DF)
         .select("term")
     )
-    tf = tf.join(df_cap, "term")
+    tf = materialize(tf.join(df_cap, "term"))
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )
@@ -2415,7 +2433,12 @@ def q123_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
+    from ..ops.materialize import materialize
+
+    # (order, brand) baskets feed FIVE consumers (universe count,
+    # brand supports, both pair-join sides) — materialized so the
+    # lineitem x part join runs once (10 scans before, round-9 audit)
+    b = materialize(
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -2675,11 +2698,19 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..ops.quantile import exact_quantile_bucketed
 
+    from ..ops.materialize import materialize
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     )
-    g = li.groupBy("l_returnflag", "price").agg(
-        F.count(F.lit(1)).cast("long").alias("w")
+    # the (flag, price) grain feeds the median search (which itself
+    # reads it twice: bucket pass + in-bucket pass) AND the deviation
+    # derivation — materialized so the fact scan happens once per
+    # chained search instead of per consumer (9 scans before)
+    g = materialize(
+        li.groupBy("l_returnflag", "price").agg(
+            F.count(F.lit(1)).cast("long").alias("w")
+        )
     )
     med = exact_quantile_bucketed(
         g, "l_returnflag", "price", "w", num=1, den=2
@@ -2694,6 +2725,7 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "d")
         .agg(F.sum("w").alias("w"))
     )
+    dev = materialize(dev)
     mad = exact_quantile_bucketed(
         dev, "l_returnflag", "d", "w", num=1, den=2
     ).withColumnRenamed("q", "mad")
@@ -4139,7 +4171,12 @@ def q147_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("src"),
         F.pmod(F.col("id") * 7 + 1, F.col("_n")).alias("dst"),
     )
-    edges = tree.unionByName(mix).distinct()
+    # edges feed every hop and dist feeds hop h+1's anti-join —
+    # iterative lineage without truncation re-derived both per round
+    # (the q80 lesson; ops/materialize is built for exactly this)
+    from ..ops.materialize import materialize
+
+    edges = materialize(tree.unionByName(mix).distinct())
 
     dist = docs.filter(F.col("id") % 97 == 0).select(
         "id", F.lit(0).cast("int").alias("dist")
@@ -4154,10 +4191,12 @@ def q147_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("e.dst").alias("id"))
             .distinct()
         )
-        new = nxt.join(dist.select("id"), "id", "left_anti").select(
-            "id", F.lit(h).cast("int").alias("dist")
+        new = materialize(
+            nxt.join(dist.select("id"), "id", "left_anti").select(
+                "id", F.lit(h).cast("int").alias("dist")
+            )
         )
-        dist = dist.unionByName(new)
+        dist = materialize(dist.unionByName(new))
         frontier = new
     return dist.orderBy("id")
 

@@ -906,6 +906,8 @@ def q73_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle equi-join on the cell key, fold-based verify — no
     cartesian, no broadcast of the corpus.
     """
+    from ..ops.materialize import materialize
+
     from ..ops.pairs import grid_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -916,7 +918,10 @@ def q73_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pert = F.zip_with("e", rot, lambda a, b: a + F.lit(0.02) * b)
     dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
     pairs = grid_cosine_pairs(
-        e.unionAll(dup), id_col="vec_id", vec_col="e", threshold=0.95
+        materialize(e.unionAll(dup)),
+        id_col="vec_id",
+        vec_col="e",
+        threshold=0.95
     )
     return pairs.select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")

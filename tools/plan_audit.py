@@ -15,12 +15,18 @@ Flags per query:
                     a Filter directly over the scan)
 - ``single_part_exchange`` — SinglePartition exchange (global sort/
                     limit paths; acceptable for declared pagination)
+- ``repeated_scans`` — more parquet scans than the query's declared
+                    ceiling (default <4): branching N consumers off
+                    one DataFrame re-derives its subtree N times
+                    (column pruning defeats reuse) — the round-9
+                    q106 forty-scan lesson
 
 Usage: python tools/plan_audit.py [ids...]  (default: all)
 """
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -214,9 +220,54 @@ ALLOWED = {
 }
 
 
+#: Repeated-scan ceiling (round-9 lesson): branching N consumers
+#: off one DataFrame does NOT reuse its subtree — per-branch column
+#: pruning makes each copy canonically different, so the physical
+#: plan re-derives it per consumer (q106 hit FORTY lineitem scans
+#: before its materialize fix). Queries whose plans legitimately
+#: scan ≥SCAN_CEILING times declare themselves here with the reason.
+SCAN_CEILING = 4
+SCAN_ALLOWED = {
+    # set-operation batteries: UNION/INTERSECT/EXCEPT (+ALL) branches
+    # are separate inputs BY SEMANTICS (each side its own pruned scan)
+    "q20": 6,
+    "q41": 8,
+    # multiway star/cycle joins: one scan PER TABLE is the plan
+    "q07": 5,
+    "q51": 6,
+    # funnel ladder: each stage re-reads events with its own PUSHED
+    # event_type filter and the previous stage's watermark — the
+    # scale-correct alternative to collecting per-user event arrays
+    "q108": 8,
+    # two-snapshot comparisons: each snapshot derivation is its own
+    # branch by construction (diff/Merkle/insert-key shapes)
+    "q99": 4, "q111": 4, "q56": 4,
+    # scaffold + observed + theory patterns at category grain
+    "q144": 4, "q145": 4, "q148": 4, "q105": 4, "q103": 4,
+    # declared pair-space / two-corpus ops (self-join over a derived
+    # corpus each side)
+    "q33": 4, "q91": 4, "q119": 4, "q138": 4, "q154": 4,
+    "hybrid_search": 5, "embedding_neardup": 4,
+    # sampled-vs-exact audit runs the join twice BY DESIGN
+    "q160": 4,
+    # KS two-sample prefix: the two cohort branches + bucket scaffold
+    "q140": 6,
+    # expectation suite: EIGHT independent checks, each its own table
+    # + pushed-filter scan by design (multi-table audit, not reuse)
+    "q137": 10,
+    # grid-cosine pair corpus: the materialized union still shows the
+    # two cell-join sides + norms branches of the cached blocks
+    "q73": 4,
+    # q150/q101: window-chained but the final rank/alloc self-join
+    # keeps two pruned branches of the narrow base
+    "q150": 4, "q101": 4,
+}
+
+
 def audit_one(spark, qid: str, fn) -> dict[str, bool]:
     df = fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet", plan))
     return {
         "cartesian": "CartesianProduct" in plan,
         "py_row_udf": "BatchEvalPython" in plan,
@@ -225,6 +276,8 @@ def audit_one(spark, qid: str, fn) -> dict[str, bool]:
         or ("PythonUDTF" in plan),
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "single_part_exchange": "Exchange SinglePartition" in plan,
+        "repeated_scans": n_scans
+        > SCAN_ALLOWED.get(qid, SCAN_CEILING - 1),
     }
 
 
