@@ -4602,3 +4602,70 @@ SELECT f.o_orderpriority,
 FROM full_j f LEFT JOIN sample s USING (o_orderpriority)
 ORDER BY f.o_orderpriority
 """
+
+# Q161 — naive-seasonal (lag-7) forecast backtest ----------------------
+# Daily revenue exact DECIMAL(18,2); APE fragments ROUND(.,9) into
+# DECIMAL(18,9), per-dow MAPE as their EXACT decimal mean (q148
+# convention). dow from integer epoch-day arithmetic, no calendar fns.
+
+ORACLES["q161"] = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS v
+  FROM orders
+), daily AS (
+  SELECT day, CAST(SUM(v) AS DECIMAL(18,2)) AS s
+  FROM o GROUP BY day
+), j AS (
+  SELECT c.day, c.s AS actual, f.s AS fc
+  FROM daily c JOIN daily f ON f.day = c.day - 7
+), e AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', day) + 4) % 7 AS INT)
+           AS dow,
+         actual - fc AS err,
+         CAST(ROUND(CAST(abs(actual - fc) AS DOUBLE)
+                    / CAST(actual AS DOUBLE), 9) AS DECIMAL(18,9)) AS _ape
+  FROM j
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(_ape) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mape,
+       ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_bias
+FROM e
+GROUP BY dow
+ORDER BY dow
+"""
+
+# Q162 — Bayesian m-estimate smoothed ranking --------------------------
+
+ORACLES["q162"] = """
+WITH base AS (
+  SELECT p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM lineitem li
+  JOIN orders o ON li.l_orderkey = o.o_orderkey
+  JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), w AS (
+  SELECT p_brand, n, hits,
+         CAST(SUM(hits) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+           AS prior
+  FROM base
+), sc AS (
+  SELECT p_brand, n, hits, prior,
+         (CAST(hits AS DOUBLE) + 25.0 * prior)
+           / (CAST(n AS DOUBLE) + 25.0) AS _sm
+  FROM w
+)
+SELECT p_brand, n, hits,
+       ROUND(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       ROUND(prior, 6) AS prior,
+       ROUND(_sm, 6) AS smoothed_rate,
+       CAST(ROW_NUMBER() OVER (ORDER BY _sm DESC, p_brand ASC) AS BIGINT)
+         AS rank
+FROM sc
+ORDER BY p_brand
+"""

@@ -5072,3 +5072,133 @@ def q160_sampled_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------- Q161
+
+
+def q161_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAIVE-SEASONAL FORECAST BACKTEST (E13/E3 — the time-series
+    eval loop: score the lag-7 "same weekday last week" baseline
+    every real forecaster must beat; q158 measures the weekly cycle,
+    this CASHES it): per day-of-week, MAPE, mean error (bias) and
+    pair count of forecast = revenue(d−7) against actual revenue(d).
+
+    Exactness: daily revenue is the exact DECIMAL(18,2) sum (q89/
+    q158 grain); each |error| and error is exact decimal; each
+    percentage error is ONE double division ROUND(·,9) into
+    DECIMAL(18,9) and the per-dow MAPE is the EXACT decimal mean of
+    those fragments (q148's convention — float add order never
+    matters), cast double on output. Day-of-week from integer epoch
+    arithmetic: dow = (epoch_day + 4) % 7 (1970-01-01 was a
+    Thursday) — no engine calendar functions in the hash gate.
+
+    Plan: one orders scan → date-grain agg (map-side) → one
+    date-grain self-equi-join on d−7 → 7-row agg. Scan-bound at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        dec("o_totalprice").alias("v"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum("v").cast("decimal(18,2)").alias("s")
+    )
+    cur = daily.select(
+        "day",
+        F.col("s").alias("actual"),
+        F.date_sub(F.col("day"), 7).alias("day_lag"),
+    )
+    j = cur.join(
+        daily.select(F.col("day").alias("day_lag"), F.col("s").alias("fc")),
+        "day_lag",
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    dow = F.pmod(epoch_day + F.lit(4), F.lit(7)).cast("int")
+    err = F.col("actual") - F.col("fc")
+    ape = F.round(
+        F.abs(err).cast("double") / F.col("actual").cast("double"), 9
+    ).cast("decimal(18,9)")
+    g = j.select(
+        dow.alias("dow"),
+        err.alias("err"),
+        ape.alias("_ape"),
+    ).groupBy("dow")
+    return (
+        g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum("_ape").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mape"),
+            F.round(
+                F.sum("err").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_bias"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------- Q162
+
+
+def q162_smoothed_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAYESIAN m-ESTIMATE smoothed ranking (E13/E2 — the cold-start
+    fix every rating/CTR ranking needs: raw rates put a 1-for-1
+    brand above a 490-for-1000 one; shrinking toward the global
+    prior with pseudo-count m orders small-sample items sanely —
+    the IMDB "true Bayesian estimate" / m-estimate classic):
+    per part brand, the high-value order rate smoothed with m = 25.
+
+    Exactness: per-brand n and hits are exact BIGINTs; the global
+    prior is ONE division of two exact BIGINTs (computed from the
+    SAME aggregate rows via a window sum, not a second scan);
+    smoothed = (hits + m·prior)/(n + m) is a fixed IEEE expression
+    (q131 convention); the rank orders by (smoothed DESC, brand) —
+    a total order, ROUND only on output.
+
+    Plan: one lineitem ⨝ orders fact join (the brand dim broadcast),
+    one brand-grain hash agg, window sums at the ≤25-row brand
+    grain. One fact shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") > 200000.0).cast("long").alias("hi")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("hi").cast("long").alias("hits"),
+        )
+    )
+    wall = Window.partitionBy()
+    m = F.lit(25.0)
+    prior = (
+        F.sum("hits").over(wall).cast("double")
+        / F.sum("n").over(wall).cast("double")
+    )
+    smoothed = (F.col("hits").cast("double") + m * prior) / (
+        F.col("n").cast("double") + m
+    )
+    raw = F.col("hits").cast("double") / F.col("n").cast("double")
+    scored = base.select(
+        "p_brand",
+        "n",
+        "hits",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round(prior, 6).alias("prior"),
+        smoothed.alias("_sm"),
+    )
+    wrank = Window.orderBy(F.col("_sm").desc(), F.col("p_brand").asc())
+    return scored.select(
+        "p_brand",
+        "n",
+        "hits",
+        "raw_rate",
+        "prior",
+        F.round(F.col("_sm"), 6).alias("smoothed_rate"),
+        F.row_number().over(wrank).cast("long").alias("rank"),
+    ).orderBy("p_brand")

@@ -1762,3 +1762,63 @@ def test_q160_key_sampling_is_unbiased_per_key(spark):
             want = round(float(sum_s[p]) / n_s[p], 6)
             assert abs(r["avg_value_est"] - want) < 1e-9
         assert abs(r["count_ratio"] - round(8 * n_s[p] / n_e[p], 6)) < 1e-9
+
+
+def test_q161_backtest_matches_python(spark):
+    """Lag-7 MAPE/bias per day-of-week must equal a plain-Python
+    replay over the exact decimal daily series."""
+    from collections import defaultdict
+    from decimal import Decimal
+    import datetime
+
+    from calaspark.queries.advanced import q161_forecast_backtest
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["dow"]: r for r in q161_forecast_backtest(spark, sf).collect()}
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS v",
+        )
+        .collect()
+    )
+    daily = defaultdict(Decimal)
+    for r in o:
+        daily[r["day"]] += r["v"]
+    agg = defaultdict(lambda: [0, Decimal(0), Decimal(0)])  # n, sum_ape, sum_err
+    epoch = datetime.date(1970, 1, 1)
+    for d, actual in daily.items():
+        prev = d - datetime.timedelta(days=7)
+        if prev not in daily:
+            continue
+        fc = daily[prev]
+        dow = ((d - epoch).days + 4) % 7
+        a = agg[dow]
+        a[0] += 1
+        a[1] += Decimal(str(round(float(abs(actual - fc)) / float(actual), 9)))
+        a[2] += actual - fc
+    assert set(agg) == set(got)
+    for dow, (n, s_ape, s_err) in agg.items():
+        r = got[dow]
+        assert r["n_days"] == n
+        assert abs(r["mape"] - float(s_ape) / n) < 1e-12
+        assert abs(r["mean_bias"] - round(float(s_err) / n, 6)) < 1e-9
+
+
+def test_q162_smoothing_orders_small_samples_sanely(spark):
+    """The m-estimate must shrink toward the prior (small-n brands sit
+    nearer the prior than their raw rate) and match the closed form."""
+    from calaspark.queries.advanced import q162_smoothed_ranking
+
+    rows = q162_smoothed_ranking(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    prior = rows[0]["prior"]
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        want = (r["hits"] + 25.0 * prior) / (r["n"] + 25.0)
+        assert abs(r["smoothed_rate"] - round(want, 6)) < 2e-6
+        # shrinkage: smoothed lies between raw rate and prior
+        lo, hi = sorted((r["raw_rate"], prior))
+        assert lo - 1e-6 <= r["smoothed_rate"] <= hi + 1e-6

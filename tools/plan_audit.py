@@ -210,6 +210,10 @@ ALLOWED = {
     # (segment × nation) QI aggregate (category domain, not data
     # grain); the customer scan folds map-side into it
     "q156": {"single_part_exchange"},
+    # m-estimate ranking: the prior/rank windows run over the ≤25-row
+    # brand-grain aggregate (category domain); the fact join folds
+    # map-side into it before any window
+    "q162": {"single_part_exchange"},
     # quantile normalization: the pooled prefix window runs at VALUE
     # grain (distinct n_chars — a domain constant, the q98/ops-
     # quantile declared class) and the 1-row N aggregate broadcast-
