@@ -4669,3 +4669,98 @@ SELECT p_brand, n, hits,
 FROM sc
 ORDER BY p_brand
 """
+
+# Q163 — RFM segmentation ----------------------------------------------
+# Quintile boundaries restate ops/quantile's declared order statistic
+# per metric (smallest value with 5*cum >= k*tot over user counts);
+# score = 1 + boundaries strictly exceeded, recency flipped.
+
+ORACLES["q163"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+), snap AS (
+  SELECT MAX(ep) AS s FROM e
+), rfm AS (
+  SELECT user_id,
+         CAST(floor((snap.s - MAX(e.ep)) / 86400.0) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(ROUND(SUM(v), 2) AS DOUBLE) AS monetary
+  FROM e, snap
+  GROUP BY user_id, snap.s
+), metric AS (
+  SELECT 'r' AS metric, CAST(recency_days AS DOUBLE) AS val,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM rfm GROUP BY val
+  UNION ALL
+  SELECT 'f', CAST(frequency AS DOUBLE), CAST(COUNT(*) AS BIGINT)
+  FROM rfm GROUP BY 2
+  UNION ALL
+  SELECT 'm', monetary, CAST(COUNT(*) AS BIGINT)
+  FROM rfm GROUP BY 2
+), cum AS (
+  SELECT metric, val, w,
+         SUM(w) OVER (PARTITION BY metric ORDER BY val) AS c,
+         SUM(w) OVER (PARTITION BY metric) AS tot
+  FROM metric
+), b AS (
+  SELECT metric,
+         MIN(CASE WHEN 5 * c >= 1 * tot THEN val END) AS b1,
+         MIN(CASE WHEN 5 * c >= 2 * tot THEN val END) AS b2,
+         MIN(CASE WHEN 5 * c >= 3 * tot THEN val END) AS b3,
+         MIN(CASE WHEN 5 * c >= 4 * tot THEN val END) AS b4
+  FROM cum GROUP BY metric
+), wb AS (
+  SELECT
+    MAX(CASE WHEN metric = 'r' THEN b1 END) AS r_b1,
+    MAX(CASE WHEN metric = 'r' THEN b2 END) AS r_b2,
+    MAX(CASE WHEN metric = 'r' THEN b3 END) AS r_b3,
+    MAX(CASE WHEN metric = 'r' THEN b4 END) AS r_b4,
+    MAX(CASE WHEN metric = 'f' THEN b1 END) AS f_b1,
+    MAX(CASE WHEN metric = 'f' THEN b2 END) AS f_b2,
+    MAX(CASE WHEN metric = 'f' THEN b3 END) AS f_b3,
+    MAX(CASE WHEN metric = 'f' THEN b4 END) AS f_b4,
+    MAX(CASE WHEN metric = 'm' THEN b1 END) AS m_b1,
+    MAX(CASE WHEN metric = 'm' THEN b2 END) AS m_b2,
+    MAX(CASE WHEN metric = 'm' THEN b3 END) AS m_b3,
+    MAX(CASE WHEN metric = 'm' THEN b4 END) AS m_b4
+  FROM b
+), scored AS (
+  SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+         CAST(6 - (1
+           + CASE WHEN CAST(r.recency_days AS DOUBLE) > wb.r_b1 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.recency_days AS DOUBLE) > wb.r_b2 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.recency_days AS DOUBLE) > wb.r_b3 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.recency_days AS DOUBLE) > wb.r_b4 THEN 1 ELSE 0 END)
+           AS INT) AS r_score,
+         CAST(1
+           + CASE WHEN CAST(r.frequency AS DOUBLE) > wb.f_b1 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.frequency AS DOUBLE) > wb.f_b2 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.frequency AS DOUBLE) > wb.f_b3 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r.frequency AS DOUBLE) > wb.f_b4 THEN 1 ELSE 0 END
+           AS INT) AS f_score,
+         CAST(1
+           + CASE WHEN r.monetary > wb.m_b1 THEN 1 ELSE 0 END
+           + CASE WHEN r.monetary > wb.m_b2 THEN 1 ELSE 0 END
+           + CASE WHEN r.monetary > wb.m_b3 THEN 1 ELSE 0 END
+           + CASE WHEN r.monetary > wb.m_b4 THEN 1 ELSE 0 END
+           AS INT) AS m_score
+  FROM rfm r, wb
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE
+         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'casual'
+       END AS segment
+FROM scored
+ORDER BY user_id
+"""

@@ -5202,3 +5202,132 @@ def q162_smoothed_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_sm"), 6).alias("smoothed_rate"),
         F.row_number().over(wrank).cast("long").alias("rank"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------- Q163
+
+
+def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (E13/E2 — the marketing-analytics classic:
+    score every customer 1-5 on Recency/Frequency/Monetary
+    quintiles and bucket them into named segments; the canonical
+    "who are my champions / who is hibernating" readout).
+
+    Scale shape: quintile boundaries come from ONE call to
+    ops/quantile.exact_quantiles_bucketed over a 3-metric unioned
+    value-grain table (metric name as the group key — R, F and M
+    boundaries in the same bucket-grain search, its fourth
+    consumer); the per-user RFM aggregate is MATERIALIZED because
+    both the boundary derivation and the assignment read it. The
+    12-row boundary table pivots wide and broadcasts; assignment is
+    four integer/double compares per metric.
+
+    Exactness: recency = floor((snapshot − last_purchase)/86400)
+    integer days (snapshot = max event epoch, a 1-row broadcast —
+    the declared q56/q80 scalar-subquery shape); frequency exact
+    BIGINT; monetary exact decimal cast double ONLY for the
+    boundary compare and output. Quintile rule (declared, mirrored):
+    score = 1 + count of boundaries the value strictly EXCEEDS;
+    recency score flips (5 = most recent). Segment labels are one
+    fixed-order CASE shared by both engines."""
+    from ..ops.materialize import materialize
+    from ..ops.quantile import exact_quantiles_bucketed
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", _ep("ts").alias("ep"), dec("value").alias("v"))
+    snap = e.agg(F.max("ep").alias("_snap"))
+    rfm = materialize(
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("v").alias("_m"),
+            F.max("ep").alias("_last"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "user_id",
+            F.floor((F.col("_snap") - F.col("_last")) / 86400)
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            F.round(F.col("_m"), 2).cast("double").alias("monetary"),
+        )
+    )
+    metric = (
+        rfm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("r").alias("metric"),
+                        F.col("recency_days").cast("double").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("f").alias("metric"),
+                        F.col("frequency").cast("double").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("m").alias("metric"),
+                        F.col("monetary").alias("val"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.metric", "_e.val")
+        .groupBy("metric", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    qs = exact_quantiles_bucketed(metric, "metric", "val", "w", [1, 2, 3, 4], 5)
+    bounds = qs.groupBy("metric").pivot("_num", [1, 2, 3, 4]).min("q")
+    wide = (
+        bounds.select(
+            "metric",
+            F.col("1").alias("b1"),
+            F.col("2").alias("b2"),
+            F.col("3").alias("b3"),
+            F.col("4").alias("b4"),
+        )
+        .groupBy()
+        .pivot("metric", ["r", "f", "m"])
+        .agg(
+            F.min("b1").alias("b1"),
+            F.min("b2").alias("b2"),
+            F.min("b3").alias("b3"),
+            F.min("b4").alias("b4"),
+        )
+    )
+
+    def quint(v, p):
+        return (
+            F.lit(1)
+            + (v > F.col(f"{p}_b1")).cast("int")
+            + (v > F.col(f"{p}_b2")).cast("int")
+            + (v > F.col(f"{p}_b3")).cast("int")
+            + (v > F.col(f"{p}_b4")).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(wide)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - quint(F.col("recency_days").cast("double"), "r"))
+        .cast("int")
+        .alias("r_score"),
+        quint(F.col("frequency").cast("double"), "f").cast("int").alias("f_score"),
+        quint(F.col("monetary"), "m").cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("casual")
+    )
+    return scored.select("*", seg.alias("segment")).orderBy("user_id")

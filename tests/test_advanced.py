@@ -1822,3 +1822,76 @@ def test_q162_smoothing_orders_small_samples_sanely(spark):
         # shrinkage: smoothed lies between raw rate and prior
         lo, hi = sorted((r["raw_rate"], prior))
         assert lo - 1e-6 <= r["smoothed_rate"] <= hi + 1e-6
+
+
+def test_q163_rfm_matches_python(spark):
+    """RFM scores and segments must match a plain-Python replay of
+    the declared quintile rule (1 + boundaries strictly exceeded,
+    recency flipped) over the exact per-user aggregates."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q163_rfm_segments
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in q163_rfm_segments(spark, sf).collect()}
+    evs = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .selectExpr(
+            "user_id",
+            "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS LONG) AS ep",
+            "CAST(value AS DECIMAL(12,2)) AS v",
+        )
+        .collect()
+    )
+    snap = max(r["ep"] for r in evs)
+    per = defaultdict(lambda: [0, Decimal(0), 0])
+    for r in evs:
+        p = per[r["user_id"]]
+        p[0] += 1
+        p[1] += r["v"]
+        p[2] = max(p[2], r["ep"])
+    rfm = {
+        u: ((snap - last) // 86400, n, float(round(m, 2)))
+        for u, (n, m, last) in per.items()
+    }
+    assert set(rfm) == set(got)
+
+    def bounds(vals):
+        s = sorted(vals)
+        n = len(s)
+        out = []
+        for k in (1, 2, 3, 4):
+            for i, v in enumerate(s, start=1):
+                if 5 * i >= k * n:
+                    out.append(float(v))
+                    break
+        return out
+
+    rb = bounds([v[0] for v in rfm.values()])
+    fb = bounds([v[1] for v in rfm.values()])
+    mb = bounds([v[2] for v in rfm.values()])
+
+    def quint(v, bs):
+        return 1 + sum(1 for b in bs if v > b)
+
+    for u, (rd, fq, mo) in rfm.items():
+        r = got[u]
+        assert (r["recency_days"], r["frequency"]) == (rd, fq)
+        assert abs(r["monetary"] - mo) < 1e-9
+        rs, fs, ms = 6 - quint(rd, rb), quint(fq, fb), quint(mo, mb)
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (rs, fs, ms), u
+        if rs >= 4 and fs >= 4 and ms >= 4:
+            want = "champion"
+        elif fs >= 4:
+            want = "loyal"
+        elif ms >= 4:
+            want = "big_spender"
+        elif rs <= 2 and fs >= 3:
+            want = "at_risk"
+        elif rs <= 2:
+            want = "hibernating"
+        else:
+            want = "casual"
+        assert r["segment"] == want, (u, r["segment"], want)

@@ -210,6 +210,11 @@ ALLOWED = {
     # (segment × nation) QI aggregate (category domain, not data
     # grain); the customer scan folds map-side into it
     "q156": {"single_part_exchange"},
+    # RFM: the 1-row snapshot MAX (q56/q80 scalar-subquery shape:
+    # global final merge + 1-row broadcast crossJoin) and the 1-row
+    # pivoted boundary table crossJoined onto the user grain; the
+    # quantile search windows run at metric-value grain (op contract)
+    "q163": {"bnlj", "single_part_exchange"},
     # m-estimate ranking: the prior/rank windows run over the ≤25-row
     # brand-grain aggregate (category domain); the fact join folds
     # map-side into it before any window
