@@ -4764,3 +4764,40 @@ SELECT user_id, recency_days, frequency, monetary,
 FROM scored
 ORDER BY user_id
 """
+
+# Q164 — weighted (multiset) Jaccard pairs -----------------------------
+# Sum-max via inclusion-exclusion: len_a + len_b - sum_min; df <= 100
+# cap mirrored (declared recall bound, the q88 contract).
+
+ORACLES["q164"] = r"""
+WITH d AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(text, '[\t\n\f\r ]+'), x -> x <> ''))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM d GROUP BY doc_id, term
+), lens AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+), cap AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 100
+), tfc AS (
+  SELECT tf.* FROM tf JOIN cap USING (term)
+), num AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(least(a.tf, b.tf)) AS BIGINT) AS shared_min
+  FROM tfc a JOIN tfc b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT n.id_a, n.id_b, n.shared_min,
+       la.len AS len_a, lb.len AS len_b,
+       ROUND(CAST(n.shared_min AS DOUBLE)
+             / CAST(la.len + lb.len - n.shared_min AS DOUBLE), 6)
+         AS weighted_jaccard
+FROM num n
+JOIN lens la ON n.id_a = la.doc_id
+JOIN lens lb ON n.id_b = lb.doc_id
+ORDER BY weighted_jaccard DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""

@@ -5331,3 +5331,123 @@ def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("casual")
     )
     return scored.select("*", seg.alias("segment")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- Q164
+
+
+def q164_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (multiset) JACCARD near-dup pairs (E17 — the
+    frequency-aware sibling of q33's set Jaccard: two docs that
+    repeat the same words with the same MULTIPLICITIES score higher
+    than mere vocabulary overlap; the measure behind weighted
+    MinHash schemes): J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a,
+    tf_b), top-20 pairs.
+
+    Identity: Σ max = len_a + len_b − Σ min (multiset inclusion-
+    exclusion), so only SHARED terms need the pair join — the
+    unshared tail rides in via exact per-doc token totals.
+
+    Exactness: tf counts, Σ min and the totals are exact BIGINTs;
+    J_w is one double division, ROUND 6; total order before the
+    LIMIT. Plan: q88's capped inverted index reused structurally —
+    (doc, term, tf) MATERIALIZED (feeds df-cap, both join sides and
+    the length table), df ≤ 100 cap drops stopword-grade hot keys
+    BEFORE the self-join (declared recall bound: a pair sharing
+    ONLY capped terms is not emitted — the q68/q88 contract), one
+    (a, b) hash agg, TakeOrdered."""
+    from ..ops.materialize import materialize
+    from ..ops.text import tokens
+
+    MAX_DF = 100
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = materialize(
+        d.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
+    df_cap = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("term")
+    )
+    tfc = materialize(tf.join(df_cap, "term"))
+    a = tfc.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = tfc.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tf_b")
+    )
+    num = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("shared_min"))
+    )
+    la = lens.select(F.col("doc_id").alias("id_a"), F.col("len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("id_b"), F.col("len").alias("len_b"))
+    jw = F.col("shared_min").cast("double") / (
+        F.col("len_a") + F.col("len_b") - F.col("shared_min")
+    ).cast("double")
+    return (
+        num.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_min",
+            "len_a",
+            "len_b",
+            F.round(jw, 6).alias("weighted_jaccard"),
+        )
+        .orderBy(
+            F.col("weighted_jaccard").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q165
+
+
+def q165_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION per event type (E13/E22 — the monotone
+    score-repair step after q136's reliability diagnosis: fit the
+    best non-decreasing map from props.k deciles to the empirical
+    high-value rate via pool-adjacent-violators). PAVA is
+    inherently SEQUENTIAL in bin order, so this is a DECLARED
+    rows-only query (no SQL oracle — the driver records the weaker
+    check; the pytest twin replays PAVA in pure Python and the
+    hypothesis suite property-checks the kernel: monotone output,
+    pool-mean preservation, equality with the O(n²) reference).
+
+    Scale shape (ops/isotonic.py): the fact table folds map-side
+    into (type, k-decile, n, pos) — ≤ 5 × 10 rows — and
+    applyInPandas runs the O(bins) merge-stack fit per group on
+    that category grain. The Python/Arrow boundary never sees data
+    rows (the ops/sequential.py class)."""
+    from ..ops.isotonic import isotonic_calibrate
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("group"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                F.get_json_object("props", "$.k").cast("int") / F.lit(10)
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("value") > 100.0).cast("long").alias("hit"),
+    )
+    binned = e.groupBy("group", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("pos"),
+    )
+    return isotonic_calibrate(binned).orderBy("group", "bin")

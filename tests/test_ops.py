@@ -1137,3 +1137,92 @@ def test_cms_never_underestimates_and_exact_when_wide(spark):
         ).collect()
     }
     assert est_w == exact
+
+
+def _pava_bruteforce(w, v):
+    """O(n^2) reference: repeatedly merge any adjacent violating pair."""
+    pools = [[wi, wi * vi, 1] for wi, vi in zip(w, v)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(pools) - 1):
+            a, b = pools[i], pools[i + 1]
+            if b[1] * a[0] < a[1] * b[0]:  # mean(b) < mean(a)
+                pools[i] = [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+                del pools[i + 1]
+                changed = True
+                break
+    out = []
+    for pw, ps, pn in pools:
+        out.extend([ps / pw] * pn)
+    return out
+
+
+def test_pava_matches_bruteforce_and_is_monotone():
+    from calaspark.ops.isotonic import pava
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=50),
+                st.floats(
+                    min_value=0.0, max_value=1.0, allow_nan=False
+                ),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def prop(pairs):
+        w = [float(a) for a, _ in pairs]
+        v = [b for _, b in pairs]
+        got = pava(w, v)
+        want = _pava_bruteforce(w, v)
+        assert len(got) == len(v)
+        # monotone non-decreasing
+        assert all(
+            got[i] <= got[i + 1] + 1e-12 for i in range(len(got) - 1)
+        )
+        # total weighted mass preserved
+        assert (
+            abs(
+                sum(wi * gi for wi, gi in zip(w, got))
+                - sum(wi * vi for wi, vi in zip(w, v))
+            )
+            < 1e-6
+        )
+        # equal to the quadratic reference
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+    prop()
+
+
+def test_isotonic_calibrate_runs_at_bin_grain(spark):
+    """The grouped fit must reproduce a pure-Python PAVA replay per
+    group over the aggregated bins."""
+    from calaspark.queries.advanced import q165_isotonic_calibration
+
+    rows = q165_isotonic_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+
+    from calaspark.ops.isotonic import pava
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["group"]].append(r)
+    for g, rs in groups.items():
+        rs.sort(key=lambda r: r["bin"])
+        w = [float(r["n"]) for r in rs]
+        v = [r["pos"] / r["n"] for r in rs]
+        want = pava(w, v)
+        for r, wv, rv in zip(rs, want, v):
+            assert abs(r["raw_rate"] - rv) < 1e-12
+            assert abs(r["iso_rate"] - wv) < 1e-9
+        # fitted curve is monotone in bin order
+        iso = [r["iso_rate"] for r in rs]
+        assert all(iso[i] <= iso[i + 1] + 1e-12 for i in range(len(iso) - 1))

@@ -210,6 +210,14 @@ ALLOWED = {
     # (segment × nation) QI aggregate (category domain, not data
     # grain); the customer scan folds map-side into it
     "q156": {"single_part_exchange"},
+    # GROUPED_AGG pandas UDF + grouped-map applyInPandas demo: the
+    # Arrow boundary is the demo's subject (E22 matrix completion) —
+    # newly caught once the audit learned FlatMapGroupsInPandas
+    "pandas_grouped_ops": {"py_arrow"},
+    # PAVA isotonic fit: the applyInPandas stage IS the operator (a
+    # sequential merge-stack per group over the <=50-row bin grain —
+    # the declared ops/sequential.py class)
+    "q165": {"py_arrow"},
     # RFM: the 1-row snapshot MAX (q56/q80 scalar-subquery shape:
     # global final merge + 1-row broadcast crossJoin) and the 1-row
     # pivoted boundary table crossJoined onto the user grain; the
@@ -282,6 +290,7 @@ def audit_one(spark, qid: str, fn) -> dict[str, bool]:
         "py_row_udf": "BatchEvalPython" in plan,
         "py_arrow": ("ArrowEvalPython" in plan)
         or ("MapInPandas" in plan)
+        or ("FlatMapGroupsInPandas" in plan)
         or ("PythonUDTF" in plan),
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "single_part_exchange": "Exchange SinglePartition" in plan,
