@@ -297,3 +297,40 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(flag" in plan
     assert pruned.count() == sum(1 for i in range(50_000) if i % 3 == 1)
+
+
+def test_vanilla_session_runs_arrow_kernel_queries(tmp_path):
+    """Driver-contract regression: a VANILLA SparkSession built from a
+    NON-repo working directory must be able to execute a query whose
+    worker closure references a module-level kernel (q165's PAVA) —
+    exactly the correctness driver's setup. Guards session.prepare's
+    package shipping (round 9: the import failed only at execution
+    time, invisible to every in-repo test)."""
+    import subprocess
+    import sys
+
+    script = """
+import importlib.util
+spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+n = mod.queries()["q165"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("VANILLA_OK", n)
+spark.stop()
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),  # decisive: repo not on sys.path via CWD
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k != "PYTHONPATH"
+        },
+    )
+    assert "VANILLA_OK" in p.stdout, (p.stdout[-500:], p.stderr[-1500:])

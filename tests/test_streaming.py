@@ -503,3 +503,4 @@ def test_streaming_heavy_hitters_covers_batch_truth(spark, tmp_path):
         .collect()
     }
     assert got == truth
+
