@@ -105,47 +105,84 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
     return (best[1], best[2]) if best else None
 
 
-#: Fixed stdout abbreviations for the named demo queries — the
+#: Fixed stdout abbreviations for the non-numeric query ids — the
 #: driver's 2000-byte capture tail can't afford their full names at
 #: 138+ queries. Numeric ids go base36 instead (round 9). The exact
 #: map used is recorded in the sidecar (`stdout_key_map`); full
 #: names + 3-decimal times always live there.
+#:
+#: Round 10 (advice): abbreviations are UPPERCASE — a reserved
+#: namespace base36 (lowercase digits) can never produce — so a
+#: future numeric id cannot collide with a demo key by construction;
+#: `_validate_stdout_keys` additionally proves the whole map
+#: collision-free at startup, BEFORE any query is timed.
 _STDOUT_ABBREV = {
-    # 2-char keys (round 8b: at 172 queries even the 4-6-char forms
-    # pushed the line to ~1,96x bytes — the round-3 overflow regime)
-    "lsh_minhash_pairs": "lm",
-    "ann_ivf_topk": "ai",
-    "ann_lsh_topk": "al",
-    "ann_pq_topk": "ap",
-    "ann_ivfpq_topk": "aq",
-    "ann_recall": "ar",
-    "pandas_udf_quality": "pu",
-    "pandas_grouped_ops": "pg",
-    "udtf_tokens": "ut",
-    "arrow_native": "aw",
-    "sampling_stratified": "ss",
-    "approx_sketches": "sk",
-    "sketch_error": "se",
-    "multimodal_features": "mm",
-    "text_quality": "tq",
-    "text_langid": "li",
-    "dedup_clusters_lsh": "dc",
-    "embedding_neardup": "en",
-    "ngram_neardup": "ng",
-    "simhash_neardup": "sh",
-    "tfidf_topterms": "tf",
-    "semdedup_clusters": "sd",
-    "hybrid_search": "hy",
-    "cms_shingle_error": "cm",
+    "lsh_minhash_pairs": "LM",
+    "ann_ivf_topk": "AI",
+    "ann_lsh_topk": "AL",
+    "ann_pq_topk": "AP",
+    "ann_ivfpq_topk": "AQ",
+    "ann_recall": "AR",
+    "pandas_udf_quality": "PU",
+    "pandas_grouped_ops": "PG",
+    "udtf_tokens": "UT",
+    "arrow_native": "AW",
+    "sampling_stratified": "SS",
+    "approx_sketches": "SK",
+    "sketch_error": "SE",
+    "multimodal_features": "MM",
+    "text_quality": "TQ",
+    "text_langid": "LI",
+    "dedup_clusters_lsh": "DC",
+    "embedding_neardup": "EN",
+    "ngram_neardup": "NG",
+    "simhash_neardup": "SH",
+    "tfidf_topterms": "TF",
+    "semdedup_clusters": "SD",
+    "hybrid_search": "HY",
+    "cms_shingle_error": "CM",
+    # companion ids (q13_latest…) — previously emitted verbatim,
+    # ~8 bytes/entry of line budget each
+    "q13_latest": "QL",
+    "q18_distinct_rows": "QD",
+    "q25_monthly": "QM",
+    "q29_doc_distinct": "QC",
+    "q32_keyed": "QK",
+    "q38_right": "QR",
+    "q38_cross": "QX",
 }
+
+
+def _validate_stdout_keys(qids) -> None:
+    """Prove the stdout key map is collision-free BEFORE timing
+    anything (round-9 advice: _short_keyed raised only at report
+    time, after the whole benchmark had run). Also enforces the
+    reserved-namespace invariant: every abbreviation must contain an
+    uppercase letter, which base36 output (lowercase) cannot."""
+    for name, ab in _STDOUT_ABBREV.items():
+        if ab == ab.lower():
+            raise RuntimeError(
+                f"abbrev {ab!r} for {name!r} is all-lowercase — "
+                "collides with the base36 numeric-id namespace"
+            )
+    seen: dict[str, str] = {}
+    for q in qids:
+        sk = _short_key(q)
+        if sk in seen:
+            raise RuntimeError(
+                f"stdout key collision: {sk!r} maps both {seen[sk]!r} "
+                f"and {q!r}"
+            )
+        seen[sk] = q
 
 
 def _short_key(qid: str) -> str:
     """Compact stdout key: numeric ids in base36 (q113 -> '35' — at
     190 queries even bare decimal ids brush the 2000-byte capture;
-    base36 keeps every id ≤2 chars up to q1295), named demos via
-    _STDOUT_ABBREV, companions (q13_latest…) verbatim. The sidecar's
-    stdout_key_map records the exact mapping every run."""
+    base36 keeps every id ≤2 chars up to q1295), every non-numeric
+    id via _STDOUT_ABBREV (KeyError on an unregistered name — caught
+    by _validate_stdout_keys at startup, not after the run). The
+    sidecar's stdout_key_map records the exact mapping every run."""
     if qid.startswith("q") and qid[1:].isdigit():
         n = int(qid[1:])
         digs = "0123456789abcdefghijklmnopqrstuvwxyz"
@@ -155,7 +192,7 @@ def _short_key(qid: str) -> str:
             n //= 36
             if n == 0:
                 return out
-    return _STDOUT_ABBREV.get(qid, qid)
+    return _STDOUT_ABBREV[qid]  # non-numeric ids MUST be in the map
 
 
 def _short_keyed(times: dict) -> dict:
@@ -167,7 +204,9 @@ def _short_keyed(times: dict) -> dict:
         sk = _short_key(k)
         if sk in out:
             raise RuntimeError(f"stdout key collision: {sk} ({k})")
-        out[sk] = round(v, 1)
+        r = round(v, 1)
+        # integral times print as ints ("2" not "2.0") — line budget
+        out[sk] = int(r) if r == int(r) else r
     return out
 
 
@@ -175,6 +214,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+    _validate_stdout_keys(QUERIES)  # fail fast, before any timing
     spark = get_spark("calaspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

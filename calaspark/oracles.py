@@ -4007,10 +4007,11 @@ FROM m
 # Trigram shingles via the q95 slice technique; distinct sets; exact
 # integer counts, one division.
 
-ORACLES["q146"] = """
+ORACLES["q146"] = r"""
 WITH tr AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS rawt
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS rawt
   FROM documents
 ), sets AS (
   SELECT doc_id,
@@ -4800,4 +4801,100 @@ JOIN lens la ON n.id_a = la.doc_id
 JOIN lens lb ON n.id_b = lb.doc_id
 ORDER BY weighted_jaccard DESC, id_a ASC, id_b ASC
 LIMIT 20
+"""
+
+# ================================================================ round 10
+
+# Q166 — Spearman rank correlation per returnflag ---------------------
+# Tie-averaged ranks made integer by doubling (2*rank_min + ties - 1);
+# exact decimal power sums; q89's shared IEEE finish.
+
+ORACLES["q166"] = """
+WITH r AS (
+  SELECT l_returnflag AS g,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+              - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+              - 1 AS BIGINT) AS ry
+  FROM lineitem
+), s AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(CAST(rx AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(ry AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS syy
+  FROM r GROUP BY g
+), d AS (
+  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+  FROM s
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((nd * sxy - sx * sy)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM d
+ORDER BY l_returnflag
+"""
+
+# Q167 — boilerplate shared-prefix clusters ---------------------------
+# First-8-token prefix over the shared spelled-out whitespace class;
+# exact counts, one division, total order before LIMIT.
+
+ORACLES["q167"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, array_to_string(toks[1:8], ' ') AS prefix
+  FROM t WHERE len(toks) >= 8
+), tot AS (
+  SELECT COUNT(*) AS n_eligible FROM p
+), cl AS (
+  SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS keeper_doc
+  FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+)
+SELECT prefix, n_docs, keeper_doc,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / CAST((SELECT n_eligible FROM tot) AS DOUBLE), 6)
+         AS corpus_share
+FROM cl
+ORDER BY n_docs DESC, prefix
+LIMIT 20
+"""
+
+# Q168 — shard-assignment balance audit -------------------------------
+# MINSTD shard step in exact BIGINT (every intermediate < 1.04e14);
+# deviations are one double division each off exact integer sums.
+
+ORACLES["q168"] = r"""
+WITH d AS (
+  SELECT ((doc_id % 2147483647) * 48271 % 2147483647) % 32 AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                              x -> x <> '')) AS BIGINT) AS ntok
+  FROM documents
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY shard
+), tot AS (
+  SELECT SUM(n_docs) AS tot_docs, SUM(n_tokens) AS tot_toks FROM per
+)
+SELECT CAST(shard AS INTEGER) AS shard, n_docs, n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) * 32.0
+             / CAST(tot_docs AS DOUBLE) - 1.0, 6) AS doc_dev,
+       ROUND(CAST(n_tokens AS DOUBLE) * 32.0
+             / CAST(tot_toks AS DOUBLE) - 1.0, 6) AS tok_dev
+FROM per CROSS JOIN tot
+ORDER BY shard
 """

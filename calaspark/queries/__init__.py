@@ -101,6 +101,9 @@ QUERIES: dict[str, QueryFn] = {
     # rows-only id in the window would spend a hash slot on the
     # weaker check. The full sweep + pytest still cover it.
     "q165": advanced.q165_isotonic_calibration,
+    "q166": advanced.q166_spearman_corr,
+    "q167": advanced.q167_boilerplate_prefixes,
+    "q168": advanced.q168_shard_balance,
     "q67": breadth.q67_dataset_split,
     "q68": breadth.q68_substring_dup_capped,
     "q69": breadth.q69_sequence_packing,

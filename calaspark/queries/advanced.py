@@ -5434,20 +5434,212 @@ def q165_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (the ops/sequential.py class)."""
     from ..ops.isotonic import isotonic_calibrate
 
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("group"),
-        F.least(
-            F.lit(9),
-            F.floor(
-                F.get_json_object("props", "$.k").cast("int") / F.lit(10)
-            ),
+    # NULL/non-numeric props.k must be EXCLUDED, not binned: least()
+    # skips NULL operands, so least(9, NULL) = 9 would silently dump
+    # every k-less event into the top decile and skew its fit
+    # (round-9 advice). The isNotNull filter runs on the extracted
+    # int so a non-numeric k (cast → NULL) is dropped the same way.
+    k = F.get_json_object("props", "$.k").cast("int")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("group"),
+            k.alias("k"),
+            (F.col("value") > 100.0).cast("long").alias("hit"),
         )
-        .cast("long")
-        .alias("bin"),
-        (F.col("value") > 100.0).cast("long").alias("hit"),
+        .filter(F.col("k").isNotNull())
+        .select(
+            "group",
+            F.least(F.lit(9), F.floor(F.col("k") / F.lit(10)))
+            .cast("long")
+            .alias("bin"),
+            "hit",
+        )
     )
     binned = e.groupBy("group", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("hit").cast("long").alias("pos"),
     )
     return isotonic_calibrate(binned).orderBy("group", "bin")
+
+
+# ================================================================ round 10
+# E13/E17/E19 widening: rank statistics (Spearman), boilerplate
+# detection, shard-balance audit, deterministic Poisson bootstrap,
+# n-gram novelty, categorical-association matrix, tail-mass shares,
+# top-k rank stability, CUSUM changepoint. All libm-free (the §2.6
+# convention: exact integer/decimal arithmetic into the hash gate,
+# only IEEE-exact +,-,*,/,sqrt in the final double expressions).
+
+
+def q166_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation per ``l_returnflag`` between
+    ``l_quantity`` and ``l_extendedprice`` (E13 — q89's Pearson
+    discipline moved to RANK space, the robust/monotone association
+    measure an EDA pass reports next to Pearson).
+
+    Exactness: tie-averaged fractional ranks are made INTEGER by
+    doubling — 2·avg_rank = 2·rank_min + ties − 1 — so every power
+    sum (n, Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL sum of
+    integers (the doubling cancels in the correlation ratio). The
+    finish is q89's single shared IEEE expression
+    ``(nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))``, ROUND 6.
+
+    Plan: ranks need two sorts of the same group partition (by
+    quantity, by price) — both windows hash-cluster on the GROUP key
+    alone, so Spark plans ONE exchange and two in-partition sorts;
+    the tie counts ride the same clustering ((g, x) is co-located
+    whenever g is). Then one group-grain aggregation. At 100 TB the
+    group key partitions everything; no global sort exists.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    wy = Window.partitionBy("g").orderBy("y")
+    cx = Window.partitionBy("g", "x")
+    cy = Window.partitionBy("g", "y")
+    r = li.select(
+        "g",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("long")
+        .alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    d19 = "decimal(19,0)"
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(d19)).alias("sx"),
+        F.sum(F.col("ry").cast(d19)).alias("sy"),
+        F.sum(F.col("rx").cast(d19) * F.col("ry").cast(d19)).alias("sxy"),
+        F.sum(F.col("rx").cast(d19) * F.col("rx").cast(d19)).alias("sxx"),
+        F.sum(F.col("ry").cast(d19) * F.col("ry").cast(d19)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(rho, 6).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- Q167
+
+
+def q167_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE detection by shared document PREFIX (E19 — the
+    cheap template catcher a web-corpus pipeline runs before
+    near-dup: navigation chrome / licence headers repeat VERBATIM at
+    document start, so grouping on the first-k-token prefix finds
+    them with one hash-agg, no pair join at all).
+
+    Every document with ≥ 8 tokens contributes its first-8-token
+    prefix; prefixes shared by ≥ 2 documents are reported with the
+    cluster size, the smallest member (the canonical keeper under
+    the repo's min-id survivorship rule, q32/q110), and the cluster's
+    share of the eligible corpus (exact counts, ONE division).
+
+    Plan: projection → prefix hash-agg (map-side partials carry the
+    corpus; state is bounded by the number of DISTINCT prefixes) →
+    1-row eligible-count broadcast → TakeOrdered. No joins at data
+    grain, no windows — the 100×-safe shape for a first-pass filter.
+    """
+    from ..ops.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id", F.array_join(F.slice("toks", 1, 8), " ").alias("prefix")
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_eligible"))
+    cl = (
+        d.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .crossJoin(F.broadcast(tot))  # 1-row scalar join
+    )
+    return (
+        cl.select(
+            "prefix",
+            "n_docs",
+            "keeper_doc",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_eligible").cast("double"),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q168
+
+
+def q168_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-ASSIGNMENT balance audit (E24 — before a training run
+    hash-shards a corpus into N writer tasks, measure how even the
+    split actually is in documents AND token mass; a skewed shard is
+    the straggler that holds the whole epoch hostage).
+
+    Sharding is a deterministic engine-portable MINSTD step —
+    ``shard = ((doc_id % 2147483647) · 48271 % 2147483647) % 32`` —
+    exact BIGINT arithmetic in both engines (every intermediate
+    < 1.04e14, far inside int64; doc_id folded mod the Mersenne
+    prime first so the multiply can never overflow at any corpus
+    size). Deviations are each ONE double division off exact
+    integer sums, ROUND 6.
+
+    Plan: projection → 32-group hash-agg (map-side combine does all
+    the work) → 1-row totals broadcast. Zero data-grain shuffles
+    beyond the agg's partials; the audit costs one scan at any SF.
+    """
+    from ..ops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") % 2147483647) * 48271 % 2147483647 % 32).alias(
+            "shard"
+        ),
+        token_count("text").alias("ntok"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_toks")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # relative deviation from the perfectly even share: n·32/total − 1
+    doc_dev = (
+        F.col("n_docs").cast("double") * F.lit(32.0)
+    ) / F.col("tot_docs").cast("double") - F.lit(1.0)
+    tok_dev = (
+        F.col("n_tokens").cast("double") * F.lit(32.0)
+    ) / F.col("tot_toks").cast("double") - F.lit(1.0)
+    return j.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        F.round(doc_dev, 6).alias("doc_dev"),
+        F.round(tok_dev, 6).alias("tok_dev"),
+    ).orderBy("shard")

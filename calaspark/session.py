@@ -47,32 +47,88 @@ def _ship_package(spark: SparkSession) -> None:
     repo on sys.path via the launch CWD, but the correctness driver
     builds a vanilla session from an arbitrary CWD, where the import
     fails only at EXECUTION time (discovered by the round-9 q165
-    vanilla-session probe). Zipping the package once per process and
-    ``addPyFile``-ing it per SparkContext closes the gap for every
-    session and every future module-level kernel.
+    vanilla-session probe). Building the content-addressed zip via
+    :func:`_build_pkg_zip` and ``addPyFile``-ing it per SparkContext
+    closes the gap for every session and every future module-level
+    kernel.
     """
     sc = spark.sparkContext
     if getattr(sc, "_calaspark_shipped", False):
         return
+    sc.addPyFile(_build_pkg_zip())
+    sc._calaspark_shipped = True
+
+
+def _build_pkg_zip() -> str:
+    """Build (or validate-and-reuse) the executor-shippable zip of the
+    ``calaspark`` sources; return its path.
+
+    Builds the archive IN MEMORY first and keys the on-disk name by a
+    content hash of the sources (round-9 advice): the earlier
+    pid-keyed name in the shared tempdir shipped a STALE zip when
+    pids recycled across long-lived /tmp, raced concurrent sessions
+    on one '.tmp' path, and — being predictable in a world-writable
+    dir — let another local user pre-plant a zip that executors
+    would import (TOCTOU). Content-addressing kills all three: the
+    name is unpredictable without the sources, a stale/foreign file
+    at the path is detected by digest mismatch and rebuilt, and the
+    zip itself is deterministic (sorted members, zeroed mtimes) so
+    equal sources → equal digest across processes.
+    """
+    import hashlib
+    import io
     import os
     import tempfile
     import zipfile
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"calaspark-pyfiles-{os.getpid()}.zip"
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(os.path.join(pkg_root, "calaspark")):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    info = zipfile.ZipInfo(
+                        os.path.relpath(full, pkg_root), (1980, 1, 1, 0, 0, 0)
+                    )
+                    with open(full, "rb") as fh:
+                        z.writestr(info, fh.read())
+    payload = buf.getvalue()
+    digest = hashlib.sha256(payload).hexdigest()[:16]
+
+    # Per-user private directory (0700) under the tempdir; created
+    # atomically and never shared across uids, so no other local
+    # user can pre-plant or swap files in it.
+    priv = os.path.join(
+        tempfile.gettempdir(), f"calaspark-pyfiles-{os.getuid()}"
     )
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, _, files in os.walk(os.path.join(pkg_root, "calaspark")):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, pkg_root))
-        os.replace(tmp, zpath)
-    sc.addPyFile(zpath)
-    sc._calaspark_shipped = True
+    os.makedirs(priv, mode=0o700, exist_ok=True)
+    os.chmod(priv, 0o700)  # repair a pre-existing looser dir
+    zpath = os.path.join(priv, f"calaspark-{digest}.zip")
+    reuse = False
+    if os.path.exists(zpath):
+        with open(zpath, "rb") as fh:
+            reuse = (
+                hashlib.sha256(fh.read()).hexdigest()[:16] == digest
+            )
+    if not reuse:
+        # mkstemp (0600, unpredictable name) + atomic rename: no
+        # window where a partial or attacker-controlled file sits at
+        # the final path.
+        fd, tmp = tempfile.mkstemp(dir=priv, suffix=".zip.tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, zpath)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    return zpath
 
 
 def prepare(spark: SparkSession) -> SparkSession:

@@ -334,3 +334,28 @@ spark.stop()
         },
     )
     assert "VANILLA_OK" in p.stdout, (p.stdout[-500:], p.stderr[-1500:])
+
+
+def test_pkg_zip_content_addressed_and_self_healing():
+    """The executor-shippable package zip must be (a) deterministic —
+    same sources, same path, across processes — (b) built inside a
+    0700 per-user directory, and (c) self-healing: a stale or
+    tampered file already sitting at the content-addressed path is
+    detected by digest mismatch and rebuilt (round-9 advice: the old
+    pid-keyed name reused whatever bytes were there)."""
+    import os
+    import zipfile
+
+    from calaspark.session import _build_pkg_zip
+
+    p1 = _build_pkg_zip()
+    assert _build_pkg_zip() == p1  # deterministic name
+    mode = os.stat(os.path.dirname(p1)).st_mode & 0o777
+    assert mode == 0o700, oct(mode)
+    # tamper: plant garbage at the exact expected path
+    with open(p1, "wb") as fh:
+        fh.write(b"not a zip")
+    p2 = _build_pkg_zip()
+    assert p2 == p1
+    names = zipfile.ZipFile(p2).namelist()  # valid zip again
+    assert any(n.endswith("calaspark/session.py") for n in names)
