@@ -4898,3 +4898,311 @@ SELECT CAST(shard AS INTEGER) AS shard, n_docs, n_tokens,
 FROM per CROSS JOIN tot
 ORDER BY shard
 """
+
+# Q169 — deterministic Poisson bootstrap CI ---------------------------
+# MINSTD multiplier stream seeded by (orderkey, replicate); Poisson(1)
+# CDF thresholds scaled to 2^31-1; replicate r=-1 is the point
+# estimate; CI = order-statistic selection over 100 replicate means.
+
+ORACLES["q169"] = """
+WITH e AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         r.r AS r,
+         (o_orderkey % 2147483647) * 48271 % 2147483647 AS s1
+  FROM orders CROSS JOIN (SELECT unnest(range(-1, 100)) AS r) r
+), wts AS (
+  SELECT o_orderpriority, price, r,
+         CAST(CASE WHEN r = -1 THEN 1
+              WHEN u < 790015083 THEN 0
+              WHEN u < 1580030167 THEN 1
+              WHEN u < 1975037709 THEN 2
+              WHEN u < 2106706890 THEN 3
+              ELSE 4 END AS DECIMAL(3,0)) AS w
+  FROM (SELECT *, (s1 + r * 40503) * 48271 % 2147483647 AS u FROM e)
+), rep AS (
+  SELECT o_orderpriority, r,
+         COUNT(*) AS n_rows,
+         CAST(SUM(w * price) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM wts GROUP BY o_orderpriority, r
+), pt AS (
+  SELECT o_orderpriority, CAST(n_rows AS BIGINT) AS n_orders,
+         m AS mean_price
+  FROM rep WHERE r = -1
+), sel AS (
+  SELECT o_orderpriority, m,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY m, r) AS rn
+  FROM rep WHERE r >= 0
+), ci AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN rn = 3 THEN m END) AS lo,
+         MIN(CASE WHEN rn = 98 THEN m END) AS hi
+  FROM sel WHERE rn IN (3, 98) GROUP BY o_orderpriority
+)
+SELECT pt.o_orderpriority, pt.n_orders,
+       ROUND(pt.mean_price, 6) AS mean_price,
+       ROUND(ci.lo, 6) AS ci_lo,
+       ROUND(ci.hi, 6) AS ci_hi
+FROM pt JOIN ci USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+# Q170 — n-gram novelty curve by corpus position ----------------------
+# Distinct trigram shingles per doc (q95's slice technique); first
+# appearance = MIN(doc_id) per shingle; bucket rollup, one division.
+
+ORACLES["q170"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[\t\n\f\r ]+'),
+                     x -> x <> '') AS rawt
+  FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(rawt) - 1),
+           i -> array_to_string(rawt[i : i + 2], ' '))) AS gs
+  FROM t WHERE len(rawt) >= 3
+), pairs AS (
+  SELECT doc_id, unnest(gs) AS g FROM sets
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM pairs GROUP BY doc_id
+), first AS (
+  SELECT g, MIN(doc_id) AS min_doc FROM pairs GROUP BY g
+), novel AS (
+  SELECT min_doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM first GROUP BY min_doc
+), j AS (
+  SELECT p.doc_id, p.n_shingles,
+         COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel
+  FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.min_doc
+)
+SELECT doc_id // 50 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(n_novel) AS DOUBLE)
+             / CAST(SUM(n_shingles) AS DOUBLE), 6) AS novelty
+FROM j
+GROUP BY doc_id // 50
+ORDER BY bucket
+"""
+
+# Q171 — categorical association matrix -------------------------------
+# One (type, k-decile, hour) cube; each pair's chi2 via the q143
+# integer-cleared decimal-fragment form; V and T close with sqrt only.
+
+ORACLES["q171"] = """
+WITH e AS (
+  SELECT event_type AS typ,
+         CAST(least(9, CAST(json_extract_string(props, '$.k') AS INTEGER)
+                        // 10) AS INTEGER) AS kdec,
+         CAST(hour(ts) AS INTEGER) AS hr
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+), cube AS (
+  SELECT typ, kdec, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY typ, kdec, hr
+),
+p1 AS (SELECT typ AS x, kdec AS y, SUM(cnt) AS o FROM cube GROUP BY 1, 2),
+p2 AS (SELECT typ AS x, CAST(hr AS VARCHAR) AS y, SUM(cnt) AS o
+       FROM cube GROUP BY 1, 2),
+p3 AS (SELECT CAST(kdec AS VARCHAR) AS x, CAST(hr AS VARCHAR) AS y,
+              SUM(cnt) AS o FROM cube GROUP BY 1, 2),
+stats AS (
+  SELECT 'type_x_kdecile' AS pair, * FROM (
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT x) AS INTEGER) AS r_levels,
+           CAST(COUNT(DISTINCT y) AS INTEGER) AS c_levels,
+           SUM(CAST(ROUND(
+             CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                   - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                     - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * CAST(rt AS DECIMAL(38,0))
+                    * CAST(ct AS DECIMAL(38,0)) AS DOUBLE), 6)
+           AS DECIMAL(18,6))) AS _chi2
+    FROM (
+      SELECT o, x, y,
+             SUM(o) OVER (PARTITION BY x) AS rt,
+             SUM(o) OVER (PARTITION BY y) AS ct,
+             SUM(o) OVER () AS n
+      FROM p1
+    )
+  )
+  UNION ALL
+  SELECT 'type_x_hour', * FROM (
+    SELECT CAST(MAX(n) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS INTEGER),
+           CAST(COUNT(DISTINCT y) AS INTEGER),
+           SUM(CAST(ROUND(
+             CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                   - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                     - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * CAST(rt AS DECIMAL(38,0))
+                    * CAST(ct AS DECIMAL(38,0)) AS DOUBLE), 6)
+           AS DECIMAL(18,6)))
+    FROM (
+      SELECT o, x, y,
+             SUM(o) OVER (PARTITION BY x) AS rt,
+             SUM(o) OVER (PARTITION BY y) AS ct,
+             SUM(o) OVER () AS n
+      FROM p2
+    )
+  )
+  UNION ALL
+  SELECT 'kdecile_x_hour', * FROM (
+    SELECT CAST(MAX(n) AS BIGINT),
+           CAST(COUNT(DISTINCT x) AS INTEGER),
+           CAST(COUNT(DISTINCT y) AS INTEGER),
+           SUM(CAST(ROUND(
+             CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                   - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                     - CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * CAST(rt AS DECIMAL(38,0))
+                    * CAST(ct AS DECIMAL(38,0)) AS DOUBLE), 6)
+           AS DECIMAL(18,6)))
+    FROM (
+      SELECT o, x, y,
+             SUM(o) OVER (PARTITION BY x) AS rt,
+             SUM(o) OVER (PARTITION BY y) AS ct,
+             SUM(o) OVER () AS n
+      FROM p3
+    )
+  )
+)
+SELECT pair, n, r_levels, c_levels,
+       CAST(_chi2 AS DOUBLE) AS chi2,
+       CAST((r_levels - 1) * (c_levels - 1) AS INTEGER) AS dof,
+       ROUND(sqrt(CAST(_chi2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * least(CAST(r_levels - 1 AS DOUBLE),
+                             CAST(c_levels - 1 AS DOUBLE)))), 6) AS cramers_v,
+       ROUND(sqrt(CAST(_chi2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * sqrt(CAST(r_levels - 1 AS DOUBLE)
+                            * CAST(c_levels - 1 AS DOUBLE)))), 6)
+         AS tschuprow_t
+FROM stats
+ORDER BY pair
+"""
+
+# Q172 — tail-mass token share per source -----------------------------
+# Integer ranks off the (tokens desc, doc_id) total order; cut sizes
+# max(1, n//100), max(1, n//10); exact sums, one division per share.
+
+ORACLES["q172"] = r"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT) AS ntok
+  FROM documents
+), r AS (
+  SELECT source, ntok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ntok DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS tot_tokens,
+       CAST(MAX(greatest(1, n // 100)) AS BIGINT) AS top1_docs,
+       ROUND(CAST(SUM(CASE WHEN rn <= greatest(1, n // 100)
+                           THEN ntok ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(ntok) AS DOUBLE), 6) AS top1_share,
+       CAST(MAX(greatest(1, n // 10)) AS BIGINT) AS top10_docs,
+       ROUND(CAST(SUM(CASE WHEN rn <= greatest(1, n // 10)
+                           THEN ntok ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(ntok) AS DOUBLE), 6) AS top10_share
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+# Q173 — top-k rank stability across halves ---------------------------
+# Exact decimal revenue, integer ranks, full-outer part alignment,
+# explode of the 3-literal k set, one division per measure.
+
+ORACLES["q173"] = """
+WITH li AS (
+  SELECT CASE WHEN month(l_shipdate) <= 6 THEN 'H1' ELSE 'H2' END AS half,
+         l_partkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+           AS rev
+  FROM lineitem WHERE year(l_shipdate) = 1995
+), pr AS (
+  SELECT half, l_partkey, SUM(rev) AS rev FROM li GROUP BY half, l_partkey
+), rk AS (
+  SELECT half, l_partkey,
+         row_number() OVER (PARTITION BY half
+                            ORDER BY rev DESC, l_partkey ASC) AS rn
+  FROM pr
+), j AS (
+  SELECT COALESCE(a.rn, 2147483647) AS rn_a,
+         COALESCE(b.rn, 2147483647) AS rn_b,
+         k.k AS k
+  FROM (SELECT l_partkey, rn FROM rk WHERE half = 'H1') a
+  FULL OUTER JOIN (SELECT l_partkey, rn FROM rk WHERE half = 'H2') b
+    ON a.l_partkey = b.l_partkey
+  CROSS JOIN (SELECT unnest([10, 50, 100]) AS k) k
+), agg AS (
+  SELECT k,
+         CAST(SUM(CASE WHEN rn_a <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN rn_b <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN rn_a <= k AND rn_b <= k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_common
+  FROM j GROUP BY k
+)
+SELECT k, n_a, n_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM agg
+ORDER BY k
+"""
+
+# Q174 — CUSUM changepoint scan ---------------------------------------
+# Division-cleared CUSUM: stat_t = D*prefix_t - t*total, all decimal
+# off exact daily sums; one double division for the normalized form.
+
+ORACLES["q174"] = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), daily AS (
+  SELECT day, CAST(SUM(v) AS DECIMAL(28,2)) AS s FROM e GROUP BY day
+), r AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS t,
+         CAST(SUM(s) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DECIMAL(28,2)) AS prefix,
+         CAST(COUNT(*) OVER () AS DECIMAL(10,0)) AS dd,
+         CAST(SUM(s) OVER () AS DECIMAL(28,2)) AS tot
+  FROM daily
+), st AS (
+  SELECT day, CAST(t AS BIGINT) AS t,
+         CAST(dd AS BIGINT) AS n_days,
+         abs(dd * prefix - CAST(t AS DECIMAL(10,0)) * tot) AS astat,
+         CAST(abs(dd * prefix - CAST(t AS DECIMAL(10,0)) * tot) AS DOUBLE)
+           / (CAST(dd AS DOUBLE) * CAST(tot AS DOUBLE)) AS norm
+  FROM r
+)
+SELECT day, t, n_days,
+       CAST(astat AS DOUBLE) AS cusum_abs,
+       ROUND(norm, 6) AS cusum_norm
+FROM st
+ORDER BY cusum_abs DESC, day
+LIMIT 5
+"""

@@ -104,6 +104,12 @@ QUERIES: dict[str, QueryFn] = {
     "q166": advanced.q166_spearman_corr,
     "q167": advanced.q167_boilerplate_prefixes,
     "q168": advanced.q168_shard_balance,
+    "q169": advanced.q169_poisson_bootstrap,
+    "q170": advanced.q170_ngram_novelty,
+    "q171": advanced.q171_assoc_matrix,
+    "q172": advanced.q172_tail_share,
+    "q173": advanced.q173_rank_stability,
+    "q174": advanced.q174_cusum_changepoint,
     "q67": breadth.q67_dataset_split,
     "q68": breadth.q68_substring_dup_capped,
     "q69": breadth.q69_sequence_packing,

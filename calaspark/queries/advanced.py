@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
-from ._util import dec
+from ._util import RATE, dec
 
 
 def _ep(col: str = "ts") -> F.Column:
@@ -5643,3 +5643,473 @@ def q168_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(doc_dev, 6).alias("doc_dev"),
         F.round(tok_dev, 6).alias("tok_dev"),
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------- Q169
+
+
+def q169_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP confidence intervals for the
+    mean order value per priority (E13 — the at-scale bootstrap: a
+    multiplier resample needs ONE pass and no per-replicate global
+    shuffle, the standard trick for CIs over data too big to
+    resample row-wise).
+
+    Replicate weights are Poisson(1) multiplicities drawn from a
+    DETERMINISTIC engine-portable MINSTD stream seeded by
+    (o_orderkey, replicate) — exact BIGINT arithmetic (q168's
+    envelope: every intermediate < 1.04e14), thresholded against the
+    Poisson(1) CDF scaled to 2^31−1 as integer literals (pmf mass
+    beyond w=4 lumped into w=4; 1.9 % of draws). Replicate r = −1
+    carries weight 1 everywhere — the POINT estimate rides the same
+    single aggregation. Each replicate mean is an exact decimal
+    Σw·price / Σw finished by ONE double division; the 95 % CI is
+    ORDER-STATISTIC selection (3rd / 98th of the 100 replicate
+    means) — no float accumulation anywhere.
+
+    Plan: scan → explode a 101-literal sequence (map-side; no
+    shuffle) → (priority, r) hash-agg with map-side partials
+    (5 × 101 groups) → 505-row window selection. The only data-sized
+    stage is the partial agg; replicate count scales the MAP work
+    linearly but never the shuffle width.
+    """
+    M = 2147483647
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("price")
+    )
+    e = o.select(
+        "o_orderpriority",
+        "price",
+        F.explode(F.sequence(F.lit(-1), F.lit(99))).alias("r"),
+        (F.col("o_orderkey") % M * 48271 % M).alias("s1"),
+    )
+    u = (F.col("s1") + F.col("r") * 40503) * 48271 % M
+    w = (
+        F.when(F.col("r") == -1, 1)
+        .when(u < 790015083, 0)
+        .when(u < 1580030167, 1)
+        .when(u < 1975037709, 2)
+        .when(u < 2106706890, 3)
+        .otherwise(4)
+    ).cast("decimal(3,0)")
+    rep = (
+        e.select("o_orderpriority", "r", w.alias("w"), "price")
+        .groupBy("o_orderpriority", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("price")).alias("ws"),
+            F.sum("w").alias("wn"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "o_orderpriority",
+            "r",
+            "n_rows",
+            (F.col("ws").cast("double") / F.col("wn").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    point = rep.filter(F.col("r") == -1).select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.col("m").alias("mean_price"),
+    )
+    wsel = Window.partitionBy("o_orderpriority").orderBy("m", "r")
+    boot = (
+        rep.filter(F.col("r") >= 0)
+        .select("o_orderpriority", "m", F.row_number().over(wsel).alias("rn"))
+        .filter(F.col("rn").isin(3, 98))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(F.col("rn") == 3, F.col("m"))).alias("lo"),
+            F.min(F.when(F.col("rn") == 98, F.col("m"))).alias("hi"),
+        )
+    )
+    return (
+        point.join(boot, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("mean_price", 6).alias("mean_price"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- Q170
+
+
+def q170_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY curve over corpus position (E19 — "is the tail
+    of my crawl still contributing new content?": for each block of
+    50 documents, the fraction of its distinct trigram shingles
+    whose FIRST corpus appearance (minimum doc_id) falls inside the
+    block's own documents; q146 measures eval-vs-train containment,
+    this measures marginal novelty along ingestion order).
+
+    Exactness: all counts are exact integers off distinct shingle
+    sets; novelty is ONE division per bucket, ROUND 6.
+
+    Plan: one documents scan → per-doc distinct shingle explode →
+    (shingle → min_doc) hash-agg — the single data-grain shuffle;
+    per-doc totals and per-doc novel counts are both doc-grain
+    aggregates off that pipeline (novel counts read the agg OUTPUT,
+    vocabulary-sized), joined doc-grain and rolled to bucket grain.
+    No pair joins, no windows — scale is bounded by the shingle
+    vocabulary, exactly like q144.
+    """
+    from ..ops.text import shingles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(shingles("text", 3)).alias("gs"),
+    )
+    pairs = d.select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    first = pairs.groupBy("g").agg(F.min("doc_id").alias("min_doc"))
+    novel = first.groupBy("min_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    j = per_doc.join(
+        novel, per_doc["doc_id"] == novel["min_doc"], "left"
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+    )
+    b = j.groupBy(F.expr("doc_id div 50").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("n_shingles"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------- Q171
+
+
+def q171_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL ASSOCIATION MATRIX over the event stream (E13 —
+    q143 tests ONE column pair; an EDA/feature-selection pass wants
+    the whole pairwise map with comparable EFFECT SIZES, not just
+    test statistics): chi², degrees of freedom, Cramér's V and
+    Tschuprow's T for every pair of (event_type, k-decile,
+    hour-of-day), over events with a parseable props.k (the q165
+    NULL rule: absent k EXCLUDES the row — for every pair, so all
+    three tests share one row universe and one N).
+
+    Exactness: ONE (type, decile, hour) aggregation (≤ 5·10·24 =
+    1200 cells) is the only data-grain pass; each pair's
+    contingency table is a rollup of those 1200 rows. Per-cell chi²
+    contributions use q143's integer-cleared decimal-fragment form;
+    V = √(χ²/(N·min(r−1,c−1))) and T = √(χ²/(N·√((r−1)(c−1)))) are
+    fixed IEEE trees (√ is correctly rounded — no libm in the
+    contract).
+    """
+    from ..ops.materialize import materialize
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"), F.hour("ts").alias("hr"))
+        .filter(F.col("k").isNotNull())
+        .select(
+            F.col("event_type").alias("typ"),
+            F.least(F.lit(9), F.floor(F.col("k") / F.lit(10)))
+            .cast("int")
+            .alias("kdec"),
+            "hr",
+        )
+    )
+    cube = materialize(
+        e.groupBy("typ", "kdec", "hr").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    d38 = "decimal(38,0)"
+
+    def pair_stats(xcol: str, ycol: str, name: str) -> DataFrame:
+        cells = cube.groupBy(xcol, ycol).agg(F.sum("cnt").alias("o"))
+        cells = materialize(cells)
+        rt = cells.groupBy(xcol).agg(F.sum("o").alias("rt"))
+        ct = cells.groupBy(ycol).agg(F.sum("o").alias("ct"))
+        n = cells.agg(F.sum("o").alias("n"))
+        j = (
+            cells.join(F.broadcast(rt), xcol)
+            .join(F.broadcast(ct), ycol)
+            .crossJoin(F.broadcast(n))
+        )
+        num = F.col("o").cast(d38) * F.col("n").cast(d38) - F.col(
+            "rt"
+        ).cast(d38) * F.col("ct").cast(d38)
+        den = (
+            F.col("n").cast(d38)
+            * F.col("rt").cast(d38)
+            * F.col("ct").cast(d38)
+        )
+        frag = F.round((num * num).cast("double") / den.cast("double"), 6)
+        return j.agg(
+            F.max(F.col("n")).cast("long").alias("n"),
+            F.count_distinct(F.col(xcol)).cast("int").alias("r_levels"),
+            F.count_distinct(F.col(ycol)).cast("int").alias("c_levels"),
+            F.sum(frag.cast("decimal(18,6)")).alias("_chi2"),
+        ).select(F.lit(name).alias("pair"), "*")
+
+    stats = (
+        pair_stats("typ", "kdec", "type_x_kdecile")
+        .unionByName(pair_stats("typ", "hr", "type_x_hour"))
+        .unionByName(pair_stats("kdec", "hr", "kdecile_x_hour"))
+    )
+    chi2 = F.col("_chi2").cast("double")
+    nd = F.col("n").cast("double")
+    rm1 = (F.col("r_levels") - 1).cast("double")
+    cm1 = (F.col("c_levels") - 1).cast("double")
+    v = F.sqrt(chi2 / (nd * F.least(rm1, cm1)))
+    t = F.sqrt(chi2 / (nd * F.sqrt(rm1 * cm1)))
+    return stats.select(
+        "pair",
+        "n",
+        "r_levels",
+        "c_levels",
+        chi2.alias("chi2"),
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("int")
+        .alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round(t, 6).alias("tschuprow_t"),
+    ).orderBy("pair")
+
+
+# ---------------------------------------------------------------- Q172
+
+
+def q172_tail_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-MASS concentration per source (E19 — "what fraction of my
+    token budget do the biggest documents eat?": the heavy-tail
+    companion to q154's HHI and q141's Gini, reported the way a
+    data-mixture planner consumes it — top-1 % and top-10 % document
+    share of total token mass, per source).
+
+    Exactness: ranks are integers off a total order (token count
+    desc, doc_id); cut sizes k = max(1, ⌊n/100⌋), max(1, ⌊n/10⌋) are
+    exact integer arithmetic; shares are exact BIGINT token sums
+    finished by ONE division each, ROUND 6.
+
+    Plan: projection → ONE source-partitioned window sort carries
+    rank, per-source n and total mass (three frames off one sort) →
+    source-grain conditional aggregation. The sort is per-source
+    (parallel across sources); no global ordering exists.
+    """
+    from ..ops.text import bpe_ish_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", bpe_ish_count("text").alias("ntok")
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("ntok").desc(), F.col("doc_id").asc()
+    )
+    wp = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "ntok",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k1 = F.greatest(F.lit(1), (F.col("n") / 100).cast("long"))
+    k10 = F.greatest(F.lit(1), (F.col("n") / 10).cast("long"))
+    agg = r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("tot_tokens"),
+        F.max(k1).cast("long").alias("top1_docs"),
+        F.max(k10).cast("long").alias("top10_docs"),
+        F.sum(F.when(F.col("rn") <= k1, F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("top1_tokens"),
+        F.sum(F.when(F.col("rn") <= k10, F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("top10_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tot_tokens",
+        "top1_docs",
+        F.round(
+            F.col("top1_tokens").cast("double")
+            / F.col("tot_tokens").cast("double"),
+            6,
+        ).alias("top1_share"),
+        "top10_docs",
+        F.round(
+            F.col("top10_tokens").cast("double")
+            / F.col("tot_tokens").cast("double"),
+            6,
+        ).alias("top10_share"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------- Q173
+
+
+def q173_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K RANK STABILITY across time (E13 — "is last period's
+    leaderboard still this period's?": overlap and Jaccard of the
+    top-k revenue parts between 1995-H1 and 1995-H2, at k = 10, 50,
+    100 — the drift check a recommender/report owner runs before
+    trusting a cached ranking).
+
+    Exactness: revenue per (half, part) is the exact decimal
+    ``Σ extendedprice·(1−discount)``; ranks are integers off the
+    (revenue desc, partkey) total order; overlap/Jaccard are exact
+    integer counts with ONE division each, ROUND 6.
+
+    Plan: one lineitem scan → (half, part) hash-agg → two half-
+    partitioned window sorts (part-catalog-sized input) → part-keyed
+    FULL OUTER self-align → explode of the 3-literal k array →
+    k-grain aggregation. Everything past the first agg runs at
+    catalog grain, which is log-sized next to the fact table.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select(
+            F.when(F.month("l_shipdate") <= 6, "H1")
+            .otherwise("H2")
+            .alias("half"),
+            "l_partkey",
+            (
+                dec("l_extendedprice")
+                * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+            ).alias("rev"),
+        )
+    )
+    pr = li.groupBy("half", "l_partkey").agg(F.sum("rev").alias("rev"))
+    wr = Window.partitionBy("half").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    )
+    rk = pr.select("half", "l_partkey", F.row_number().over(wr).alias("rn"))
+    a = rk.filter(F.col("half") == "H1").select(
+        "l_partkey", F.col("rn").alias("rn_a")
+    )
+    b = rk.filter(F.col("half") == "H2").select(
+        "l_partkey", F.col("rn").alias("rn_b")
+    )
+    j = a.join(b, "l_partkey", "full").select(
+        F.coalesce("rn_a", F.lit(2147483647)).alias("rn_a"),
+        F.coalesce("rn_b", F.lit(2147483647)).alias("rn_b"),
+        F.explode(F.array(F.lit(10), F.lit(50), F.lit(100))).alias("k"),
+    )
+    agg = j.groupBy("k").agg(
+        F.sum(F.when(F.col("rn_a") <= F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("rn_b") <= F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col("rn_a") <= F.col("k")) & (F.col("rn_b") <= F.col("k")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    )
+    return agg.select(
+        "k",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+            6,
+        ).alias("containment"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------- Q174
+
+
+def q174_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT scan over the daily event-value series (E13
+    — "did the level of this metric shift, and when?": the
+    max-|CUSUM| location statistic, the screening step before a
+    formal changepoint test; q142's EWMA flags drifts online, this
+    localizes the single strongest break offline).
+
+    Exactness: the classic CUSUM ``Σ_{i≤t}(x_i − x̄)`` is cleared of
+    its division by scaling with D (the day count):
+    ``stat_t = D·prefix_t − t·total`` — all DECIMAL arithmetic off
+    exact daily decimal sums, no float accumulation. The normalized
+    column is ONE double division, ROUND 6.
+
+    Plan: one scan → day hash-agg (calendar-sized output), ONE
+    day-ordered running-sum window at day grain (a single-partition
+    sort of a calendar-sized series — the declared q143 tiny-global-
+    window exception), TakeOrdered top-5. The fact table is touched
+    once; everything ordered is calendar-sized.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        dec("value").alias("v"),
+    )
+    daily = e.groupBy("day").agg(
+        F.sum("v").cast("decimal(28,2)").alias("s")
+    )
+    wo = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    d10 = "decimal(10,0)"
+    r = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.sum("s").over(wo).cast("decimal(28,2)").alias("prefix"),
+        F.count(F.lit(1)).over(wall).cast(d10).alias("dd"),
+        F.sum("s").over(wall).cast("decimal(28,2)").alias("tot"),
+    )
+    stat = F.col("dd") * F.col("prefix") - F.col("t").cast(d10) * F.col("tot")
+    r2 = r.select(
+        "day",
+        "t",
+        F.col("dd").cast("long").alias("n_days"),
+        F.abs(stat).alias("astat"),
+        (
+            F.abs(stat).cast("double")
+            / (F.col("dd").cast("double") * F.col("tot").cast("double"))
+        ).alias("norm"),
+    )
+    return (
+        r2.select(
+            "day",
+            "t",
+            "n_days",
+            F.col("astat").cast("double").alias("cusum_abs"),
+            F.round("norm", 6).alias("cusum_norm"),
+        )
+        .orderBy(F.col("cusum_abs").desc(), "day")
+        .limit(5)
+    )

@@ -234,6 +234,21 @@ ALLOWED = {
     # shape); per-value row_numbers are value-partitioned and the
     # rank→value lookup is a balanced equi-join on a unique key
     "q150": {"bnlj", "single_part_exchange"},
+    # scalar-subquery shape (q56/q80/tfidf's declared pattern): the
+    # 1-row eligible-count aggregate (global final merge) broadcast-
+    # crossJoined onto the prefix-cluster grain (1-row BNLJ)
+    "q167": {"bnlj", "single_part_exchange"},
+    # same shape: the 1-row (tot_docs, tot_toks) aggregate broadcast-
+    # crossJoined onto the 32-row shard grain
+    "q168": {"bnlj", "single_part_exchange"},
+    # q143's contingency shape × 3 pairs: each pair's 1-row N
+    # aggregate (global final merge) broadcast-crossJoins onto its
+    # ≤ 240-row cell table; all cell tables are rollups of the one
+    # materialized 1200-row cube
+    "q171": {"bnlj", "single_part_exchange"},
+    # day-ordered running-sum window over the CALENDAR-sized daily
+    # aggregate — the declared q85/q143 tiny-global-window class
+    "q174": {"single_part_exchange"},
 }
 
 
