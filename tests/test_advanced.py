@@ -1895,3 +1895,141 @@ def test_q163_rfm_matches_python(spark):
         else:
             want = "casual"
         assert r["segment"] == want, (u, r["segment"], want)
+
+
+def test_q166_spearman_matches_python(spark):
+    """Spearman per group must equal a pure-Python replay with
+    scipy-style tie-averaged ranks; rho lives in [-1, 1]."""
+    from collections import defaultdict
+
+    from calaspark.queries.advanced import q166_spearman_corr
+
+    sf = "/root/testdata/sf0.001"
+    rows = q166_spearman_corr(spark, sf).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (float(r["l_quantity"]), float(r["l_extendedprice"]))
+        )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0  # average of 1-based positions
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    for row in rows:
+        pts = groups[row["l_returnflag"]]
+        rx = avg_ranks([p[0] for p in pts])
+        ry = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        mx = sum(rx) / n
+        my = sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = (
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        ) ** 0.5
+        want = num / den
+        assert row["n_rows"] == n
+        assert -1.0 - 1e-9 <= row["spearman_rho"] <= 1.0 + 1e-9
+        assert abs(row["spearman_rho"] - want) < 1e-6, (
+            row["l_returnflag"],
+            row["spearman_rho"],
+            want,
+        )
+
+
+def test_q169_bootstrap_weights_and_determinism(spark):
+    """The MINSTD Poisson multiplicities must (a) be deterministic
+    across runs, (b) hit the Poisson(1) pmf within a few percent,
+    and (c) produce CIs that bracket the point estimate."""
+    from calaspark.queries.advanced import q169_poisson_bootstrap
+
+    sf = "/root/testdata/sf0.001"
+    a = q169_poisson_bootstrap(spark, sf).collect()
+    b = q169_poisson_bootstrap(spark, sf).collect()
+    assert a == b  # fully deterministic — no RNG state anywhere
+    for r in a:
+        assert r["ci_lo"] <= r["ci_hi"]
+        # the point estimate need not sit inside every 95% CI, but it
+        # must be near it; bracket with a generous margin
+        assert r["ci_lo"] * 0.9 <= r["mean_price"] <= r["ci_hi"] * 1.1
+    # weight distribution: replay the exact integer stream in Python
+    M = 2147483647
+    o = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey").collect()
+    counts = [0] * 5
+    tot = 0
+    for row in o:
+        s1 = row["o_orderkey"] % M * 48271 % M
+        for rep in range(100):
+            u = (s1 + rep * 40503) * 48271 % M
+            if u < 790015083:
+                w = 0
+            elif u < 1580030167:
+                w = 1
+            elif u < 1975037709:
+                w = 2
+            elif u < 2106706890:
+                w = 3
+            else:
+                w = 4
+            counts[w] += 1
+            tot += 1
+    import math
+
+    e1 = math.exp(-1)
+    want = [e1, e1, e1 / 2, e1 / 6, 1 - (8 / 3) * e1]
+    for got_n, p in zip(counts, want):
+        assert abs(got_n / tot - p) < 0.02, (counts, tot)
+
+
+def test_q174_cusum_matches_python(spark):
+    """The argmax |CUSUM| day and scaled statistic must match a
+    decimal-exact Python replay of D*prefix_t - t*total."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from calaspark.queries.advanced import q174_cusum_changepoint
+
+    sf = "/root/testdata/sf0.001"
+    rows = q174_cusum_changepoint(spark, sf).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "date_format(CAST(ts AS TIMESTAMP), 'yyyy-MM-dd') AS day",
+            "CAST(value AS DECIMAL(12,2)) AS v",
+        )
+        .collect()
+    )
+    daily = defaultdict(Decimal)
+    for r in ev:
+        daily[r["day"]] += r["v"]
+    days = sorted(daily)
+    D = Decimal(len(days))
+    tot = sum(daily.values())
+    prefix = Decimal(0)
+    stats = {}
+    for t, d in enumerate(days, start=1):
+        prefix += daily[d]
+        stats[d] = (t, abs(D * prefix - Decimal(t) * tot))
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][1], kv[0]))[:5]
+    for row, (day, (t, astat)) in zip(rows, top):
+        assert row["day"] == day
+        assert row["t"] == t
+        assert row["n_days"] == len(days)
+        assert abs(row["cusum_abs"] - float(astat)) < 1e-6
