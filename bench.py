@@ -314,15 +314,45 @@ def main() -> None:
         "queries": _short_keyed(times),
     }
     line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # Headroom fallback (armed round 10, fires automatically when
+        # the registry outgrows 1-decimal seconds): re-encode the
+        # per-query map as INTEGER DECISECONDS and say so in-band
+        # ("queries_unit": "ds"). ~2 bytes/query smaller in the
+        # common sub-10s regime; the sidecar always carries
+        # full-precision seconds under full names, so nothing is
+        # lost — only the stdout line gets denser. Kept only if it
+        # actually shrinks the line (integral seconds re-encode
+        # LONGER: "2" -> "20").
+        alt = dict(
+            out,
+            queries_unit="ds",
+            queries={
+                k: int(round(v * 10))
+                for k, v in _short_keyed(times).items()
+            },
+        )
+        alt_line = json.dumps(alt, separators=(",", ":"))
+        if len(alt_line) < len(line):
+            out, line = alt, alt_line
+    if len(line) > 1950:
+        print(
+            f"WARNING: stdout line {len(line)} bytes — approaching the "
+            "driver's 2000-byte capture; shrink the key map or encoding "
+            "BEFORE adding queries",
+            file=sys.stderr,
+        )
     print(f"stdout line: {len(line)} bytes", file=sys.stderr)
     sys.stderr.flush()
     print(line)
     sys.stdout.flush()
 
     sidecar = {
-        **out,
+        **{k: v for k, v in out.items() if k != "queries_unit"},
         "value": total,
         "n_queries": len(times),
+        # sidecar times are ALWAYS seconds — drop the stdout-only
+        # "queries_unit" marker so it cannot mislabel them
         "queries": times,  # full names + 3-decimal figures
         "stdout_key_map": {_short_key(k): k for k in times},
         "plan_fingerprints": plans,

@@ -2729,20 +2729,28 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = exact_quantile_bucketed(
         dev, "l_returnflag", "d", "w", num=1, den=2
     ).withColumnRenamed("q", "mad")
+    # The outlier count folds over the MATERIALIZED (flag, price, w)
+    # grain, not the fact table — the test only depends on distinct
+    # prices, so weighting by w gives the identical count with zero
+    # additional fact scans (round 10: this was the plan's third
+    # lineitem read).
     flagged = (
-        li.join(F.broadcast(med), "l_returnflag")
+        g.join(F.broadcast(med), "l_returnflag")
         .join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("n"),
             F.min("med").alias("median_price"),
             F.min("mad").alias("mad"),
             F.sum(
-                (
+                F.when(
                     F.lit(0.6745) * F.abs(F.col("price") - F.col("med"))
-                    > F.lit(3.5) * F.col("mad")
-                ).cast("long")
-            ).alias("n_outliers"),
+                    > F.lit(3.5) * F.col("mad"),
+                    F.col("w"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
         )
     )
     return flagged.select(
@@ -5481,43 +5489,71 @@ def q166_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: tie-averaged fractional ranks are made INTEGER by
     doubling — 2·avg_rank = 2·rank_min + ties − 1 — so every power
     sum (n, Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL sum of
-    integers (the doubling cancels in the correlation ratio). The
+    BIGINTs (the doubling cancels in the correlation ratio). The
     finish is q89's single shared IEEE expression
     ``(nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))``, ROUND 6.
 
-    Plan: ranks need two sorts of the same group partition (by
-    quantity, by price) — both windows hash-cluster on the GROUP key
-    alone, so Spark plans ONE exchange and two in-partition sorts;
-    the tie counts ride the same clustering ((g, x) is co-located
-    whenever g is). Then one group-grain aggregation. At 100 TB the
-    group key partitions everything; no global sort exists.
+    Plan — DISTRIBUTED RANK, not a per-group window sort (a 3-value
+    group key would pin a plain ``partitionBy(g)`` sort to 3 tasks
+    at ANY scale): each column's global rank decomposes as
+    bucket-offset + within-bucket rank, where the bucket is an
+    ORDER-PRESERVING integer division of the value. The within
+    window partitions by (g, bucket) — hundreds of parallel sort
+    partitions — and the offsets come from a bucket-grain count
+    prefix (domain-constant rows, broadcast back). Ties stay exact:
+    a value's tie block never crosses its bucket. Prices rank via
+    integer cents (exact for 2-decimal-clean money, order- and
+    tie-preserving). Two chained window blocks share the row
+    pipeline; the only data-grain stages are the two (g, bucket)
+    exchanges and their in-partition sorts.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
-    wx = Window.partitionBy("g").orderBy("x")
-    wy = Window.partitionBy("g").orderBy("y")
-    cx = Window.partitionBy("g", "x")
-    cy = Window.partitionBy("g", "y")
-    r = li.select(
-        "g",
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
-        .cast("long")
-        .alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
-        .cast("long")
-        .alias("ry"),
-    )
+
+    def with_rank2(df: DataFrame, col: str, width: int) -> DataFrame:
+        """Add ``r2_<col>`` = 2·rank_min + ties − 1 (doubled
+        tie-averaged rank of ``col`` within ``g``) via bucket-offset
+        + within-bucket rank. rank() is promoted to long before the
+        doubling (int32 would wrap past ~1.07e9 rows/bucket)."""
+        bkt = F.floor(F.col(col) / F.lit(width)).alias("_b")
+        rows = df.withColumn("_b", bkt)
+        off = (
+            rows.groupBy("g", "_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wb = Window.partitionBy("g").orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        off = off.select(
+            "g", "_b", (F.sum("c").over(wb) - F.col("c")).alias("pb")
+        )
+        w_in = Window.partitionBy("g", "_b").orderBy(col)
+        w_tie = Window.partitionBy("g", "_b", col)
+        return (
+            rows.join(F.broadcast(off), ["g", "_b"])
+            .withColumn(
+                f"r2_{col}",
+                2 * (F.col("pb") + F.rank().over(w_in).cast("long"))
+                + F.count(F.lit(1)).over(w_tie)
+                - 1,
+            )
+            .drop("_b", "pb")
+        )
+
+    r = with_rank2(with_rank2(li, "x", 8), "y", 65536)
     d19 = "decimal(19,0)"
+    rx = F.col("r2_x").cast(d19)
+    ry = F.col("r2_y").cast(d19)
     s = r.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("rx").cast(d19)).alias("sx"),
-        F.sum(F.col("ry").cast(d19)).alias("sy"),
-        F.sum(F.col("rx").cast(d19) * F.col("ry").cast(d19)).alias("sxy"),
-        F.sum(F.col("rx").cast(d19) * F.col("rx").cast(d19)).alias("sxx"),
-        F.sum(F.col("ry").cast(d19) * F.col("ry").cast(d19)).alias("syy"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -5566,14 +5602,21 @@ def q167_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_join(F.slice("toks", 1, 8), " ").alias("prefix")
         )
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n_eligible"))
-    cl = (
-        d.groupBy("prefix")
-        .agg(
+    from ..ops.materialize import materialize
+
+    # ONE documents scan: the pre-filter prefix aggregate feeds both
+    # the eligible total (Σ n_docs — vocabulary-sized rollup) and the
+    # cluster filter; materialized so neither consumer re-derives the
+    # corpus-grain agg (the q127/q143 multi-consumer rule)
+    pre = materialize(
+        d.groupBy("prefix").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("doc_id").alias("keeper_doc"),
         )
-        .filter(F.col("n_docs") >= 2)
+    )
+    tot = pre.agg(F.sum("n_docs").alias("n_eligible"))
+    cl = (
+        pre.filter(F.col("n_docs") >= 2)
         .crossJoin(F.broadcast(tot))  # 1-row scalar join
     )
     return (
@@ -5674,8 +5717,17 @@ def q169_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly but never the shuffle width.
     """
     M = 2147483647
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("price")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            dec("o_totalprice").alias("price"),
+        )
+        # the 101x explode + weight arithmetic is CPU-per-row; a
+        # small-file scan pins it to the scan's few input splits
+        # (3 at bench SF) — spread it first (q146's idiom)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     e = o.select(
         "o_orderpriority",
@@ -5709,6 +5761,13 @@ def q169_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # 505-row result feeding two branches whose pushed-down r filters
+    # would otherwise each re-run the scan + 101x explode + partial
+    # agg (the q127/q143 multi-consumer rule) — materialized, the
+    # data-sized pipeline runs ONCE
+    from ..ops.materialize import materialize
+
+    rep = materialize(rep)
     point = rep.filter(F.col("r") == -1).select(
         "o_orderpriority",
         F.col("n_rows").alias("n_orders"),
@@ -5760,18 +5819,32 @@ def q170_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     No pair joins, no windows — scale is bounded by the shingle
     vocabulary, exactly like q144.
     """
+    from ..ops.materialize import materialize
     from ..ops.text import shingles
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(shingles("text", 3)).alias("gs"),
+    # q146's lessons applied: repartition by explicit count BEFORE
+    # the CPU-bound interpreted shingle expression (a small-file scan
+    # would pin it to one partition), and MATERIALIZE the per-doc
+    # shingle sets — they feed two branches with different downstream
+    # exchanges (doc-grain totals, shingle-grain first-appearance),
+    # which would otherwise each re-scan and re-shingle the corpus
+    d = materialize(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles("text", 3)).alias("gs"),
+        )
+        .filter(F.size("gs") > 0)
+        .select(
+            "doc_id", "gs", F.size("gs").cast("long").alias("n_shingles")
+        )
     )
-    pairs = d.select(
-        "doc_id", F.explode("gs").alias("g")
-    )
-    per_doc = pairs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
-    )
+    # doc-grain totals are a PROJECTION of the materialized sets — no
+    # explode, no shuffle
+    per_doc = d.select("doc_id", "n_shingles")
+    pairs = d.select("doc_id", F.explode("gs").alias("g"))
     first = pairs.groupBy("g").agg(F.min("doc_id").alias("min_doc"))
     novel = first.groupBy("min_doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_novel")
@@ -5815,8 +5888,13 @@ def q171_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: ONE (type, decile, hour) aggregation (≤ 5·10·24 =
     1200 cells) is the only data-grain pass; each pair's
-    contingency table is a rollup of those 1200 rows. Per-cell chi²
-    contributions use q143's integer-cleared decimal-fragment form;
+    contingency table is a rollup of those 1200 rows. Declared cell
+    semantics: tables are built from OBSERVED level combinations
+    only — a level pair with zero occurrences contributes no cell
+    (its χ² term would be rt·ct/N); both engines derive cells,
+    margins and level counts from the same observed grouping, so
+    the contract is symmetric. Per-cell chi² contributions use
+    q143's integer-cleared decimal-fragment form;
     V = √(χ²/(N·min(r−1,c−1))) and T = √(χ²/(N·√((r−1)(c−1)))) are
     fixed IEEE trees (√ is correctly rounded — no libm in the
     contract).
@@ -5930,8 +6008,10 @@ def q172_tail_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("rn"),
         F.count(F.lit(1)).over(wp).alias("n"),
     )
-    k1 = F.greatest(F.lit(1), (F.col("n") / 100).cast("long"))
-    k10 = F.greatest(F.lit(1), (F.col("n") / 10).cast("long"))
+    # integer floor division (`div`, = DuckDB `//`) — a double `/`
+    # would break the exact-integer contract past 2^53
+    k1 = F.greatest(F.lit(1).cast("long"), F.expr("n div 100"))
+    k10 = F.greatest(F.lit(1).cast("long"), F.expr("n div 10"))
     agg = r.groupBy("source").agg(
         F.max("n").cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("tot_tokens"),
@@ -6002,7 +6082,14 @@ def q173_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("half").orderBy(
         F.col("rev").desc(), F.col("l_partkey").asc()
     )
-    rk = pr.select("half", "l_partkey", F.row_number().over(wr).alias("rn"))
+    # catalog-grain ranks feed two half-filtered branches; the half
+    # predicate pushes below the window AND the fact aggregate, so
+    # without materialization the lineitem scan + hash-agg run twice
+    from ..ops.materialize import materialize
+
+    rk = materialize(
+        pr.select("half", "l_partkey", F.row_number().over(wr).alias("rn"))
+    )
     a = rk.filter(F.col("half") == "H1").select(
         "l_partkey", F.col("rn").alias("rn_a")
     )

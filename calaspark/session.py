@@ -93,6 +93,9 @@ def _build_pkg_zip() -> str:
                     info = zipfile.ZipInfo(
                         os.path.relpath(full, pkg_root), (1980, 1, 1, 0, 0, 0)
                     )
+                    # writestr takes compression from the ZipInfo
+                    # (default STORED), not the archive constructor
+                    info.compress_type = zipfile.ZIP_DEFLATED
                     with open(full, "rb") as fh:
                         z.writestr(info, fh.read())
     payload = buf.getvalue()

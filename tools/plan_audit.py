@@ -284,6 +284,11 @@ SCAN_ALLOWED = {
     "q160": 4,
     # KS two-sample prefix: the two cohort branches + bucket scaffold
     "q140": 6,
+    # distributed rank: each of the two rank columns needs its
+    # bucket-offset scaffold (a (g, bucket)-grain count prefix)
+    # beside the row pipeline — the q140/q145 scaffold pattern, one
+    # narrow pruned scan per offset table
+    "q166": 4,
     # expectation suite: EIGHT independent checks, each its own table
     # + pushed-filter scan by design (multi-table audit, not reuse)
     "q137": 10,
