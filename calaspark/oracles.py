@@ -5206,3 +5206,57 @@ FROM st
 ORDER BY cusum_abs DESC, day
 LIMIT 5
 """
+
+# Q175 — Kruskal-Wallis H across priorities ----------------------------
+# Oracle uses the PLAIN global window rank (doubled tie-averaged) —
+# the driver hash proves the engine's bucket-decomposed distributed
+# rank computes the identical statistic.
+
+ORACLES["q175"] = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), r AS (
+  SELECT g,
+         CAST(2 * rank() OVER (ORDER BY v)
+              + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2
+  FROM v
+), sg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r2 AS DECIMAL(38,0))) AS s2
+  FROM r GROUP BY g
+), ties AS (
+  SELECT v, CAST(COUNT(*) AS DECIMAL(13,0)) AS t FROM v GROUP BY v
+), tt AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS nn,
+         SUM(t * t * t - t) AS tsum
+  FROM ties
+), per AS (
+  SELECT g, n, s2,
+         CAST(ROUND(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / (4.0 * CAST(n AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS f,
+         nn, tsum
+  FROM sg CROSS JOIN tt
+), fin AS (
+  SELECT g, n, s2, nn, tsum,
+         CAST(SUM(f) OVER () AS DOUBLE) AS fsum,
+         COUNT(*) OVER () AS k
+  FROM per
+)
+SELECT g AS o_orderpriority, n,
+       CAST(s2 AS DOUBLE) AS rank_sum2,
+       ROUND(CAST(s2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)), 6)
+         AS mean_rank,
+       ROUND(12.0 * fsum / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) AS h,
+       ROUND((12.0 * fsum / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                   * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6) AS h_adj,
+       CAST(k - 1 AS INTEGER) AS dof
+FROM fin
+ORDER BY o_orderpriority
+"""

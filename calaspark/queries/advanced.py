@@ -5507,43 +5507,19 @@ def q166_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; the only data-grain stages are the two (g, bucket)
     exchanges and their in-partition sorts.
     """
+    from ..ops.rank import with_rank2
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
-
-    def with_rank2(df: DataFrame, col: str, width: int) -> DataFrame:
-        """Add ``r2_<col>`` = 2·rank_min + ties − 1 (doubled
-        tie-averaged rank of ``col`` within ``g``) via bucket-offset
-        + within-bucket rank. rank() is promoted to long before the
-        doubling (int32 would wrap past ~1.07e9 rows/bucket)."""
-        bkt = F.floor(F.col(col) / F.lit(width)).alias("_b")
-        rows = df.withColumn("_b", bkt)
-        off = (
-            rows.groupBy("g", "_b")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        wb = Window.partitionBy("g").orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        off = off.select(
-            "g", "_b", (F.sum("c").over(wb) - F.col("c")).alias("pb")
-        )
-        w_in = Window.partitionBy("g", "_b").orderBy(col)
-        w_tie = Window.partitionBy("g", "_b", col)
-        return (
-            rows.join(F.broadcast(off), ["g", "_b"])
-            .withColumn(
-                f"r2_{col}",
-                2 * (F.col("pb") + F.rank().over(w_in).cast("long"))
-                + F.count(F.lit(1)).over(w_tie)
-                - 1,
-            )
-            .drop("_b", "pb")
-        )
-
-    r = with_rank2(with_rank2(li, "x", 8), "y", 65536)
+    r = with_rank2(
+        with_rank2(li, "x", group_cols=["g"], bucket_width=8),
+        "y",
+        group_cols=["g"],
+        bucket_width=65536,
+    )
     d19 = "decimal(19,0)"
     rx = F.col("r2_x").cast(d19)
     ry = F.col("r2_y").cast(d19)
@@ -6199,4 +6175,87 @@ def q174_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cusum_abs").desc(), "day")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------- Q175
+
+
+def q175_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test across order priorities (E13 — the
+    k-sample completion of the nonparametric family: q145's
+    Mann-Whitney compares TWO cohorts, this asks "does ANY of the
+    five priorities' price distributions differ?", with the
+    tie-corrected statistic).
+
+    Exactness: GLOBAL tie-averaged ranks come doubled from
+    ops/rank.with_rank2 (r2 = 2·rank_min + ties − 1, exact BIGINT
+    — the q145 identity), so every group rank sum S_g = Σ r2 is an
+    exact decimal and R_g²/n_g = S_g²/(4·n_g). Per-group fragments
+    are ROUND(·,6) decimals summed exactly (the q143 convention);
+    H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) and the tie correction
+    C = 1 − Σ(t³−t)/(N³−N) close with fixed IEEE trees. S_g is
+    squared in DOUBLE (correctly-rounded decimal→double cast, then
+    one multiply — identical in both engines at any magnitude,
+    where a decimal square would overflow precision 38 past
+    N ≈ 2e9).
+
+    Plan: the distributed-rank decomposition (bucket offsets +
+    (bucket)-partitioned windows — no single data-grain sort even
+    though the rank is GLOBAL), one group-grain aggregation, one
+    value-grain tie aggregation (vocabulary of distinct prices),
+    and category-grain finishes. The oracle is the plain global
+    window rank — the hash proves the decomposition exact.
+    """
+    from ..ops.rank import with_rank2
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    r = with_rank2(o, "v", group_cols=[], bucket_width=65536)
+    sg = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2_v").cast("decimal(38,0)")).alias("s2"),
+    )
+    # ties at value grain; N derives from the same aggregate
+    d13 = "decimal(13,0)"
+    ties = o.groupBy("v").agg(F.count(F.lit(1)).cast(d13).alias("t"))
+    tt = ties.agg(
+        F.sum("t").cast("long").alias("nn"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tsum"),
+    )
+    frag = F.round(
+        (F.col("s2").cast("double") * F.col("s2").cast("double"))
+        / (F.lit(4.0) * F.col("n").cast("double")),
+        6,
+    ).cast("decimal(28,6)")
+    per = sg.select("g", "n", "s2", frag.alias("_f")).crossJoin(
+        F.broadcast(tt)
+    )
+    wall = Window.partitionBy()
+    nd = F.col("nn").cast("double")
+    fsum = F.sum("_f").over(wall).cast("double")
+    h = F.lit(12.0) * fsum / (nd * (nd + F.lit(1.0))) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    c = F.lit(1.0) - F.col("tsum").cast("double") / (nd * nd * nd - nd)
+    k = F.count(F.lit(1)).over(wall)
+    return (
+        per.select(
+            F.col("g").alias("o_orderpriority"),
+            "n",
+            F.col("s2").cast("double").alias("rank_sum2"),
+            F.round(
+                F.col("s2").cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double")),
+                6,
+            ).alias("mean_rank"),
+            F.round(h, 6).alias("h"),
+            F.round(h / c, 6).alias("h_adj"),
+            (k - 1).cast("int").alias("dof"),
+        )
+        .orderBy("o_orderpriority")
     )

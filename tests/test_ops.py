@@ -1226,3 +1226,40 @@ def test_isotonic_calibrate_runs_at_bin_grain(spark):
         # fitted curve is monotone in bin order
         iso = [r["iso_rate"] for r in rs]
         assert all(iso[i] <= iso[i + 1] + 1e-12 for i in range(len(iso) - 1))
+
+
+def test_with_rank2_equals_naive_window_rank(spark):
+    """ops/rank.with_rank2 (bucket-offset + within-bucket rank) must
+    equal the naive single-window doubled tie-averaged rank on data
+    with heavy ties, for grouped AND global ranks, across bucket
+    widths (including degenerate width=1 and one-big-bucket)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from calaspark.ops.rank import with_rank2
+
+    rows = [
+        ("a", v)
+        for v in [5, 5, 5, 1, 2, 2, 9, 100, 100, 7, 64, 65, 66, 128]
+    ] + [("b", v) for v in [3, 3, 3, 3, 10, 1000000, 0, 0]]
+    df = spark.createDataFrame(rows, ["g", "v"]).withColumn(
+        "v", F.col("v").cast("long")
+    )
+    for gcols in (["g"], []):
+        naive_w = Window.partitionBy(*gcols).orderBy("v")
+        tie_w = Window.partitionBy(*(gcols + ["v"]))
+        naive = df.withColumn(
+            "want",
+            2 * F.rank().over(naive_w).cast("long")
+            + F.count(F.lit(1)).over(tie_w)
+            - 1,
+        )
+        for width in (1, 7, 64, 1 << 40):
+            got = with_rank2(
+                df, "v", group_cols=gcols, bucket_width=width
+            )
+            j = got.join(naive, gcols + ["v"]).select("r2_v", "want")
+            bad = j.filter(F.col("r2_v") != F.col("want")).count()
+            assert bad == 0, (gcols, width)
+            # schema hygiene: helper columns dropped
+            assert set(got.columns) == set(df.columns) | {"r2_v"}

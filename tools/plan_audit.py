@@ -249,6 +249,14 @@ ALLOWED = {
     # day-ordered running-sum window over the CALENDAR-sized daily
     # aggregate — the declared q85/q143 tiny-global-window class
     "q174": {"single_part_exchange"},
+    # GLOBAL distributed rank: the bucket-offset prefix window runs
+    # over the BUCKET-grain count table (value_range/width rows — a
+    # domain constant, the q98/ops-quantile declared class) and the
+    # (nn, tsum) tie summary is a 1-row aggregate broadcast-
+    # crossJoined onto the 5-row group table (q56/q80's
+    # scalar-subquery shape); the data-grain sort is bucket-
+    # partitioned, never single-partition
+    "q175": {"bnlj", "single_part_exchange"},
 }
 
 
