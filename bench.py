@@ -88,7 +88,24 @@ def _fingerprint(df) -> str:
 
 
 def _prev_bench(here: Path) -> tuple[str, dict] | None:
-    """Most recent BENCH_r*.json that actually carries query times."""
+    """Most recent BENCH_r*.json that actually carries query times,
+    with keys translated back to FULL query ids.
+
+    Driver BENCH files store the stdout dict, whose keys are the
+    SHORT forms since round 9 (base36 / abbreviations) — comparing
+    them against this run's full-name times silently matched only
+    the handful of ids whose short form equals the full name (the
+    round-10 delta_vs_prev had 7 entries out of 205). The current
+    registry's short→full map inverts them; short keys that no
+    longer resolve (renamed/removed ids) are dropped. Deciseconds
+    lines (queries_unit == "ds") are rescaled to seconds.
+    """
+    inv = {_short_key(qid): qid for qid in QUERIES}
+    # pre-round-10 files carry the abbreviations in lowercase (the
+    # reserved namespace was uppercased); accept them wherever the
+    # lowercase form isn't already a live base36 id
+    for name, ab in _STDOUT_ABBREV.items():
+        inv.setdefault(ab.lower(), name)
     best: tuple[int, str, dict] | None = None
     for p in here.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)", p.name)
@@ -99,9 +116,16 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
         except (OSError, json.JSONDecodeError):
             continue
         # the driver wraps our JSON line under "parsed"
-        q = d.get("queries") or (d.get("parsed") or {}).get("queries")
+        payload = d if d.get("queries") else (d.get("parsed") or {})
+        q = payload.get("queries")
         if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p.name, q)
+            scale = 0.1 if payload.get("queries_unit") == "ds" else 1.0
+            full = {
+                inv.get(k, k): v * scale
+                for k, v in q.items()
+                if inv.get(k, k) in QUERIES
+            }
+            best = (int(m.group(1)), p.name, full)
     return (best[1], best[2]) if best else None
 
 

@@ -5260,3 +5260,80 @@ SELECT g AS o_orderpriority, n,
 FROM fin
 ORDER BY o_orderpriority
 """
+
+# Q176 — referential-integrity FK audit --------------------------------
+# One row per FK edge; exact counts via scalar subqueries; the anti
+# semantics spelled as NOT IN with NULL-safe filters.
+
+ORACLES["q176"] = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+           AS n_null_fk,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS n_orphan,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+           AS n_distinct_fk,
+         (SELECT COUNT(*) FROM orders) AS n_parent
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
+            AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+         (SELECT COUNT(*) FROM part)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT COUNT(*) FROM supplier)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+         (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+         (SELECT COUNT(*) FROM nation)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey',
+         (SELECT COUNT(*) FROM supplier),
+         (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
+         (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+            AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+         (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+         (SELECT COUNT(*) FROM nation)
+  UNION ALL
+  SELECT 'nation.n_regionkey->region.r_regionkey',
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+         (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL
+            AND n_regionkey NOT IN (SELECT r_regionkey FROM region)),
+         (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+         (SELECT COUNT(*) FROM region)
+)
+SELECT edge,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_null_fk AS BIGINT) AS n_null_fk,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       CAST(n_distinct_fk AS BIGINT) AS n_distinct_fk,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       ROUND(CAST(n_distinct_fk AS DOUBLE) / CAST(n_parent AS DOUBLE), 6)
+         AS parent_coverage
+FROM e
+ORDER BY edge
+"""

@@ -5686,11 +5686,13 @@ def q169_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER-STATISTIC selection (3rd / 98th of the 100 replicate
     means) — no float accumulation anywhere.
 
-    Plan: scan → explode a 101-literal sequence (map-side; no
-    shuffle) → (priority, r) hash-agg with map-side partials
-    (5 × 101 groups) → 505-row window selection. The only data-sized
-    stage is the partial agg; replicate count scales the MAP work
-    linearly but never the shuffle width.
+    Plan: scan → narrow-projection spread (one explicit repartition
+    — the CPU-bound 101× explode otherwise runs on the scan's few
+    input splits, q146's lesson) → explode → (priority, r) hash-agg
+    with map-side partials (5 × 101 groups, MATERIALIZED for its two
+    consumers) → 505-row window selection. The only data-sized
+    stages are the spread and the partial agg; replicate count
+    scales the MAP work linearly but never the shuffle width.
     """
     M = 2147483647
     o = (
@@ -6259,3 +6261,79 @@ def q175_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------- Q176
+
+
+def q176_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT across every foreign-key edge of
+    the schema (V1/V2's cross-TABLE completion — the reference
+    verifies per-table row counts after load (SURVEY.md §2.2 V1);
+    a warehouse also verifies that the EDGES hold before trusting
+    joins: orphan children, NULL keys, and how much of each parent
+    the children actually reference).
+
+    One row per FK edge with exact counts: child rows, NULL FKs,
+    orphans (child keys with no parent — LEFT ANTI), distinct child
+    keys, parent keys, and parent coverage (ONE division, ROUND 6).
+
+    Plan: per edge, one anti-join (AQE broadcasts the parent key
+    column while it is dim-sized; shuffle-hash beyond that) and one
+    child-side distinct — each edge is an independent branch BY
+    SEMANTICS (the q137 multi-table audit class: per-edge scans are
+    separate checks, not a reusable subtree); every branch folds to
+    a 1-row summary before the 7-row union.
+    """
+    edges = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey",
+         "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey",
+         "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        base = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("fk").isNull().cast("long"))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.count_distinct("fk").cast("long").alias("n_distinct_fk"),
+        )
+        orphans = (
+            c.filter(F.col("fk").isNotNull())
+            .join(p, F.col("fk") == F.col("pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphan"))
+        )
+        np = p.agg(F.count(F.lit(1)).cast("long").alias("n_parent"))
+        row = (
+            base.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(np))
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphan",
+                "n_distinct_fk",
+                "n_parent",
+                F.round(
+                    F.col("n_distinct_fk").cast("double")
+                    / F.col("n_parent").cast("double"),
+                    6,
+                ).alias("parent_coverage"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")

@@ -249,6 +249,12 @@ ALLOWED = {
     # day-ordered running-sum window over the CALENDAR-sized daily
     # aggregate — the declared q85/q143 tiny-global-window class
     "q174": {"single_part_exchange"},
+    # multi-edge referential-integrity audit (the q137 class): each
+    # of the 7 FK edges folds to THREE 1-row summaries (child stats,
+    # anti-join orphan count, parent count) crossJoined into its
+    # report row (1-row BNLJ + global final merges); per-edge scans
+    # are independent checks by semantics
+    "q176": {"bnlj", "single_part_exchange"},
     # GLOBAL distributed rank: the bucket-offset prefix window runs
     # over the BUCKET-grain count table (value_range/width rows — a
     # domain constant, the q98/ops-quantile declared class) and the
@@ -300,6 +306,10 @@ SCAN_ALLOWED = {
     # expectation suite: EIGHT independent checks, each its own table
     # + pushed-filter scan by design (multi-table audit, not reuse)
     "q137": 10,
+    # FK audit: 7 edges x 4 scans (child stats, anti-join child side,
+    # anti-join parent side, parent count) — independent checks by
+    # semantics, q137's multi-table-audit class
+    "q176": 28,
     # grid-cosine pair corpus: the materialized union still shows the
     # two cell-join sides + norms branches of the cached blocks
     "q73": 4,
