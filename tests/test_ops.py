@@ -1263,3 +1263,43 @@ def test_with_rank2_equals_naive_window_rank(spark):
             assert bad == 0, (gcols, width)
             # schema hygiene: helper columns dropped
             assert set(got.columns) == set(df.columns) | {"r2_v"}
+
+
+def test_with_rank2_plan_is_bucket_partitioned(spark):
+    """Scale contract of ops/rank: the data-grain sort must be
+    partitioned by (group, bucket) — NOT by the group key alone
+    (which pins the sort to |group| tasks) and NOT SinglePartition
+    (grouped mode). Global mode's only SinglePartition exchange is
+    the bucket-grain offset prefix, never the row sort."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.rank import with_rank2
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 37 % 1000).cast("long").alias("v"),
+    )
+    # grouped: no SinglePartition anywhere; the sort exchange hashes
+    # on both g and the bucket column
+    plan = (
+        with_rank2(df, "v", group_cols=["g"], bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("g" in p and "_rk_b" in p for p in parts), parts
+    # global: the row-grain sort exchange still hashes on the bucket;
+    # SinglePartition appears only for the offset-table prefix window
+    plan_g = (
+        with_rank2(df, "v", group_cols=[], bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    parts_g = re.findall(r"hashpartitioning\(([^)]*)\)", plan_g)
+    assert any("_rk_b" in p for p in parts_g), parts_g
+    assert plan_g.count("Exchange SinglePartition") <= 1, plan_g
