@@ -5337,3 +5337,50 @@ SELECT edge,
 FROM e
 ORDER BY edge
 """
+
+# Q177 — point-in-time (feature-store) enrichment ----------------------
+# The oracle uses DuckDB's NATIVE ASOF JOIN; the engine side is the
+# union-sentinel as-of (ops/asof) — the hash proves them equivalent.
+
+ORACLES["q177"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS oday
+  FROM orders
+), cum AS (
+  SELECT o_custkey, oday,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY oday, o_orderkey) AS cum
+  FROM o
+), starts AS (
+  SELECT o_custkey, oday,
+         MAX(CASE WHEN cum = 10 THEN 3 WHEN cum = 5 THEN 2
+                  ELSE 1 END) AS tier_rank
+  FROM cum WHERE cum IN (1, 5, 10)
+  GROUP BY o_custkey, oday
+), facts AS (
+  SELECT o2.o_custkey,
+         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS sday,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+           AS rev
+  FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+), j AS (
+  SELECT f.o_custkey, f.rev, s.tier_rank
+  FROM facts f
+  ASOF LEFT JOIN starts s
+    ON f.o_custkey = s.o_custkey AND f.sday >= s.oday
+)
+SELECT CASE WHEN tier_rank = 3 THEN 'GOLD'
+            WHEN tier_rank = 2 THEN 'SILVER'
+            WHEN tier_rank = 1 THEN 'BRONZE'
+            ELSE 'NONE' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+FROM j
+GROUP BY 1
+ORDER BY tier
+"""

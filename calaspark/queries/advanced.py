@@ -6337,3 +6337,97 @@ def q176_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------- Q177
+
+
+def q177_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME enrichment (E1+E16 composition — the FEATURE
+    STORE join: attach to every fact the dimension state that was
+    true WHEN THE FACT HAPPENED, never the current state — the
+    leakage-free join every training pipeline and SCD2 warehouse
+    needs): each lineitem's revenue attributed to the customer's
+    loyalty TIER AS OF ITS SHIP DATE, where tiers derive from the
+    customer's cumulative order count (1st order → BRONZE, 5th →
+    SILVER, 10th → GOLD).
+
+    Semantics: tier-start events at cumulative order counts 1/5/10
+    (one row per (customer, day): the day's FINAL tier — max rank —
+    so the as-of right side is unique per key+day, making the
+    inclusive match engine-unambiguous); every lineitem then
+    backward-as-of joins on (custkey, epoch-day of l_shipdate ≥
+    tier-start day). TPC-H ships after ordering, so no line precedes
+    its customer's first tier. Revenue is the exact decimal
+    Σ price·(1−disc); day arithmetic is integer epoch days (rule 2).
+
+    Plan: lineitem⋈orders equi-join (fact-fact, AQE), one
+    customer-keyed window for cumulative counts (dim-grain), and
+    ops/asof's UNION-SENTINEL as-of (ONE shuffle on custkey + an
+    in-partition sort — no range blowup; the 100 TB feature-store
+    shape). The oracle uses DuckDB's NATIVE ASOF JOIN — the hash
+    proves the union-sentinel plan ≡ the native operator.
+    """
+    from ..ops.asof import asof_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("oday"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("oday", "o_orderkey")
+    starts = (
+        o.withColumn("cum", F.row_number().over(wc))
+        .filter(F.col("cum").isin(1, 5, 10))
+        .select(
+            "o_custkey",
+            "oday",
+            F.when(F.col("cum") == 10, 3)
+            .when(F.col("cum") == 5, 2)
+            .otherwise(1)
+            .alias("tier_rank"),
+        )
+        .groupBy("o_custkey", "oday")
+        .agg(F.max("tier_rank").alias("tier_rank"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("sday"),
+        (
+            dec("l_extendedprice")
+            * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+        ).alias("rev"),
+    )
+    facts = li.join(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_custkey", "sday", "rev")
+    j = asof_join(
+        facts,
+        starts.select(
+            "o_custkey", F.col("oday").alias("ts"), "tier_rank"
+        ),
+        key="o_custkey",
+        left_ts="sday",
+        right_ts="ts",
+        payload=["tier_rank"],
+    )
+    tier = (
+        F.when(F.col("tier_rank") == 3, "GOLD")
+        .when(F.col("tier_rank") == 2, "SILVER")
+        .when(F.col("tier_rank") == 1, "BRONZE")
+        .otherwise("NONE")
+    )
+    return (
+        j.select(tier.alias("tier"), "rev", "o_custkey")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("tier")
+    )
