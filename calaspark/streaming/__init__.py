@@ -1,5 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.5 E23)."""
 
+from .drift import ewma_drift_stream
+
 from .stateful import (
     ROCKSDB_PROVIDER_CONF,
     heavy_hitters_stream,
@@ -22,6 +24,7 @@ from .windows import (
 
 __all__ = [
     "ROCKSDB_PROVIDER_CONF",
+    "ewma_drift_stream",
     "heavy_hitters_stream",
     "running_totals_stream",
     "running_totals_tws",

@@ -504,3 +504,102 @@ def test_streaming_heavy_hitters_covers_batch_truth(spark, tmp_path):
     }
     assert got == truth
 
+
+
+def test_streaming_ewma_drift_matches_batch_kernel(spark, tmp_path):
+    """The drained streaming EWMA must be BITWISE equal per key to
+    the batch ops/sequential.ewma_running closing value over the
+    same ordered input (the stream/batch twin contract for the
+    sequential-recurrence family), and the alert counter must match
+    a pure-Python replay of the same deterministic rule."""
+    import random
+
+    from calaspark.ops.sequential import ewma_running
+    from calaspark.streaming import ewma_drift_stream, run_available_now
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(600):
+        key = f"k{i % 3}"
+        base = 10.0 * (1 + i % 3)
+        x = base + rng.uniform(-1, 1)
+        if i % 97 == 0:
+            x *= 8  # injected level jumps -> alerts
+        rows.append((key, i, round(x, 3)))
+
+    # split across files IN ORDER so availableNow drains in several
+    # in-order micro-batches (the operator's ordering contract)
+    src = tmp_path / "vals"
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        spark.createDataFrame(
+            rows[i * per : (i + 1) * per],
+            "key string, seq long, value double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("key string, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_available_now(
+        ewma_drift_stream(
+            stream, key_col="key", order_col="seq", val_col="value",
+            alpha=0.125, tau=1.5,
+        ),
+        "t_drift",
+        output_mode="update",
+    )
+    # "update" emits one row per key per touching micro-batch; the
+    # final state per key is the row with the max n_events
+    got = {
+        r["key"]: r
+        for r in spark.sql(
+            """SELECT key, n_events, ewma, n_alerts FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY key ORDER BY n_events DESC) AS rn
+                 FROM t_drift) WHERE rn = 1"""
+        ).collect()
+    }
+    q.stop()
+
+    batch = spark.createDataFrame(rows, "key string, seq long, value double")
+    fin = ewma_running(batch, ["key"], ["seq"], "value", alpha=0.125)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    last = (
+        fin.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.col("seq").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    want_ewma = {r["key"]: r["ewma"] for r in last}
+
+    # pure-Python replay of the alert rule
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for k, i, x in rows:
+        seq[k].append((i, x))
+    want_alerts = {}
+    for k, vs in seq.items():
+        s, have, na = 0.0, False, 0
+        for _, x in sorted(vs):
+            if have and s != 0.0 and abs(x - s) > 1.5 * abs(s):
+                na += 1
+            s = x if not have else 0.125 * x + 0.875 * s
+            have = True
+        want_alerts[k] = (na, s)
+
+    for k in seq:
+        assert got[k]["n_events"] == len(seq[k])
+        assert got[k]["ewma"] == want_ewma[k], (k, "stream vs batch kernel")
+        assert got[k]["ewma"] == want_alerts[k][1], (k, "stream vs replay")
+        assert got[k]["n_alerts"] == want_alerts[k][0], (k, "alerts")
+    assert sum(v[0] for v in want_alerts.values()) > 0  # jumps fired
