@@ -5384,3 +5384,62 @@ FROM j
 GROUP BY 1
 ORDER BY tier
 """
+
+# Q178 — dedup keeper election report ----------------------------------
+# q96's recursive-CTE closure + a window election under the declared
+# (ntok DESC, doc_id ASC) total order; exact integer savings.
+
+ORACLES["q178"] = r"""
+WITH RECURSIVE nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), q AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT) AS ntok
+  FROM documents
+), chain AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM q a JOIN q b ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
+), mix AS (
+  SELECT doc_id AS src,
+         (doc_id * doc_id) % (SELECT n FROM nn) AS dst
+  FROM q
+  WHERE doc_id % 7 = 0
+    AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
+), es AS (
+  SELECT src AS a, dst AS b FROM chain
+  UNION
+  SELECT dst, src FROM chain
+  UNION
+  SELECT src, dst FROM mix
+  UNION
+  SELECT dst, src FROM mix
+), verts AS (
+  SELECT DISTINCT a AS v FROM es
+), r AS (
+  SELECT v AS id, v AS lab FROM verts
+  UNION
+  SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
+), comp AS (
+  SELECT id, MIN(lab) AS comp FROM r GROUP BY id
+), mem AS (
+  SELECT c.comp AS component, q.doc_id, q.n_chars, q.ntok,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY q.ntok DESC, q.doc_id ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.id
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS keeper_doc,
+       CAST(MIN(CASE WHEN rn = 1 THEN ntok END) AS BIGINT)
+         AS tokens_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+       CAST(SUM(ntok) - MIN(CASE WHEN rn = 1 THEN ntok END) AS BIGINT)
+         AS tokens_deleted
+FROM mem
+GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY component
+"""

@@ -6431,3 +6431,90 @@ def q177_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------- Q178
+
+
+def q178_dedup_keeper_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP KEEPER ELECTION report (E15/E17's final act — after
+    clustering finds the near-dup groups, a pipeline must pick ONE
+    canonical document per cluster and account for what deletion
+    saves; the reference's latest-amendment-wins is the same
+    election under a different rule): over q96's deterministic
+    document graph, per multi-member component elect the keeper
+    under the declared (bpe-token count DESC, doc_id ASC) rule and
+    report members, keeper, kept tokens, and the chars/tokens that
+    dedup deletes.
+
+    Exactness: all counts exact integers; the election is an argmax
+    under a TOTAL order (token count, then min doc_id — no float
+    anywhere); savings are integer subtractions.
+
+    Plan: q96's edge derivation + log-diameter star-contraction
+    components (`ops/components.py` — the iterative operator, again
+    hash-proved against the oracle's recursive-CTE closure), one
+    doc-grain join to attach (chars, tokens), one component-grain
+    max-of-struct election (the q149 survivorship idiom: ONE hash
+    agg, no per-rule shuffles), singletons excluded (no savings).
+    """
+    from ..ops.components import connected_components
+    from ..ops.text import bpe_ish_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", bpe_ish_count("text").alias("ntok")
+    )
+    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
+    chain = a.join(
+        b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))
+    ).select("src", "dst")
+    mix = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cc = connected_components(
+        chain.unionByName(mix), src="src", dst="dst"
+    )
+    m = cc.join(
+        d.select(F.col("doc_id").alias("vertex"), "n_chars", "ntok"),
+        "vertex",
+    )
+    # keeper = argmax (ntok, -doc_id): max-of-struct with the doc_id
+    # NEGATED inside so a single MAX realizes the (ntok DESC,
+    # doc_id ASC) total order — the q149 one-agg survivorship idiom
+    keeper = F.max(
+        F.struct(
+            F.col("ntok").alias("k1"),
+            (-F.col("vertex")).alias("k2"),
+        )
+    )
+    g = m.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        keeper.alias("_k"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum("ntok").cast("long").alias("tokens_total"),
+    )
+    return (
+        g.filter(F.col("n_members") >= 2)
+        .select(
+            "component",
+            "n_members",
+            (-F.col("_k.k2")).cast("long").alias("keeper_doc"),
+            F.col("_k.k1").cast("long").alias("tokens_kept"),
+            "chars_total",
+            "tokens_total",
+            (F.col("tokens_total") - F.col("_k.k1"))
+            .cast("long")
+            .alias("tokens_deleted"),
+        )
+        .orderBy("component")
+    )
