@@ -5443,3 +5443,44 @@ GROUP BY component
 HAVING COUNT(*) >= 2
 ORDER BY component
 """
+
+# Q179 — training-mix rebalance plan -----------------------------------
+# Fixed target shares (exact hundredths); the achievable mix size is
+# the integer-floor min over per-source caps; planned takes and the
+# binding flag all exact integer `//` arithmetic, one division for
+# the rate.
+
+ORACLES["q179"] = r"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT * FROM (VALUES
+    ('src0', 9), ('src1', 9), ('src2', 8), ('src3', 8), ('src4', 7),
+    ('src5', 7), ('src6', 6), ('src7', 6), ('src8', 5), ('src9', 5),
+    ('src10', 5), ('src11', 5), ('src12', 4), ('src13', 4),
+    ('src14', 3), ('src15', 3), ('src16', 2), ('src17', 2),
+    ('src18', 1), ('src19', 1)) AS t(source, share_pct)
+), capped AS (
+  SELECT p.source, p.n_docs, p.tokens,
+         CAST(s.share_pct AS BIGINT) AS share_pct,
+         p.tokens * 100 // CAST(s.share_pct AS BIGINT) AS cap
+  FROM per p JOIN sh s USING (source)
+  WHERE s.share_pct > 0
+), tt AS (
+  SELECT MIN(cap) AS t_total FROM capped
+)
+SELECT source, n_docs, tokens, share_pct,
+       CAST(t_total AS BIGINT) AS t_total,
+       CAST(share_pct * t_total // 100 AS BIGINT) AS planned_tokens,
+       ROUND(CAST(share_pct * t_total // 100 AS DOUBLE)
+             / CAST(tokens AS DOUBLE), 6) AS sampling_rate,
+       CAST(CASE WHEN cap = t_total THEN 1 ELSE 0 END AS INTEGER)
+         AS is_binding
+FROM capped CROSS JOIN tt
+ORDER BY source
+"""

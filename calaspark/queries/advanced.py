@@ -6518,3 +6518,76 @@ def q178_dedup_keeper_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------- Q179
+
+
+def q179_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIX REBALANCE PLAN (E13/E19 — q70 samples AT a given
+    rate; this computes WHAT the rates must be: given declared
+    target shares per source, how hard can each source be
+    down-sampled — or is it a deficit source that caps the total
+    mix?): the standard epoch-planning arithmetic of a data-mixture
+    owner, reported per source.
+
+    Semantics (declared): targets are fixed literals (a 4-source
+    30/30/25/15 split). The achievable mix size is capped by the
+    scarcest source: T = min_s(tokens_s / share_s) — computed
+    float-free as an integer-cleared argmin (tokens_s·D/share_num_s
+    compared in exact BIGINT via cross-multiplication is overkill
+    here since shares are exact hundredths: cap_s = tokens_s·100
+    div share_pct, an exact integer floor). Each source's planned
+    take is share_pct·T div 100 (exact), its sampling rate ONE
+    division, deficit flag exact comparison.
+
+    Plan: one documents scan → 4-row source aggregate; everything
+    after is literal arithmetic at source grain (broadcast of the
+    1-row cap). The audit a 100 TB mixture rebuild runs in seconds
+    regardless of corpus size.
+    """
+    from ..ops.text import bpe_ish_count
+
+    shares = {
+        "src0": 9, "src1": 9, "src2": 8, "src3": 8, "src4": 7,
+        "src5": 7, "src6": 6, "src7": 6, "src8": 5, "src9": 5,
+        "src10": 5, "src11": 5, "src12": 4, "src13": 4, "src14": 3,
+        "src15": 3, "src16": 2, "src17": 2, "src18": 1, "src19": 1,
+    }
+    src = load_table(spark, sf_dir, "documents").select(
+        "source", bpe_ish_count("text").alias("ntok")
+    )
+    per = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("tokens"),
+    )
+    share_pct = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(p))
+            for s, p in shares.items()
+        ],
+        F.lit(0),
+    ).cast("long")
+    # cap_s = floor(tokens*100 / share_pct) in exact integer `div`:
+    # the mix size this source alone supports; T = min over sources
+    capped = per.select(
+        "source", "n_docs", "tokens", share_pct.alias("share_pct")
+    ).filter(F.col("share_pct") > 0)
+    capped = capped.withColumn(
+        "cap", F.expr("tokens * 100 div share_pct")
+    )
+    cap = capped.agg(F.min("cap").alias("t_total"))
+    j = capped.crossJoin(F.broadcast(cap))
+    planned = F.expr("share_pct * t_total div 100")
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "share_pct",
+        "t_total",
+        planned.alias("planned_tokens"),
+        F.round(
+            planned.cast("double") / F.col("tokens").cast("double"), 6
+        ).alias("sampling_rate"),
+        (F.col("cap") == F.col("t_total")).cast("int").alias("is_binding"),
+    ).orderBy("source")

@@ -255,6 +255,10 @@ ALLOWED = {
     # report row (1-row BNLJ + global final merges); per-edge scans
     # are independent checks by semantics
     "q176": {"bnlj", "single_part_exchange"},
+    # mix planning: the 1-row T = min(cap) aggregate (global final
+    # merge) broadcast-crossJoined onto the source-grain plan rows —
+    # q56/q80's declared scalar-subquery shape
+    "q179": {"bnlj", "single_part_exchange"},
     # GLOBAL distributed rank: the bucket-offset prefix window runs
     # over the BUCKET-grain count table (value_range/width rows — a
     # domain constant, the q98/ops-quantile declared class) and the
