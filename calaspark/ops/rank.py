@@ -49,7 +49,12 @@ def with_rank2(
     rank when empty).
 
     ``value_col`` must be integral (cast money to cents first —
-    order- and tie-preserving for 2-decimal-clean values).
+    order- and tie-preserving for 2-decimal-clean values) and
+    NON-NULL: a NULL value has no order-preserving bucket
+    (``floor(NULL/width)`` is NULL) and its row would vanish in the
+    offset equi-join — filter or impute NULLs BEFORE ranking; a
+    caller that needs NULLS FIRST semantics should rank the non-null
+    subset and union the NULL rows back with rank offsets.
     ``bucket_width`` trades offset-table size (value_range / width
     rows per group) against within-bucket sort size; both ends are
     safe, only parallelism shifts. rank() is promoted to long before

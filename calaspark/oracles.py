@@ -5236,7 +5236,7 @@ WITH v AS (
   SELECT g, n, s2,
          CAST(ROUND(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
                     / (4.0 * CAST(n AS DOUBLE)), 6)
-              AS DECIMAL(28,6)) AS f,
+              AS DECIMAL(38,6)) AS f,
          nn, tsum
   FROM sg CROSS JOIN tt
 ), fin AS (
@@ -5263,7 +5263,8 @@ ORDER BY o_orderpriority
 
 # Q176 — referential-integrity FK audit --------------------------------
 # One row per FK edge; exact counts via scalar subqueries; the anti
-# semantics spelled as NOT IN with NULL-safe filters.
+# semantics spelled as NOT EXISTS — NULL-safe on BOTH sides (NOT IN
+# collapses to 0 orphans the moment a parent key is NULL).
 
 ORACLES["q176"] = """
 WITH e AS (
@@ -5271,8 +5272,8 @@ WITH e AS (
          (SELECT COUNT(*) FROM lineitem) AS n_child,
          (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
            AS n_null_fk,
-         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
-            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         (SELECT COUNT(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
            AS n_orphan,
          (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
            AS n_distinct_fk,
@@ -5281,48 +5282,48 @@ WITH e AS (
   SELECT 'lineitem.l_partkey->part.p_partkey',
          (SELECT COUNT(*) FROM lineitem),
          (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
-         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
-            AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+         (SELECT COUNT(*) FROM lineitem c WHERE c.l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey)),
          (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
          (SELECT COUNT(*) FROM part)
   UNION ALL
   SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
          (SELECT COUNT(*) FROM lineitem),
          (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
-         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
-            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+         (SELECT COUNT(*) FROM lineitem c WHERE c.l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey)),
          (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
          (SELECT COUNT(*) FROM supplier)
   UNION ALL
   SELECT 'orders.o_custkey->customer.c_custkey',
          (SELECT COUNT(*) FROM orders),
          (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
-         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
-            AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         (SELECT COUNT(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)),
          (SELECT COUNT(DISTINCT o_custkey) FROM orders),
          (SELECT COUNT(*) FROM customer)
   UNION ALL
   SELECT 'customer.c_nationkey->nation.n_nationkey',
          (SELECT COUNT(*) FROM customer),
          (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
-         (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
-            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+         (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey)),
          (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
          (SELECT COUNT(*) FROM nation)
   UNION ALL
   SELECT 'supplier.s_nationkey->nation.n_nationkey',
          (SELECT COUNT(*) FROM supplier),
          (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
-         (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
-            AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+         (SELECT COUNT(*) FROM supplier c WHERE c.s_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey)),
          (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
          (SELECT COUNT(*) FROM nation)
   UNION ALL
   SELECT 'nation.n_regionkey->region.r_regionkey',
          (SELECT COUNT(*) FROM nation),
          (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
-         (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL
-            AND n_regionkey NOT IN (SELECT r_regionkey FROM region)),
+         (SELECT COUNT(*) FROM nation c WHERE c.n_regionkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey)),
          (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
          (SELECT COUNT(*) FROM region)
 )

@@ -6229,11 +6229,16 @@ def q175_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t") * F.col("t") * F.col("t") - F.col("t")
         ).alias("tsum"),
     )
+    # DECIMAL(38,6) fragments: magnitude ~ N³/(20·4) stays inside
+    # 1e32 for any N the global rank() itself can reach (2^31 rows →
+    # ~4.6e26) — a (28,6) cast would overflow ~100× earlier and
+    # Spark's non-ANSI NULL would silently drop the group from the
+    # sum (round-10 review finding)
     frag = F.round(
         (F.col("s2").cast("double") * F.col("s2").cast("double"))
         / (F.lit(4.0) * F.col("n").cast("double")),
         6,
-    ).cast("decimal(28,6)")
+    ).cast("decimal(38,6)")
     per = sg.select("g", "n", "s2", frag.alias("_f")).crossJoin(
         F.broadcast(tt)
     )
@@ -6531,8 +6536,8 @@ def q179_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix?): the standard epoch-planning arithmetic of a data-mixture
     owner, reported per source.
 
-    Semantics (declared): targets are fixed literals (a 4-source
-    30/30/25/15 split). The achievable mix size is capped by the
+    Semantics (declared): targets are fixed literals (a 20-source
+    split, shares 9..1 hundredths summing to 100). The achievable mix size is capped by the
     scarcest source: T = min_s(tokens_s / share_s) — computed
     float-free as an integer-cleared argmin (tokens_s·D/share_num_s
     compared in exact BIGINT via cross-multiplication is overkill
@@ -6561,12 +6566,11 @@ def q179_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("tokens"),
     )
+    share_map = F.create_map(
+        *[F.lit(x) for kv in shares.items() for x in kv]
+    )
     share_pct = F.coalesce(
-        *[
-            F.when(F.col("source") == s, F.lit(p))
-            for s, p in shares.items()
-        ],
-        F.lit(0),
+        F.element_at(share_map, F.col("source")), F.lit(0)
     ).cast("long")
     # cap_s = floor(tokens*100 / share_pct) in exact integer `div`:
     # the mix size this source alone supports; T = min over sources

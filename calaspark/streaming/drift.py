@@ -54,9 +54,15 @@ def _make_drift_fn(alpha: float, tau: float, order_col: str, val_col: str):
         else:
             s, n, n_alerts = 0.0, 0, 0
             have = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            for x in pdf[val_col].astype(float):
+        # CONCAT the group's Arrow chunks BEFORE sorting: the state
+        # API hands an Iterator of DataFrames whose chunk boundaries
+        # follow shuffle-fetch order, so sorting each chunk alone
+        # would fold a >maxRecordsPerBatch group out of order and
+        # silently corrupt the recurrence (round-10 review finding)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(order_col)
+            for x in batch[val_col].astype(float):
                 if have and s != 0.0 and abs(x - s) > tau * abs(s):
                     n_alerts += 1
                 # the batch kernel's exact expression order (bitwise
@@ -92,6 +98,8 @@ def ewma_drift_stream(
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (tau >= 0.0 and tau == tau and tau != float("inf")):
+        raise ValueError(f"tau must be finite and >= 0, got {tau}")
     return stream.groupBy(key_col).applyInPandasWithState(
         _make_drift_fn(alpha, tau, order_col, val_col),
         outputStructType=DRIFT_OUTPUT_SCHEMA,

@@ -603,3 +603,56 @@ def test_streaming_ewma_drift_matches_batch_kernel(spark, tmp_path):
         assert got[k]["ewma"] == want_alerts[k][1], (k, "stream vs replay")
         assert got[k]["n_alerts"] == want_alerts[k][0], (k, "alerts")
     assert sum(v[0] for v in want_alerts.values()) > 0  # jumps fired
+
+
+def test_streaming_ewma_drift_multichunk_group(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks must still
+    fold in order_col order (the kernel concats chunks before the
+    one sort — sorting per chunk would corrupt the recurrence).
+    Forces tiny Arrow batches so one 400-row key arrives as ~50
+    chunks, and pins bitwise equality to a pure-Python replay."""
+    from calaspark.streaming import ewma_drift_stream, run_available_now
+
+    rows = [("k", i, float((i * 37) % 101)) for i in range(400)]
+    import random
+
+    shuffled = rows[:]
+    random.Random(3).shuffle(shuffled)  # file order != seq order
+    src = tmp_path / "mc"
+    spark.createDataFrame(
+        shuffled, "key string, seq long, value double"
+    ).coalesce(1).write.parquet(str(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = (
+            spark.readStream.schema("key string, seq long, value double")
+            .parquet(str(src))
+        )
+        q = run_available_now(
+            ewma_drift_stream(
+                stream, key_col="key", order_col="seq", val_col="value",
+                alpha=0.25, tau=0.5,
+            ),
+            "t_drift_mc",
+            output_mode="update",
+        )
+        got = spark.sql(
+            "SELECT * FROM t_drift_mc ORDER BY n_events DESC LIMIT 1"
+        ).collect()[0]
+        q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+    s, have, na = 0.0, False, 0
+    for _, _, x in sorted(rows, key=lambda r: r[1]):
+        if have and s != 0.0 and abs(x - s) > 0.5 * abs(s):
+            na += 1
+        s = x if not have else 0.25 * x + 0.75 * s
+        have = True
+    assert got["n_events"] == 400
+    assert got["ewma"] == s  # bitwise
+    assert got["n_alerts"] == na
