@@ -5485,3 +5485,85 @@ SELECT source, n_docs, tokens, share_pct,
 FROM capped CROSS JOIN tt
 ORDER BY source
 """
+
+# Q180 — cluster-aware train/val/test split ----------------------------
+# Recursive-CTE closure gives cluster roots (isolated docs root
+# themselves); every member inherits the root's q67 md5 fold; both
+# audit scalars (cluster-grain cross-split, doc-fold counterfactual)
+# computed generically.
+
+ORACLES["q180"] = r"""
+WITH RECURSIVE nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, E'[^\t\n\f\r ]+')) AS BIGINT)
+           AS ntok
+  FROM documents
+), chain AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM q a JOIN q b ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
+), mix AS (
+  SELECT doc_id AS src,
+         (doc_id * doc_id) % (SELECT n FROM nn) AS dst
+  FROM q
+  WHERE doc_id % 7 = 0
+    AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
+), es AS (
+  SELECT src AS a, dst AS b FROM chain
+  UNION
+  SELECT dst, src FROM chain
+  UNION
+  SELECT src, dst FROM mix
+  UNION
+  SELECT dst, src FROM mix
+), verts AS (
+  SELECT DISTINCT a AS v FROM es
+), r AS (
+  SELECT v AS id, v AS lab FROM verts
+  UNION
+  SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
+), comp AS (
+  SELECT id, MIN(lab) AS comp FROM r GROUP BY id
+), m AS (
+  SELECT q.doc_id, q.ntok,
+         COALESCE(c.comp, q.doc_id) AS root,
+         CASE
+           WHEN CAST('0x' || substr(md5(CAST(COALESCE(c.comp, q.doc_id)
+                     AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(COALESCE(c.comp, q.doc_id)
+                     AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CASE
+           WHEN CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 < 90 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS doc_split
+  FROM q LEFT JOIN comp c ON q.doc_id = c.id
+), per_split AS (
+  SELECT split,
+         CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM m GROUP BY split
+), audits AS (
+  SELECT root,
+         COUNT(DISTINCT split) AS k_cluster,
+         COUNT(DISTINCT doc_split) AS k_doc,
+         COUNT(*) AS members
+  FROM m GROUP BY root
+), scalars AS (
+  SELECT CAST(SUM(CASE WHEN k_cluster > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cross_split_clusters,
+         CAST(SUM(CASE WHEN k_doc > 1 AND members > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS doc_fold_torn_clusters
+  FROM audits
+)
+SELECT split, n_clusters, n_docs, n_tokens,
+       cross_split_clusters, doc_fold_torn_clusters
+FROM per_split CROSS JOIN scalars
+ORDER BY split
+"""

@@ -6595,3 +6595,104 @@ def q179_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sampling_rate"),
         (F.col("cap") == F.col("t_total")).cast("int").alias("is_binding"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------- Q180
+
+
+def q180_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE train/val/test split (E13+E15+E17 — the FIX for
+    what q128 detects: a doc-level hash split strands members of one
+    near-dup cluster on both sides of a fold, leaking eval content
+    into train; splitting by the CLUSTER ROOT's hash keeps every
+    cluster whole by construction): q96's components give each doc
+    its cluster root (isolated docs root themselves), every member
+    inherits the root's q67 90/5/5 md5 fold, and the report carries
+    BOTH audits — cross-split clusters under the cluster-grain rule
+    (provably 0, still computed generically, never assumed) and how
+    many multi-member clusters the plain doc-level fold WOULD have
+    torn (the q128 counterfactual, same corpus, same hash).
+
+    Plan: q96's edge derivation + star-contraction components, a
+    left join back to doc grain (root = coalesce(comp, doc_id) —
+    isolated docs are their own cluster), one codegen md5 fold at
+    CLUSTER grain, split-grain aggregation; the two audit scalars
+    are component-grain aggregates broadcast onto the 3-row report
+    (the declared q65 tiny-row pattern).
+    """
+    from ..ops.components import connected_components
+    from ..ops.split import split_label
+    from ..ops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("ntok")
+    )
+    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
+    chain = a.join(
+        b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))
+    ).select("src", "dst")
+    mix = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cc = connected_components(
+        chain.unionByName(mix), src="src", dst="dst"
+    )
+    from ..ops.materialize import materialize
+
+    m = materialize(
+        d.join(
+            cc.select(F.col("vertex").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "ntok",
+            F.coalesce("comp", F.col("doc_id")).alias("root"),
+            split_label(F.coalesce("comp", F.col("doc_id")), 90, 5).alias(
+                "split"
+            ),
+            split_label(F.col("doc_id"), 90, 5).alias("doc_split"),
+        )
+    )
+    per_split = m.groupBy("split").agg(
+        F.count_distinct("root").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    audits = m.groupBy("root").agg(
+        F.count_distinct("split").alias("k_cluster"),
+        F.count_distinct("doc_split").alias("k_doc"),
+        F.count(F.lit(1)).alias("members"),
+    )
+    scalars = audits.agg(
+        F.sum((F.col("k_cluster") > 1).cast("long"))
+        .cast("long")
+        .alias("cross_split_clusters"),
+        F.sum(
+            ((F.col("k_doc") > 1) & (F.col("members") > 1)).cast("long")
+        )
+        .cast("long")
+        .alias("doc_fold_torn_clusters"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(scalars))
+        .select(
+            "split",
+            "n_clusters",
+            "n_docs",
+            "n_tokens",
+            "cross_split_clusters",
+            "doc_fold_torn_clusters",
+        )
+        .orderBy("split")
+    )

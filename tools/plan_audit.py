@@ -255,6 +255,12 @@ ALLOWED = {
     # report row (1-row BNLJ + global final merges); per-edge scans
     # are independent checks by semantics
     "q176": {"bnlj", "single_part_exchange"},
+    # cluster-safe split: the 1-row audit-scalar aggregate (global
+    # final merge) broadcast-crossJoined onto the 3-row split report
+    # (q65's declared tiny-row pattern) + components' internal 1-row
+    # convergence probes; the corpus-sized work is the edge joins,
+    # the star-contraction rounds and one doc-grain fold
+    "q180": {"bnlj", "single_part_exchange"},
     # mix planning: the 1-row T = min(cap) aggregate (global final
     # merge) broadcast-crossJoined onto the source-grain plan rows —
     # q56/q80's declared scalar-subquery shape
