@@ -2226,23 +2226,25 @@ WHERE 3 * n_inter >= n_union + n_inter
 ORDER BY doc_a, doc_b
 """
 
-# Q96 — connected components vs recursive-CTE transitive closure ----
-# Same deterministic graph both engines (same-lang chain edges +
-# i — i² mod N mixer); label = min reachable doc_id; rollup of node
-# count + character mass per component. Vertices are those touched
-# by >=1 edge (the operator's contract).
 
-ORACLES["q96"] = """
-WITH RECURSIVE nn AS (
+def _doc_graph_cte(rel: str) -> str:
+    """The q96/q178/q180 deterministic document-graph closure as a
+    shared CTE fragment (single definition — a divergent hand copy
+    would make an oracle prove the WRONG graph while still hashing
+    green against itself). ``rel`` is the relation carrying
+    (doc_id, lang); emits CTEs  nn, chain, mix, es, verts, r, comp
+    (comp = id -> min reachable doc_id).
+    """
+    return f"""nn AS (
   SELECT COUNT(*) AS n FROM documents
 ), chain AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM documents a JOIN documents b
+  FROM {rel} a JOIN {rel} b
     ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
 ), mix AS (
   SELECT doc_id AS src,
          (doc_id * doc_id) % (SELECT n FROM nn) AS dst
-  FROM documents
+  FROM {rel}
   WHERE doc_id % 7 = 0
     AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
 ), es AS (
@@ -2261,7 +2263,17 @@ WITH RECURSIVE nn AS (
   SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
 ), comp AS (
   SELECT id, MIN(lab) AS comp FROM r GROUP BY id
-)
+)"""
+
+
+# Q96 — connected components vs recursive-CTE transitive closure ----
+# Same deterministic graph both engines (same-lang chain edges +
+# i — i² mod N mixer); label = min reachable doc_id; rollup of node
+# count + character mass per component. Vertices are those touched
+# by >=1 edge (the operator's contract).
+
+ORACLES["q96"] = f"""
+WITH RECURSIVE {_doc_graph_cte("documents")}
 SELECT c.comp AS component,
        COUNT(*) AS n_nodes,
        CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
@@ -5390,40 +5402,13 @@ ORDER BY tier
 # q96's recursive-CTE closure + a window election under the declared
 # (ntok DESC, doc_id ASC) total order; exact integer savings.
 
-ORACLES["q178"] = r"""
-WITH RECURSIVE nn AS (
-  SELECT COUNT(*) AS n FROM documents
-), q AS (
+ORACLES["q178"] = rf"""
+WITH RECURSIVE q AS (
   SELECT doc_id, lang, n_chars,
          CAST(len(regexp_extract_all(text,
            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT) AS ntok
   FROM documents
-), chain AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM q a JOIN q b ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
-), mix AS (
-  SELECT doc_id AS src,
-         (doc_id * doc_id) % (SELECT n FROM nn) AS dst
-  FROM q
-  WHERE doc_id % 7 = 0
-    AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
-), es AS (
-  SELECT src AS a, dst AS b FROM chain
-  UNION
-  SELECT dst, src FROM chain
-  UNION
-  SELECT src, dst FROM mix
-  UNION
-  SELECT dst, src FROM mix
-), verts AS (
-  SELECT DISTINCT a AS v FROM es
-), r AS (
-  SELECT v AS id, v AS lab FROM verts
-  UNION
-  SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
-), comp AS (
-  SELECT id, MIN(lab) AS comp FROM r GROUP BY id
-), mem AS (
+), {_doc_graph_cte("q")}, mem AS (
   SELECT c.comp AS component, q.doc_id, q.n_chars, q.ntok,
          row_number() OVER (PARTITION BY c.comp
                             ORDER BY q.ntok DESC, q.doc_id ASC) AS rn
@@ -5492,40 +5477,13 @@ ORDER BY source
 # audit scalars (cluster-grain cross-split, doc-fold counterfactual)
 # computed generically.
 
-ORACLES["q180"] = r"""
-WITH RECURSIVE nn AS (
-  SELECT COUNT(*) AS n FROM documents
-), q AS (
+ORACLES["q180"] = rf"""
+WITH RECURSIVE q AS (
   SELECT doc_id, lang,
          CAST(len(regexp_extract_all(text, E'[^\t\n\f\r ]+')) AS BIGINT)
            AS ntok
   FROM documents
-), chain AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM q a JOIN q b ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang
-), mix AS (
-  SELECT doc_id AS src,
-         (doc_id * doc_id) % (SELECT n FROM nn) AS dst
-  FROM q
-  WHERE doc_id % 7 = 0
-    AND doc_id <> (doc_id * doc_id) % (SELECT n FROM nn)
-), es AS (
-  SELECT src AS a, dst AS b FROM chain
-  UNION
-  SELECT dst, src FROM chain
-  UNION
-  SELECT src, dst FROM mix
-  UNION
-  SELECT dst, src FROM mix
-), verts AS (
-  SELECT DISTINCT a AS v FROM es
-), r AS (
-  SELECT v AS id, v AS lab FROM verts
-  UNION
-  SELECT es.b, r.lab FROM r JOIN es ON es.a = r.id
-), comp AS (
-  SELECT id, MIN(lab) AS comp FROM r GROUP BY id
-), m AS (
+), {_doc_graph_cte("q")}, m AS (
   SELECT q.doc_id, q.ntok,
          COALESCE(c.comp, q.doc_id) AS root,
          CASE
@@ -5552,13 +5510,12 @@ WITH RECURSIVE nn AS (
 ), audits AS (
   SELECT root,
          COUNT(DISTINCT split) AS k_cluster,
-         COUNT(DISTINCT doc_split) AS k_doc,
-         COUNT(*) AS members
+         COUNT(DISTINCT doc_split) AS k_doc
   FROM m GROUP BY root
 ), scalars AS (
   SELECT CAST(SUM(CASE WHEN k_cluster > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS cross_split_clusters,
-         CAST(SUM(CASE WHEN k_doc > 1 AND members > 1 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN k_doc > 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS doc_fold_torn_clusters
   FROM audits
 )

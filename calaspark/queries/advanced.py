@@ -902,6 +902,35 @@ def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q96
 
 
+def _doc_graph_edges(d: DataFrame) -> DataFrame:
+    """The deterministic document graph shared by q96/q178/q180
+    (edge list, one definition for all three queries and their
+    oracles' `_DOC_GRAPH` CTE): chain edges ``i — i+1`` when
+    consecutive docs share a language (short runs — the LSH-cluster
+    shape) plus a sparse mixer ``i — i² mod N`` on every 7th doc
+    (long-range merges — the adversarial shape for label
+    propagation). ``d`` must carry (doc_id, lang).
+    """
+    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
+    chain = a.join(
+        b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))
+    ).select("src", "dst")
+    mix = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return chain.unionByName(mix)
+
+
 def q96_components_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components ORACLED (E17's clustering backbone — the
     iterative fixpoint at the heart of `dedup_clusters_lsh`, until
@@ -923,24 +952,7 @@ def q96_components_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.components import connected_components
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
-    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
-    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
-    chain = a.join(b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))).select(
-        "src", "dst"
-    )
-    mix = (
-        d.filter(F.col("doc_id") % 7 == 0)
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
-    edges = chain.unionByName(mix)
-
-    cc = connected_components(edges, src="src", dst="dst")
+    cc = connected_components(_doc_graph_edges(d), src="src", dst="dst")
     return (
         cc.join(d.select(F.col("doc_id").alias("vertex"), "n_chars"), "vertex")
         .groupBy(F.col("comp").alias("component"))
@@ -6469,26 +6481,7 @@ def q178_dedup_keeper_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", bpe_ish_count("text").alias("ntok")
     )
-    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
-    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
-    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
-    chain = a.join(
-        b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))
-    ).select("src", "dst")
-    mix = (
-        d.filter(F.col("doc_id") % 7 == 0)
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias(
-                "dst"
-            ),
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
-    cc = connected_components(
-        chain.unionByName(mix), src="src", dst="dst"
-    )
+    cc = connected_components(_doc_graph_edges(d), src="src", dst="dst")
     m = cc.join(
         d.select(F.col("doc_id").alias("vertex"), "n_chars", "ntok"),
         "vertex",
@@ -6627,26 +6620,7 @@ def q180_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", token_count("text").alias("ntok")
     )
-    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
-    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("la"))
-    b = d.select(F.col("doc_id").alias("dst"), F.col("lang").alias("lb"))
-    chain = a.join(
-        b, (F.col("src") + 1 == F.col("dst")) & (F.col("la") == F.col("lb"))
-    ).select("src", "dst")
-    mix = (
-        d.filter(F.col("doc_id") % 7 == 0)
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.pmod(F.col("doc_id") * F.col("doc_id"), F.col("_n")).alias(
-                "dst"
-            ),
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
-    cc = connected_components(
-        chain.unionByName(mix), src="src", dst="dst"
-    )
+    cc = connected_components(_doc_graph_edges(d), src="src", dst="dst")
     from ..ops.materialize import materialize
 
     m = materialize(
@@ -6672,15 +6646,13 @@ def q180_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits = m.groupBy("root").agg(
         F.count_distinct("split").alias("k_cluster"),
         F.count_distinct("doc_split").alias("k_doc"),
-        F.count(F.lit(1)).alias("members"),
     )
     scalars = audits.agg(
         F.sum((F.col("k_cluster") > 1).cast("long"))
         .cast("long")
         .alias("cross_split_clusters"),
-        F.sum(
-            ((F.col("k_doc") > 1) & (F.col("members") > 1)).cast("long")
-        )
+        # k_doc > 1 already implies >= 2 members — no extra conjunct
+        F.sum((F.col("k_doc") > 1).cast("long"))
         .cast("long")
         .alias("doc_fold_torn_clusters"),
     )

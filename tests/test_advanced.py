@@ -2033,3 +2033,57 @@ def test_q174_cusum_matches_python(spark):
         assert row["t"] == t
         assert row["n_days"] == len(days)
         assert abs(row["cusum_abs"] - float(astat)) < 1e-6
+
+
+def test_q175_kruskal_wallis_matches_python(spark):
+    """H and the tie-corrected H must equal a from-scratch Python
+    replay (scipy's algebra, fractions-exact until the final float),
+    independently of the engine/oracle shared decimal-fragment
+    formulation; with 5 groups H must be >= 0 and dof = 4."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from calaspark.queries.advanced import q175_kruskal_wallis
+
+    sf = "/root/testdata/sf0.001"
+    rows = q175_kruskal_wallis(spark, sf).collect()
+    assert rows and len(rows) == 5
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    vals = sorted(r["v"] for r in o)
+    # tie-averaged rank per value (exact fractions)
+    from itertools import groupby
+
+    rank_of = {}
+    pos = 1
+    tie_term = 0
+    for v, grp in groupby(vals):
+        t = len(list(grp))
+        rank_of[v] = Fraction(2 * pos + t - 1, 2)
+        tie_term += t**3 - t
+        pos += t
+    n = len(vals)
+    sums = defaultdict(Fraction)
+    counts = defaultdict(int)
+    for r in o:
+        sums[r["g"]] += rank_of[r["v"]]
+        counts[r["g"]] += 1
+    h = Fraction(12, n * (n + 1)) * sum(
+        s * s / counts[g] for g, s in sums.items()
+    ) - 3 * (n + 1)
+    c = 1 - Fraction(tie_term, n**3 - n)
+    for row in rows:
+        assert row["dof"] == 4
+        assert row["n"] == counts[row["o_orderpriority"]]
+        # rank_sum2 = 2 * rank sum
+        assert row["rank_sum2"] == float(2 * sums[row["o_orderpriority"]])
+        # engine H uses round-6 fragments — compare loosely
+        assert abs(row["h"] - float(h)) < 1e-4, (row["h"], float(h))
+        assert abs(row["h_adj"] - float(h / c)) < 1e-4
+        assert row["h"] >= -1e-9
