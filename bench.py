@@ -103,10 +103,22 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
     inv = {_short_key(qid): qid for qid in QUERIES}
     # pre-round-10 files carry the abbreviations in lowercase (the
     # reserved namespace was uppercased); accept them wherever the
-    # lowercase form isn't already a live base36 id
+    # lowercase form isn't already a live base36 id. This heuristic
+    # is ambiguous with the base36 numeric namespace ('lm' == q778),
+    # so the RECORDED stdout_key_map wins whenever available: the
+    # driver runs this script, so the on-disk sidecar's map was
+    # written by the same run that produced the newest BENCH_r file
+    # (round-10 advice — never attribute an old key by guesswork
+    # when the exact map was recorded).
     for name, ab in _STDOUT_ABBREV.items():
         inv.setdefault(ab.lower(), name)
-    best: tuple[int, str, dict] | None = None
+    side: dict = {}
+    try:
+        side = json.loads((here / "BENCH_full_local.json").read_text())
+        recorded = side.get("stdout_key_map") or {}
+    except (OSError, json.JSONDecodeError):
+        recorded = {}
+    best: tuple[int, str, dict, dict] | None = None
     for p in here.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)", p.name)
         if not m:
@@ -119,14 +131,25 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
         payload = d if d.get("queries") else (d.get("parsed") or {})
         q = payload.get("queries")
         if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
-            scale = 0.1 if payload.get("queries_unit") == "ds" else 1.0
-            full = {
-                inv.get(k, k): v * scale
-                for k, v in q.items()
-                if inv.get(k, k) in QUERIES
-            }
-            best = (int(m.group(1)), p.name, full)
-    return (best[1], best[2]) if best else None
+            best = (int(m.group(1)), p.name, payload, q)
+    if best is None:
+        return None
+    _, name, payload, q = best
+    # The recorded map applies only if it was written by the run that
+    # produced this file (same total, within stdout's 2-dp rounding).
+    use_recorded = (
+        recorded
+        and isinstance(payload.get("value"), (int, float))
+        and isinstance(recorded, dict)
+        and abs(float(payload["value"]) - float(side.get("value", -1))) < 0.011
+    )
+    scale = 0.1 if payload.get("queries_unit") == "ds" else 1.0
+    full = {}
+    for k, v in q.items():
+        qid = (recorded.get(k) if use_recorded else None) or inv.get(k, k)
+        if qid in QUERIES:
+            full[qid] = v * scale
+    return (name, full)
 
 
 #: Fixed stdout abbreviations for the non-numeric query ids — the
@@ -335,6 +358,10 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "sf": _sf_of(sf_dir),
+        # ALWAYS explicit (round-10 verdict: r10's ds line next to
+        # r9's unit-less seconds line read as a phantom 10× regression
+        # to any tool that diffed the raw dicts)
+        "queries_unit": "s",
         "queries": _short_keyed(times),
     }
     line = json.dumps(out, separators=(",", ":"))

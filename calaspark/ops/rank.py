@@ -43,6 +43,7 @@ def with_rank2(
     group_cols: list[str] | None = None,
     bucket_width: int = 65536,
     out_col: str | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Add ``out_col`` (default ``r2_<value_col>``): the doubled
     tie-averaged rank of ``value_col`` within ``group_cols`` (global
@@ -59,6 +60,18 @@ def with_rank2(
     rows per group) against within-bucket sort size; both ends are
     safe, only parallelism shifts. rank() is promoted to long before
     the doubling (an int32 2·rank wraps past ~1.07e9 rows/bucket).
+
+    The offset table is ``groups × value_range/bucket_width`` rows —
+    domain-constant for cents-scale money/quantity columns, but
+    data-sized for a wide-domain integral column (a 64-bit hash at
+    the default width yields ~2.8e14 buckets). A forced broadcast of
+    that would OOM the driver, so the broadcast is GUARDED: the
+    bucket-grain row count is measured first (one cheap plan-time
+    job, same pattern as ops/lsh.bitmask_encode's vocabulary probe)
+    and past ``broadcast_limit`` rows the hint is dropped — the
+    equi-join then plans as a normal shuffle join (AQE may still
+    elect a broadcast if the measured bytes allow). Semantics are
+    identical either way; only the join strategy changes.
     """
     gcols = list(group_cols or [])
     name = out_col or f"r2_{value_col}"
@@ -66,6 +79,9 @@ def with_rank2(
         "_rk_b", F.floor(F.col(value_col) / F.lit(bucket_width))
     )
     off = rows.groupBy(*gcols, "_rk_b").agg(F.count(F.lit(1)).alias("_rk_c"))
+    # Plan-time size probe on the bucket-grain agg (pre-window, so the
+    # probe job is a partial-agg count, not a sorted prefix scan).
+    off_small = off.limit(broadcast_limit + 1).count() <= broadcast_limit
     wb = (
         Window.partitionBy(*gcols)
         .orderBy("_rk_b")
@@ -78,8 +94,11 @@ def with_rank2(
     )
     w_in = Window.partitionBy(*gcols, "_rk_b").orderBy(value_col)
     w_tie = Window.partitionBy(*gcols, "_rk_b", value_col)
+    # Broadcast only a provably small offset table; otherwise let the
+    # optimizer (incl. AQE) pick the join strategy.
+    off_side = F.broadcast(off) if off_small else off
     return (
-        rows.join(F.broadcast(off), gcols + ["_rk_b"])
+        rows.join(off_side, gcols + ["_rk_b"])
         .withColumn(
             name,
             2 * (F.col("_rk_pb") + F.rank().over(w_in).cast("long"))

@@ -103,12 +103,20 @@ def _build_pkg_zip() -> str:
 
     # Per-user private directory (0700) under the tempdir; created
     # atomically and never shared across uids, so no other local
-    # user can pre-plant or swap files in it.
+    # user can pre-plant or swap files in it. If another uid
+    # pre-planted the path (makedirs accepts a foreign dir and the
+    # chmod would then raise EPERM — an availability DoS, round-10
+    # advisory), fall back to a fresh mkdtemp instead of failing.
     priv = os.path.join(
         tempfile.gettempdir(), f"calaspark-pyfiles-{os.getuid()}"
     )
-    os.makedirs(priv, mode=0o700, exist_ok=True)
-    os.chmod(priv, 0o700)  # repair a pre-existing looser dir
+    try:
+        os.makedirs(priv, mode=0o700, exist_ok=True)
+        if os.lstat(priv).st_uid != os.getuid() or os.path.islink(priv):
+            raise PermissionError(f"{priv} owned by another uid")
+        os.chmod(priv, 0o700)  # repair a pre-existing looser dir
+    except (PermissionError, OSError):
+        priv = tempfile.mkdtemp(prefix="calaspark-pyfiles-")
     zpath = os.path.join(priv, f"calaspark-{digest}.zip")
     reuse = False
     if os.path.exists(zpath):

@@ -34,6 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: Template only — ``ewma_drift_stream`` derives the ``key`` field's
+#: type from the input column (round-10 advisory: a hardcoded string
+#: key forced a silent str() coercion on non-string keys, so joining
+#: the output back to the source needed an unsignalled cast).
 DRIFT_OUTPUT_SCHEMA = (
     "key string, n_events long, ewma double, n_alerts long"
 )
@@ -73,7 +77,9 @@ def _make_drift_fn(alpha: float, tau: float, order_col: str, val_col: str):
         state.update((s, n, n_alerts))
         yield pd.DataFrame(
             {
-                "key": [str(key[0])],
+                # raw key value — the output schema's key field carries
+                # the INPUT column's type, so no coercion happens here
+                "key": [key[0]],
                 "n_events": [n],
                 "ewma": [s],
                 "n_alerts": [n_alerts],
@@ -94,15 +100,29 @@ def ewma_drift_stream(
     """Per-key streaming EWMA + relative-jump alert counter.
 
     Output mode "update": each micro-batch emits the new running
-    (n_events, ewma, n_alerts) for every key it touched.
+    (n_events, ewma, n_alerts) for every key it touched. The output
+    ``key`` column carries the INPUT ``key_col``'s exact type
+    (string, int, …), so joining the monitor output back to the
+    source on the key needs no cast.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not (tau >= 0.0 and tau == tau and tau != float("inf")):
         raise ValueError(f"tau must be finite and >= 0, got {tau}")
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("n_alerts", LongType()),
+        ]
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
         _make_drift_fn(alpha, tau, order_col, val_col),
-        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=DRIFT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -246,16 +246,35 @@ def test_registry_completeness_golden():
         assert name == name.upper() and name.endswith("_CD"), name
         assert t.docs, f"{name} missing table docs"
         assert t.group in groups, name
-        if t.unique_key is not None:
-            assert t.unique_key, name
+        # COMPLETENESS (reference models/base.py golden rule):
+        # unique_key must be ANNOTATED on every table — a declared
+        # tuple of real columns, or the explicit False ("no unique
+        # key"). None = silence = failure.
+        assert t.unique_key is not None, f"{name} unique_key not annotated"
+        if t.unique_key is not False:
+            assert isinstance(t.unique_key, tuple) and t.unique_key, name
             missing = [k for k in t.unique_key if k not in t.columns]
             assert not missing, f"{name} UNIQUE_KEY not in columns: {missing}"
+        # forms likewise: a tuple of form IDs, or explicit False for
+        # administrative tables no filing form feeds.
+        assert t.forms is not None, f"{name} forms not annotated"
+        if t.forms is not False:
+            assert isinstance(t.forms, tuple) and t.forms, name
+            assert all(
+                isinstance(f, str) and f for f in t.forms
+            ), f"{name} malformed forms {t.forms!r}"
         assert t.columns, name
         for c, cd in t.columns.items():
             assert cd.help, f"{name}.{c} missing help_text"
             kind_datatype(cd.kind)  # unknown kind → KeyError/ValueError
     # every source module of the reference is represented
     assert {t.group for t in REGISTRY.values()} == groups
+    # distribution sanity: transactional tables DO declare keys and
+    # forms — explicit-False is the exception, not a blanket cop-out
+    keyed = sum(1 for t in REGISTRY.values() if isinstance(t.unique_key, tuple))
+    formed = sum(1 for t in REGISTRY.values() if isinstance(t.forms, tuple))
+    assert keyed >= 40, keyed
+    assert formed >= 25, formed
 
 
 def test_struct_type_metadata():

@@ -1303,3 +1303,44 @@ def test_with_rank2_plan_is_bucket_partitioned(spark):
     parts_g = re.findall(r"hashpartitioning\(([^)]*)\)", plan_g)
     assert any("_rk_b" in p for p in parts_g), parts_g
     assert plan_g.count("Exchange SinglePartition") <= 1, plan_g
+
+
+def test_with_rank2_wide_domain_drops_broadcast(spark):
+    """Broadcast guard (round-10 advisory): a wide-domain value
+    column whose bucket-grain offset table exceeds ``broadcast_limit``
+    must NOT plan a forced BroadcastHashJoin on the offset side —
+    the operator falls back to a plain equi-join — while ranks stay
+    identical to the broadcast path."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.rank import with_rank2
+
+    # width=1 over a sparse wide domain → one offset row per distinct
+    # value (500 rows) > broadcast_limit=100 → guard must disengage.
+    df = spark.range(0, 500).select(
+        (F.col("id") * 2_654_435_761 % (1 << 40)).alias("v")
+    )
+    guarded = with_rank2(
+        df, "v", group_cols=[], bucket_width=1, broadcast_limit=100
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # The offset join must not be a *hinted* broadcast. AQE may still
+    # choose broadcast from measured bytes, so check the logical plan
+    # for the hint instead of the physical operator.
+    logical = str(guarded._jdf.queryExecution().optimizedPlan())
+    assert "broadcast" not in logical.lower(), logical
+    forced_logical = str(
+        with_rank2(df, "v", group_cols=[], bucket_width=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    # sanity: the default path DOES carry the hint (guard is the delta)
+    assert "broadcast" in forced_logical.lower()
+    # Values: identical to the always-broadcast path.
+    forced = with_rank2(
+        df, "v", group_cols=[], bucket_width=1, broadcast_limit=10**9
+    )
+    a = {r["v"]: r["r2_v"] for r in guarded.collect()}
+    b = {r["v"]: r["r2_v"] for r in forced.collect()}
+    assert a == b and len(a) == 500
+    assert plan  # plan materialized without driver-side OOM
