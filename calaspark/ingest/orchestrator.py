@@ -25,7 +25,7 @@ from .clean import split_clean, type_table
 from .load import (
     archive_raw,
     verify_counts,
-    write_parquet_observed,
+    write_parquet_wap,
     write_quarantine,
 )
 from .manifest import Manifest, now
@@ -122,13 +122,16 @@ def update(
 
             rec.load_start = now()
             dest = str(out / name)
-            # clean_count is observed DURING the write (one pass, V1
-            # metric riding the load job); load_count is the parquet
-            # read-back — an independent measure of what landed, so
-            # clean_count == load_count is a real write-loss check,
-            # not an identity.
-            rec.clean_count = write_parquet_observed(good, dest)
-            rec.load_count = spark.read.parquet(dest).count()
+            # Write-audit-publish (load.write_parquet_wap): the full
+            # table lands in a stage dir with the V1 count observed
+            # DURING the write; an independent stage read-back audits
+            # what landed; only then do atomic renames publish —
+            # readers never see a torn table and a failed load leaves
+            # the previously published version intact (the
+            # reference's transactional-COPY semantics).
+            wap = write_parquet_wap(spark, good, dest)
+            rec.clean_count = wap["observed"]
+            rec.load_count = wap["audited"]
             rec.load_finish = now()
             v = verify_counts(rec.n_body_lines, rec.clean_count, rec.error_count)
             if not v["accounted"]:

@@ -5524,3 +5524,10 @@ SELECT split, n_clusters, n_docs, n_tokens,
 FROM per_split CROSS JOIN scalars
 ORDER BY split
 """
+
+
+# q181: TRUE streaming drain of the q35 tumbling aggregation — a fully
+# drained availableNow run over a bounded source must equal the batch
+# twin exactly, so the oracle IS q35's SQL (same columns, same
+# determinism rules).
+ORACLES["q181"] = ORACLES["q35"]

@@ -729,6 +729,25 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         }
         rows.append(("ivfpq", probe, 4, 4 / n_cells, len(exact & ivfpq)))
+    # Minimum-recall GATES (round-10 verdict #6): a regression in
+    # banding/cell parameters must FAIL the harness, not just shift a
+    # printed number. The bounds are the curve's invariants, not
+    # tuned figures: nprobe=16 scans every cell, so IVF recall there
+    # is an EXACTNESS identity (10/10 always); PQ's ADC scan re-ranks
+    # its survivors with exact dots, measured 9/10 on this corpus —
+    # gated at ≥8 to allow one borderline tie while still catching
+    # any real codebook/ADC break (which craters recall to ≤3).
+    for method, probe, nprobe, _frac, rec in rows:
+        if method == "ivf" and nprobe == n_cells and rec != 10:
+            raise RuntimeError(
+                f"ANN recall gate: IVF nprobe={n_cells} must be exact "
+                f"(10/10), got {rec}/10 for probe {probe}"
+            )
+        if method == "pq" and rec < 8:
+            raise RuntimeError(
+                "ANN recall gate: PQ with exact re-rank must reach "
+                f">=8/10, got {rec}/10 for probe {probe}"
+            )
     return spark.createDataFrame(
         rows,
         "method string, probe_id long, nprobe int, scan_frac double, "

@@ -127,6 +127,64 @@ def test_orchestrator_idempotent_and_resumable(spark, dirty_tsv, tmp_path):
     )
 
 
+def test_wap_sink_partial_failure_never_torn(
+    spark, dirty_tsv, tmp_path, monkeypatch
+):
+    """S5 write-audit-publish commit protocol: a load killed in any
+    crash window leaves the published table either the COMPLETE old
+    version or absent-never-torn, and a re-run converges (reference
+    parity: transactional per-table COPY in loadcalaccessrawfile)."""
+    from pathlib import Path
+
+    import pytest
+
+    import calaspark.ingest.load as load_mod
+    from calaspark.ingest import split_clean, type_table
+    from calaspark.ingest.load import write_parquet_wap
+    from calaspark.ingest.schemas import RCPT_CD
+
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    typed = type_table(res.good, RCPT_CD)
+    dest = str(tmp_path / "RCPT_CD")
+
+    out1 = write_parquet_wap(spark, typed, dest)
+    assert out1["observed"] == out1["audited"] == dirty_tsv["n_good"]
+    v1 = spark.read.parquet(dest).count()
+
+    # window 1: killed after staging, before publish — the state is a
+    # stale stage dir next to an untouched published table
+    typed.limit(1).write.parquet(dest + "__stage")
+    assert spark.read.parquet(dest).count() == v1  # old version intact
+    out2 = write_parquet_wap(spark, typed, dest)  # re-run converges
+    assert out2["audited"] == v1
+    assert not Path(dest + "__stage").exists()
+    assert not Path(dest + "__retired").exists()
+    assert spark.read.parquet(dest).count() == v1
+
+    # window 2: killed between the two publish renames — the table is
+    # ABSENT (a state the _SUCCESS-gated view layer skips), never torn
+    Path(dest).rename(dest + "__retired")
+    assert not Path(dest).exists()
+    write_parquet_wap(spark, typed, dest)  # re-run republishes
+    assert spark.read.parquet(dest).count() == v1
+    assert not Path(dest + "__retired").exists()
+
+    # audit failure: a lying writer (simulated write loss) must abort
+    # pre-publish — stage discarded, published table untouched
+    real = load_mod.write_parquet_observed
+
+    def lying(df, path, partition_by=None):
+        real(df, path, partition_by)
+        return 10**9
+
+    monkeypatch.setattr(load_mod, "write_parquet_observed", lying)
+    with pytest.raises(RuntimeError, match="WAP audit failed"):
+        write_parquet_wap(spark, typed, dest)
+    monkeypatch.undo()
+    assert spark.read.parquet(dest).count() == v1
+    assert not Path(dest + "__stage").exists()
+
+
 def test_acquire_zip_end_to_end(spark, dirty_tsv, tmp_path):
     """S1+S2+full pipeline: zip of dirty TSVs via file:// URL →
     download (size-verified, idempotent) → extract → clean/type/load."""
