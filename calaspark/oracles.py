@@ -5531,3 +5531,40 @@ ORDER BY split
 # twin exactly, so the oracle IS q35's SQL (same columns, same
 # determinism rules).
 ORACLES["q181"] = ORACLES["q35"]
+
+
+# Q182 — per-doc token rarity (integer-exact surprisal core) ----------
+# Tokenizer identical to q54/q100 (non-empty splits on whitespace);
+# every reported number is exact BIGINT except the single ROUND(.,6)
+# hapax-rate division, evaluated in the same written order as Spark's.
+ORACLES["q182"] = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(text, E'[\t\n\f\r ]+'), x -> x <> ''))
+         AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM occ GROUP BY tok
+)
+SELECT
+  o.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT o.tok) AS BIGINT) AS n_distinct,
+  CAST(SUM(f.f) AS BIGINT) AS sum_corpus_freq,
+  CAST(MIN(f.f) AS BIGINT) AS min_corpus_freq,
+  CAST(count_if(f.f = 1) AS BIGINT) AS n_hapax,
+  ROUND(CAST(count_if(f.f = 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS hapax_rate
+FROM occ o JOIN freq f ON o.tok = f.tok
+GROUP BY o.doc_id
+"""
+
+
+# Q183 — TRUE streaming sliding-window drain ≡ q31's batch SQL.
+ORACLES["q183"] = ORACLES["q31"]
+
+# Q184 — TRUE stateful streaming dedup drain: the key-only projection
+# makes the drained append output exactly the distinct key set.
+ORACLES["q184"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""

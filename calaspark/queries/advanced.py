@@ -6668,3 +6668,54 @@ def q180_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------- Q182
+
+
+def q182_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity scoring (E19) — the integer-exact
+    core of a unigram-LM surprisal/perplexity quality filter (the
+    true ``-Σ ln p(tok)`` form is libm-dependent across engines, the
+    q138/tfidf_topterms lesson, so the hash-gated contract keeps the
+    pre-log statistics a pipeline thresholds on):
+
+    per doc: token occurrences, distinct tokens, the summed corpus
+    frequency of its token occurrences (high = boilerplate-like,
+    low = rare/novel text), the corpus frequency of its RAREST
+    token, occurrences of corpus-hapax tokens, and the hapax rate
+    (one ROUND(.,6) double division; everything else exact BIGINT).
+
+    Plan: one documents scan tokenized once; the corpus-frequency
+    dictionary is a (tok) hash agg joined back to the occurrence
+    explode (dictionary-sized build side — Spark/AQE picks broadcast
+    when it fits); the per-doc rollup is a (doc_id) hash agg with
+    map-side partials. Two shuffles total at any scale, both on keys
+    with corpus-bounded (tok) or data-uniform (doc_id) cardinality —
+    no windows, no Python, nothing collected.
+
+    Reference anchor: SURVEY.md §2.5 E19 (the reference itself has
+    no text analytics; this extends the training-data surface its
+    data model feeds).
+    """
+    from ..ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        occ.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.sum("f").alias("sum_corpus_freq"),
+            F.min("f").alias("min_corpus_freq"),
+            F.count_if(F.col("f") == 1).alias("n_hapax"),
+            F.round(
+                F.count_if(F.col("f") == 1).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hapax_rate"),
+        )
+    )

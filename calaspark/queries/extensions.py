@@ -1148,3 +1148,99 @@ def q181_stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_available_now(agg, name, output_mode="complete")
     assert q.lastProgress is not None  # a StreamingQuery really ran
     return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared file-source stream over the events table for the
+    q181/q183/q184 true-streaming gates: declared schema (footer
+    read), event time as TIMESTAMP (LTZ — watermarks reject NTZ;
+    prepare() pins the session to UTC so formatting matches the NTZ
+    batch twins), ns sources truncated with load_table's expression."""
+    from ..session import prepare
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events.parque[t]"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# ---------------------------------------------------------------- Q183
+
+
+_Q183_SEQ = iter(range(1_000_000))
+
+
+def q183_stream_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming sliding-window aggregation under the hash gate
+    (E23): q31's 10-min/5-min sliding count+sum as a watermarked
+    streaming query, drained with ``availableNow`` through a real
+    ``writeStream`` (memory sink, complete mode). Oracle = q31's SQL
+    verbatim. The streaming plan is the SAME Expand → partial-agg →
+    shuffle the batch twin runs per micro-batch (q31 docstring), plus
+    the state store on the window key — bounded by the watermark
+    horizon at any scale. See q181 for why the drained complete-mode
+    result equals the batch aggregate bit for bit.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            "n",
+            "sum_value",
+        )
+    )
+    from ..streaming.windows import run_available_now
+
+    name = f"q183_drain_{next(_Q183_SEQ)}"
+    q = run_available_now(agg, name, output_mode="complete")
+    assert q.lastProgress is not None
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------- Q184
+
+
+_Q184_SEQ = iter(range(1_000_000))
+
+
+def q184_stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE STATEFUL streaming dedup under the hash gate (E15 × E23):
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over
+    the events stream, drained with ``availableNow`` through a real
+    ``writeStream`` (append mode — dedup emits each surviving row
+    once). The projection keeps ONLY the key columns, so "which
+    duplicate survived" — nondeterministic across shuffle partitions
+    — never reaches the output: the drained table is exactly the
+    distinct key set, and the oracle is a two-column DISTINCT.
+
+    State/scale contract: per-key state lives in the state store
+    hash-partitioned on the dedup key and is evicted once the
+    watermark passes a key's last-seen event time — bounded state at
+    any throughput, unlike plain streaming ``dropDuplicates`` whose
+    state grows forever. A key recurring AFTER its state expired
+    would re-emit (the documented watermark trade-off); the gate
+    corpus drains in one micro-batch where no state expires mid-run,
+    so the append output is exactly-once per key.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.select("ts", "user_id", "event_type")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    from ..streaming.windows import run_available_now
+
+    name = f"q184_drain_{next(_Q184_SEQ)}"
+    q = run_available_now(deduped, name, output_mode="append")
+    assert q.lastProgress is not None
+    return spark.table(name)
