@@ -5568,3 +5568,19 @@ ORACLES["q183"] = ORACLES["q31"]
 ORACLES["q184"] = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+
+# Q185 — TRUE streaming foreachBatch CDC MERGE drain: latest row per
+# user under the (epoch-second DESC, event_id DESC) total order.
+ORACLES["q185"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id, event_type, value
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ep DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ep, event_id, event_type, value FROM r WHERE rn = 1
+"""

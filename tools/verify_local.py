@@ -13,6 +13,15 @@ compared at the Arrow type level, so any engine-level type leak
 in the driver.
 
 Usage:  python tools/verify_local.py [--sf /root/testdata/sf0.01] [ids...]
+
+``--vanilla`` swaps the tuned ``get_spark`` session for a bare
+``SparkSession.builder.master("local[N]")`` with zero extra confs and
+loads the contract through ``__spark_entry__.py`` exactly as the
+driver does — catching anything that only works under our session
+(confs that must be runtime-settable via ``prepare()``, shipped
+package code, timezone assumptions). The events-table queries are the
+canary: they only read if ``prepare()`` successfully applies
+``nanosAsLong``/UTC at runtime.
 """
 
 from __future__ import annotations
@@ -86,10 +95,34 @@ def _table_info(tbl: pa.Table):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver simulation: bare SparkSession + __spark_entry__ "
+        "contract instead of the tuned session",
+    )
     ap.add_argument("ids", nargs="*", default=None)
     args = ap.parse_args()
 
-    spark = get_spark("calaspark-verify")
+    global QUERIES, ORACLES
+    if args.vanilla:
+        import importlib.util
+
+        from pyspark.sql import SparkSession
+
+        entry_py = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+        spec = importlib.util.spec_from_file_location("entrymod", entry_py)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        QUERIES, ORACLES = mod.queries(), mod.oracle_sql()
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("calaspark-verify-vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("calaspark-verify")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
