@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer TRAINING (E19/E22) — the iterative loop
+whose per-round counter q77 exposes as a single declared query.
+
+The scalable design mirrors every published BPE trainer: all work
+happens on the WORD DICTIONARY (distinct word → corpus count), never
+the corpus — a 100 TB corpus has a dictionary orders of magnitude
+smaller, and after the one corpus-scan groupBy that builds it, each
+merge round costs one dictionary-sized job:
+
+1. pair counts: explode each word's adjacent symbol pairs weighted
+   by the word's corpus count → hash agg on (left, right) — the pair
+   space is bounded by the live symbol vocabulary, so the agg output
+   is model-sized;
+2. argmax under the TOTAL order (count DESC, left ASC, right ASC) —
+   one row collected to the driver (model state, the same
+   legitimate driver footprint as IVF centroids);
+3. merge: rewrite each dictionary word's symbol array, fusing
+   left-to-right non-overlapping occurrences of the winning pair —
+   a single ``F.aggregate`` fold (codegen, no Python), the
+   classical greedy BPE application order.
+
+Rounds are materialized with ``persist`` (dictionary-sized) so the
+per-round lineage stays one fold deep instead of nesting n_merges
+aggregate expressions into one codegen unit.
+
+Determinism: the argmax total order makes every merge data-determined;
+equal-count pairs resolve lexicographically, so two engines (or two
+runs) train the identical merge table. The tiny hand-checked corpus
+in tests/test_ops.py pins the exact sequence.
+
+Reference anchor: SURVEY.md §2.5 E19/E22 (the reference has no
+tokenizer; this is training-data-pipeline surface its data feeds).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _chars(col: Column) -> Column:
+    """String → array of single characters (codegen, no Python)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: col.substr(i, F.lit(1)),
+    )
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Fuse left-to-right non-overlapping (left, right) adjacencies in
+    a symbol array — greedy BPE application as one aggregate fold.
+
+    Accumulator: (out array, carry symbol). Each step either completes
+    the pair (carry==left and s==right → emit fused, clear carry) or
+    flushes the carry and holds the current symbol.
+    """
+    fused = F.lit(left + right)
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+    step = lambda acc, s: F.when(
+        (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+        F.struct(
+            F.concat(acc["out"], F.array(fused)).alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["carry"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["carry"])),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            s.alias("carry"),
+        )
+    )
+    finish = lambda acc: F.when(
+        acc["carry"].isNotNull(), F.concat(acc["out"], F.array(acc["carry"]))
+    ).otherwise(acc["out"])
+    return F.aggregate(symbols, init, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges over the word dictionary of
+    ``docs[text_col]``; returns [(round, left, right, pair_count)].
+
+    Stops early if no adjacent pair remains (fully merged dictionary).
+    """
+    from .text import tokens
+
+    spark = docs.sparkSession
+    dict_df = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(_chars(F.col("w")).alias("syms"), "n")
+    ).persist()
+    dict_df.count()  # materialize the corpus scan once
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            pairs = (
+                dict_df.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at(
+                                    "syms", (i + 1).cast("int")
+                                ).alias("l"),
+                                F.element_at(
+                                    "syms", (i + 2).cast("int")
+                                ).alias("r"),
+                            ),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            best = pairs[0]
+            merges.append((r, best["l"], best["r"], int(best["c"])))
+            nxt = dict_df.select(
+                _merge_pair(F.col("syms"), best["l"], best["r"]).alias(
+                    "syms"
+                ),
+                "n",
+            ).persist()
+            nxt.count()
+            dict_df.unpersist()
+            dict_df = nxt
+    finally:
+        dict_df.unpersist()
+    return merges

@@ -1061,3 +1061,25 @@ def cms_shingle_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("over").cast("double") / F.col("exact")), 3
         ).alias("max_rel_over"),
     )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19/E22 — distributed BPE tokenizer TRAINING (rows-only): 8
+    merge rounds over the documents word dictionary via
+    `ops/bpe.bpe_train` (q77 is the per-round counter; this is the
+    loop). Every round is one dictionary-sized job + a 1-row argmax
+    collect (model state); merges are fully data-determined by the
+    (count DESC, left ASC, right ASC) total order, so the output is
+    deterministic — the iterative data-dependent loop itself is why
+    no SQL oracle exists (the q80/q96 recursive-CTE trick covers
+    fixed graphs, not a vocabulary that rewrites itself each round);
+    the exact merge sequence on a hand-computed corpus is pinned in
+    tests/test_ops.py.
+    """
+    from ..ops.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        merges, "merge_round int, left string, right string, n long"
+    )

@@ -1365,3 +1365,35 @@ def test_ann_recall_gates_at_sf001(spark):
             assert r["recall_at_10"] == 10, dict(r.asDict())
         if r["method"] == "pq":
             assert r["recall_at_10"] >= 8, dict(r.asDict())
+
+
+def test_bpe_train_hand_checked(spark):
+    """ops/bpe.bpe_train reproduces the textbook BPE merge sequence
+    on a hand-computable corpus, including greedy left-to-right
+    non-overlapping application ("aaaa" + (a,a) -> [aa, aa])."""
+    from calaspark.ops.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low lower lower newest",)], "text string"
+    )
+    got = bpe_train(df, n_merges=4)
+    # (l,o)x5 -> (lo,w)x5 -> (e,r)x2 -> (low,er)x2
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "r", 2),
+        (4, "low", "er", 2),
+    ]
+    # greedy overlap: "aaaa" merges to two "aa", then one "aaaa"
+    df2 = spark.createDataFrame([("aaaa aaaa b",)], "text string")
+    got2 = bpe_train(df2, n_merges=3)
+    # Sennrich counting: 3 overlapping adjacencies per "aaaa" x 2
+    # occurrences; the GREEDY application then fuses non-overlapping
+    # ["aa","aa"], whose single adjacency x 2 occurrences follows
+    assert got2[0] == (1, "a", "a", 6)
+    assert got2[1] == (2, "aa", "aa", 2)
+    # round 3: every word is a single symbol -> early stop, no error
+    assert len(got2) == 2
+    # a fully merged dictionary stops early rather than erroring
+    df3 = spark.createDataFrame([("x y z",)], "text string")
+    assert bpe_train(df3, n_merges=5) == []
