@@ -656,3 +656,60 @@ def test_streaming_ewma_drift_multichunk_group(spark, tmp_path):
     assert got["n_events"] == 400
     assert got["ewma"] == s  # bitwise
     assert got["n_alerts"] == na
+
+
+def test_stateful_dedup_state_survives_micro_batches(spark, tmp_path):
+    """q184's operator across REAL micro-batch boundaries
+    (maxFilesPerTrigger=1): a key first seen in batch 0 and recurring
+    in batch 2 must NOT re-emit while its event time is inside the
+    watermark horizon — per-key state in the state store carries
+    across batches, which the single-file availableNow drains of the
+    q184 gate cannot exercise on their own."""
+    import datetime as dt
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    schema = "ts timestamp, k string"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def feed(rows, name):
+        stage = tmp_path / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        for i, p in enumerate(sorted(stage.glob("part-*.parquet"))):
+            shutil.move(str(p), str(src / f"{name}_{i}.parquet"))
+
+    m = dt.timedelta(minutes=1)
+    feed([(t0, "a"), (t0 + m, "b")], "f0")
+    feed([(t0 + 2 * m, "c")], "f1")
+    feed([(t0 + 3 * m, "a"), (t0 + 4 * m, "d"), (t0 + 5 * m, "b")], "f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dd_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # ≥3 triggers really ran (one per file) and the recurrences of
+    # a/b in the third file were suppressed by cross-batch state
+    assert q.lastProgress is not None
+    out = [r["k"] for r in spark.table("t_dd_mb").collect()]
+    assert sorted(out) == ["a", "b", "c", "d"], out
+    q.stop()
