@@ -188,6 +188,7 @@ _STDOUT_ABBREV = {
     "semdedup_clusters": "SD",
     "hybrid_search": "HY",
     "cms_shingle_error": "CM",
+    "bpe_train_merges": "BT",
     # companion ids (q13_latest…) — previously emitted verbatim,
     # ~8 bytes/entry of line budget each
     "q13_latest": "QL",

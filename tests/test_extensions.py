@@ -186,3 +186,20 @@ def test_q45_array_funcs_spot(spark):
     assert row["total_chars"] == sum(len(t) for t in toks)
     assert row["first3"] == "-".join(sorted(set(toks))[:3])
     assert row["has_the"] == ("the" in toks)
+
+
+def test_bench_stdout_key_map_covers_registry():
+    """Every registered query id must short-key cleanly in bench.py
+    (numeric ids via base36, named ids via the abbreviation map) with
+    no collisions — otherwise bench crashes at startup AFTER a round
+    lands a new demo id without an abbreviation (q181-era insurance:
+    this moves that failure from the driver's bench run to pytest)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench._validate_stdout_keys(QUERIES)  # raises on gap or collision
