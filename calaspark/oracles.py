@@ -5584,3 +5584,32 @@ WITH e AS (
 )
 SELECT user_id, ep, event_id, event_type, value FROM r WHERE rn = 1
 """
+
+
+# Q186 — incremental aggregate maintenance ≡ full recompute (IVM
+# identity). Decimal partials merged exactly, rounded once at output.
+ORACLES["q186"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events
+), b AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS bn, SUM(v) AS bs
+  FROM e WHERE event_id % 97 <> 0 GROUP BY user_id
+), d AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS dn, SUM(v) AS ds
+  FROM e WHERE event_id % 97 = 0 GROUP BY user_id
+), m AS (
+  SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         COALESCE(bn, 0) + COALESCE(dn, 0) AS n,
+         COALESCE(bs, CAST(0 AS DECIMAL(12,2)))
+           + COALESCE(ds, CAST(0 AS DECIMAL(12,2))) AS s
+  FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+), f AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS fn, SUM(v) AS fs
+  FROM e GROUP BY user_id
+)
+SELECT m.user_id, m.n,
+       CAST(ROUND(m.s, 2) AS DOUBLE) AS sum_value,
+       CAST(CASE WHEN m.n = f.fn AND m.s = f.fs THEN 1 ELSE 0 END
+            AS INTEGER) AS consistent
+FROM m JOIN f ON m.user_id = f.user_id
+"""

@@ -6719,3 +6719,75 @@ def q182_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hapax_rate"),
         )
     )
+
+
+# --------------------------------------------------------------- Q186
+
+
+def q186_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE (E2/E16 — the materialized-
+    view delta-maintenance idiom): a per-user (count, value-sum)
+    aggregate table is MAINTAINED from a base snapshot plus a delta —
+    ``new_agg = base_agg ⟗ delta_agg`` with null-safe addition — and
+    the query PROVES the maintained result identical to a full
+    recompute (the IVM correctness identity), emitting both the
+    maintained figures and a per-row consistency flag the oracle
+    reproduces.
+
+    Base/delta are carved deterministically from events
+    (event_id % 97: ~1% delta — the realistic arrival ratio).
+    Partial sums stay EXACT DECIMAL through the merge and round once
+    at output, so maintained ≡ recomputed holds bitwise (rule 1:
+    decimal addition is associative; early rounding would break the
+    identity in the last cent).
+
+    100 TB story: maintenance costs agg(delta) + one key join against
+    the existing aggregate table — proportional to the DELTA and the
+    key cardinality, never the corpus; the full recompute exists here
+    only as the audit branch. COUNT maintenance needs no tombstones
+    (append-only deltas); deletable rows would carry signed counts
+    through the same plan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", dec("value").alias("v")
+    )
+    base = e.filter(F.col("event_id") % 97 != 0)
+    delta = e.filter(F.col("event_id") % 97 == 0)
+    b = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("v").alias("bs")
+    )
+    d = delta.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("v").alias("ds")
+    )
+    zero_n = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast("decimal(12,2)")
+    maintained = (
+        b.join(d, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("bn"), zero_n)
+                + F.coalesce(F.col("dn"), zero_n)
+            ).alias("n"),
+            (
+                F.coalesce(F.col("bs"), zero_s)
+                + F.coalesce(F.col("ds"), zero_s)
+            ).alias("s"),
+        )
+    )
+    full = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("fn"), F.sum("v").alias("fs")
+    )
+    return (
+        maintained.join(full, "user_id")
+        .select(
+            "user_id",
+            "n",
+            F.round("s", 2).cast("double").alias("sum_value"),
+            (
+                (F.col("n") == F.col("fn")) & (F.col("s") == F.col("fs"))
+            )
+            .cast("int")
+            .alias("consistent"),
+        )
+    )
