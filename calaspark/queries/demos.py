@@ -36,10 +36,7 @@ def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18 at scale: SimHash-bucketed approximate top-10 neighbors of
     vec_id=0. Only the probe's bucket is exact-cosine ranked."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    e = _corpus_e(spark, sf_dir)
     return ann_topk_lsh(e, probe_id=0, k=10)
 
 
@@ -54,6 +51,37 @@ def _pq_corpus_key(sf_dir: str) -> str:
     return f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
 
 
+#: Memoized (applicationId, corpus-key) → materialized typed corpus
+#: (vec_id, e double[], nrm). Every ANN demo and the recall harness
+#: scans this same table; before the memo each CALL re-ran the
+#:  cast+norm projection and a fresh localCheckpoint (~2.5 s/call at
+#: sf0.1 — pure re-materialization of an unchanged 2000-row table).
+#: Same lifecycle as ops/ann_pq._PQ_HANDLES: per session, corpus
+#: mtime self-invalidates via the key.
+_E_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _pq_corpus_key(sf_dir))
+    hit = _E_HANDLES.get(key)
+    if hit is not None:
+        return hit
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dot_self = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    e = materialize(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).withColumn("nrm", F.sqrt(dot_self))
+    )
+    _E_HANDLES[key] = e
+    return e
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18, compression family: Product-Quantization approximate
     top-10 neighbors of vec_id=0 — the CODES table (8 x 4-bit codes
@@ -66,13 +94,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall beside ivf/lsh."""
     from ..ops.ann_pq import load_or_build_pq, pq_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = materialize(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        )
-    )
+    e = _corpus_e(spark, sf_dir)
     model, codes = load_or_build_pq(e, _pq_corpus_key(sf_dir))
     qv = e.filter(F.col("vec_id") == 0).collect()[0]["e"]
     import numpy as _np
@@ -89,13 +111,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding column). Rows-only; recall measured in ann_recall."""
     from ..ops.ann_pq import ivfpq_topk, load_or_build_ivfpq
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = materialize(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        )
-    )
+    e = _corpus_e(spark, sf_dir)
     model, cc, cents = load_or_build_ivfpq(
         e, _pq_corpus_key(sf_dir), _ivf_index_path(sf_dir)
     )
@@ -134,10 +150,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..ops.ann_ivf import ann_topk_ivf
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    e = _corpus_e(spark, sf_dir)
     return ann_topk_ivf(
         e, probe_id=0, k=10, n_cells=16, nprobe=4,
         index_path=_ivf_index_path(sf_dir),
@@ -384,10 +397,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a perturbed twin whose sign bit flips lands elsewhere)."""
     from ..ops.lsh import embedding_neardup_pairs
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    e = _corpus_e(spark, sf_dir).select("vec_id", "e")
     rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
     pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
     dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
@@ -570,18 +580,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops.ann_ivf import _dot_probe, ann_topk_ivf
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    dot_self = F.aggregate(
-        F.zip_with("e", "e", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    e = materialize(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        ).withColumn("nrm", F.sqrt(dot_self))
-    )
+    e = _corpus_e(spark, sf_dir)
 
     import numpy as np
 
@@ -876,10 +875,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable rows."""
     from ..ops.semdedup import semdedup
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    e = _corpus_e(spark, sf_dir).select("vec_id", "e")
     rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
     pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
     dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
@@ -976,10 +972,7 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(50)
     )
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    ev = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ev = _corpus_e(spark, sf_dir)
     vec = ann_topk_ivf(
         ev, probe_id=0, k=10, n_cells=16, nprobe=4,
         index_path=_ivf_index_path(sf_dir),
