@@ -51,6 +51,36 @@ def _pq_corpus_key(sf_dir: str) -> str:
     return f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
 
 
+#: Memoized (applicationId, documents-key) → materialized hashed
+#: 3-shingle table (doc_id, toks array<long>) shared by the two
+#: shingle-grain near-dup families (ngram_neardup, simhash_neardup):
+#: each call used to re-tokenize + re-checkpoint the identical table.
+_SHINGLE_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_corpus_key(sf_dir: str) -> str:
+    from pathlib import Path as _P
+
+    src = _P(sf_dir) / "documents.parquet"
+    return f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import with_shingle_hashes
+
+    key = (spark.sparkContext.applicationId, _doc_corpus_key(sf_dir))
+    hit = _SHINGLE_HANDLES.get(key)
+    if hit is not None:
+        return hit
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = materialize(
+        with_shingle_hashes(d.select("doc_id", "text"), n=3)
+        .select("doc_id", F.array_distinct("toks").alias("toks"))
+    )
+    _SHINGLE_HANDLES[key] = docs
+    return docs
+
+
 #: Memoized (applicationId, corpus-key) → materialized typed corpus
 #: (vec_id, e double[], nrm). Every ANN demo and the recall harness
 #: scans this same table; before the memo each CALL re-ran the
@@ -415,19 +445,15 @@ def ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.lsh import neardup_pairs_lsh
     from ..ops.text import with_shingle_hashes
 
-    d = spread(load_table(spark, sf_dir, "documents"))
     # hashed shingles (array<long>): set-equivalent to the string
-    # form for Jaccard/MinHash, with no per-shingle string allocation
-    # materialize the hashed-shingle corpus ONCE (array<long> — the
-    # compact form a 100 TB pipeline persists before multi-pass LSH):
-    # signature build + both verify sides then read it instead of
+    # form for Jaccard/MinHash, with no per-shingle string allocation;
+    # the table is materialized ONCE PER SESSION (_shingled_docs —
+    # the compact form a 100 TB pipeline persists before multi-pass
+    # LSH): signature build + both verify sides read it instead of
     # re-tokenizing 3×, and no giant interpreted expression is left
     # under the downstream explode/aggregate for the optimizer to
     # clone into constraints
-    docs = materialize(
-        with_shingle_hashes(d.select("doc_id", "text"), n=3)
-        .select("doc_id", F.array_distinct("toks").alias("toks"))
-    )
+    docs = _shingled_docs(spark, sf_dir)
     # shingle vocab ≈ unique 3-grams of the corpus — far past the
     # bitmask cap; skip the dictionary probe job outright
     return neardup_pairs_lsh(docs, threshold=0.5, use_bitmask=False)
@@ -477,16 +503,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) per candidate — no token arrays cross the shuffle.
     """
     from ..ops.lsh import simhash_neardup_pairs
-    from ..ops.text import with_shingle_hashes
 
-    d = spread(load_table(spark, sf_dir, "documents"))
     # 3-gram shingles, not bag-of-words: SimHash needs enough features
     # that unrelated docs disagree on most bits (small word vocabs
-    # make everything collide); hashed form — SimHash only rehashes
-    docs = materialize(  # same materialize-once rationale as ngram_neardup
-        with_shingle_hashes(d.select("doc_id", "text"), n=3)
-        .select("doc_id", F.array_distinct("toks").alias("toks"))
-    )
+    # make everything collide); hashed form — SimHash only rehashes.
+    # Shared session-memoized table (_shingled_docs).
+    docs = _shingled_docs(spark, sf_dir)
     return (
         simhash_neardup_pairs(docs, max_hamming=3)
         .orderBy("hamming", "id_a", "id_b")
