@@ -614,3 +614,24 @@ def test_cli_dedup_exact_and_minhash(spark, tmp_path, capsys):
     # doc 2 (near-dup of 1) must be gone; min-id 1 survives
     ids = {r["doc_id"] for r in kept.select("doc_id").distinct().collect()}
     assert 1 in ids and 2 not in ids and 3 in ids
+
+
+def test_wap_sink_partitioned(spark, dirty_tsv, tmp_path):
+    """write_parquet_wap with partition_by: the staged layout keeps
+    partition pruning after the rename publish, and the audit count
+    reads through the partitioned layout correctly."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ingest import split_clean, type_table
+    from calaspark.ingest.load import write_parquet_wap
+    from calaspark.ingest.schemas import RCPT_CD
+
+    res = split_clean(spark, dirty_tsv["path"], list(RCPT_CD))
+    typed = type_table(res.good, RCPT_CD)
+    dest = str(tmp_path / "RCPT_CD_P")
+    out = write_parquet_wap(spark, typed, dest, partition_by=["FORM_TYPE"])
+    assert out["observed"] == out["audited"] == dirty_tsv["n_good"]
+    back = spark.read.parquet(dest).filter(F.col("FORM_TYPE") == "A")
+    assert back.count() == dirty_tsv["n_good"]  # fixture is all 'A'
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "FORM_TYPE" in plan

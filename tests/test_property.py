@@ -360,3 +360,53 @@ def test_ssjoin_plans_agree_on_random_corpora(spark, texts):
         if a < b and 3 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b]) + len(sets[a] & sets[b])
     )
     assert got_cj == expect
+
+
+# ---- BPE greedy merge fold (ops/bpe._merge_pair) --------------------
+
+_SYM = st.sampled_from(["a", "b", "ab", "ba", "c"])
+
+
+def _merge_ref(syms: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python greedy left-to-right non-overlapping merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(st.lists(_SYM, min_size=0, max_size=8), min_size=1, max_size=12),
+    pair=st.tuples(_SYM, _SYM),
+)
+def test_bpe_merge_fold_matches_reference(spark, words, pair):
+    """ops/bpe._merge_pair (one aggregate fold) ≡ the pure-Python
+    greedy merge on arbitrary symbol arrays — including overlapping
+    runs (aaa + (a,a) → [aa, a]), pairs built from earlier fused
+    symbols, and empty arrays. One Spark job checks every example."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.bpe import _merge_pair
+
+    left, right = pair
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, syms array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _merge_pair(F.col("syms"), left, right).alias("m")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _merge_ref(w, left, right), (w, left, right)
