@@ -80,8 +80,12 @@ def write_parquet_wap(
     pre-publish crash → old table still published, stale stage is
     removed on the next run; crash between the two renames → the
     table is briefly absent (never torn — the lake view layer skips
-    dirs without ``_SUCCESS``) and a re-run republishes; post-publish
-    crash → only the retired dir lingers and is swept next run.
+    dirs without ``_SUCCESS``) and the next run FIRST RESTORES the
+    retired dir to ``dest`` (at that instant it holds the only
+    complete copy — deleting it before the new publish succeeds
+    would let a second failure lose the table permanently), then
+    retries; post-publish crash → only the retired dir lingers,
+    and because ``dest`` exists it is swept, not restored.
 
     At 100 TB the renames are per-table metadata operations (HDFS
     rename is atomic; on S3-style stores the same protocol runs
@@ -93,6 +97,14 @@ def write_parquet_wap(
     from pathlib import Path
 
     stage, retired = f"{dest}__stage", f"{dest}__retired"
+    # Recovery from a previously killed run, in dependency order:
+    # a crash BETWEEN the publish renames leaves dest absent and
+    # retired holding the ONLY complete copy — restore it (rename
+    # back) before anything is deleted, so the "failed load leaves
+    # the previous version intact" contract survives a second
+    # failure in this run. Only then sweep true leftovers.
+    if Path(retired).exists() and not Path(dest).exists():
+        Path(retired).rename(dest)
     for leftover in (stage, retired):  # from a previously killed run
         if Path(leftover).exists():
             shutil.rmtree(leftover)
@@ -108,6 +120,8 @@ def write_parquet_wap(
     if Path(dest).exists():
         Path(dest).rename(retired)
     Path(stage).rename(dest)
+    # Remove the retired copy only AFTER the new version is fully
+    # published (the rename above) — never while it is the sole copy.
     if Path(retired).exists():
         shutil.rmtree(retired)
     return {"observed": observed, "audited": audited}

@@ -108,9 +108,10 @@ def update(
             good = type_table(res.good, schema, table=name)
             # V1 accounting inputs, each measured INDEPENDENTLY:
             # body lines from the pre-split cleaned frame, quarantine
-            # from its own side, load count from the parquet read-back
-            # — so good + quarantine == body is a real gate, not an
-            # identity of derived numbers.
+            # from its own side, load count from write_parquet_wap's
+            # pre-publish read-back of the STAGE dir — so good +
+            # quarantine == body is a real gate, not an identity of
+            # derived numbers.
             rec.n_body_lines = res.body.count()
             rec.error_count = res.quarantine.count()
             if rec.error_count:
@@ -136,11 +137,14 @@ def update(
             v = verify_counts(rec.n_body_lines, rec.clean_count, rec.error_count)
             if not v["accounted"]:
                 raise RuntimeError(f"count mismatch for {name}: {v}")
-            if rec.load_count != rec.clean_count:
-                raise RuntimeError(
-                    f"write loss for {name}: observed {rec.clean_count} "
-                    f"written, {rec.load_count} read back"
-                )
+            # Belt-and-braces only: write_parquet_wap already RAISES on
+            # any observed/audited mismatch (the audit is a pre-publish
+            # read-back of the stage dir), so the two counts it returns
+            # are equal by construction on every non-raising path.
+            assert rec.load_count == rec.clean_count, (
+                f"write loss for {name}: observed {rec.clean_count} "
+                f"written, {rec.load_count} audited"
+            )
             if compact_threshold is not None:
                 stats = _maybe_compact(
                     spark, dest, compact_threshold, compact_target_bytes

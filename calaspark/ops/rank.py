@@ -35,6 +35,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+#: Probe memo (round-11 verdict advisory 2): the broadcast-guard count
+#: below is a plan-time Spark job, so repeated with_rank2 calls over
+#: the SAME bucket-grain plan (bench re-runs, multi-rank queries like
+#: q166's two-column Spearman) paid it once per call. Keyed on
+#: (semanticHash of the bucket agg, limit) — the hash identifies the
+#: canonicalized logical plan, and a (vanishingly unlikely) collision
+#: only flips a JOIN-STRATEGY hint, never semantics, which is why a
+#: hash key is acceptable here. Bounded; session-lifetime staleness is
+#: fine because the probe answers "is this ≤ limit rows", a property
+#: of the plan over immutable lake inputs.
+_PROBE_MEMO: dict[tuple[int, int], bool] = {}
+_PROBE_MEMO_MAX = 256
+
 
 def with_rank2(
     df: DataFrame,
@@ -80,8 +93,15 @@ def with_rank2(
     )
     off = rows.groupBy(*gcols, "_rk_b").agg(F.count(F.lit(1)).alias("_rk_c"))
     # Plan-time size probe on the bucket-grain agg (pre-window, so the
-    # probe job is a partial-agg count, not a sorted prefix scan).
-    off_small = off.limit(broadcast_limit + 1).count() <= broadcast_limit
+    # probe job is a partial-agg count, not a sorted prefix scan),
+    # memoized per canonical plan so repeated calls pay it once.
+    memo_key = (off.semanticHash(), broadcast_limit)
+    if memo_key in _PROBE_MEMO:
+        off_small = _PROBE_MEMO[memo_key]
+    else:
+        off_small = off.limit(broadcast_limit + 1).count() <= broadcast_limit
+        if len(_PROBE_MEMO) < _PROBE_MEMO_MAX:
+            _PROBE_MEMO[memo_key] = off_small
     wb = (
         Window.partitionBy(*gcols)
         .orderBy("_rk_b")

@@ -5613,3 +5613,60 @@ SELECT m.user_id, m.n,
             AS INTEGER) AS consistent
 FROM m JOIN f ON m.user_id = f.user_id
 """
+
+
+# Q187 — TRUE streaming session-window drain ≡ q36's gaps-and-islands
+# SQL minus the ordinal session_id: sessions are identified by their
+# data-determined (user_id, sess_start) instead of a running index.
+# Session membership is the SAME rule in both engines — floored-second
+# gap ≤ 1800 — because the Spark side feeds session_window floored
+# timestamps with gap 1800 s and Spark's merge boundary is INCLUSIVE
+# (an event exactly gap seconds after the session end merges; pinned
+# by test_streaming's boundary test).
+ORACLES["q187"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), f AS (
+  SELECT *,
+         CASE WHEN lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+), s AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM f
+)
+SELECT user_id,
+       MIN(ep) AS sess_start, MAX(ep) AS sess_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# Q188 — TRUE stream-stream interval join drain: the q52-family join
+# at PAIR grain (append-only inner-join contract), exact half-open
+# window [c_ep+1, c_ep+86401) — the 24 h attribution horizon (q52's
+# 10-minute window is single-digit pairs at gate scale) — on floored
+# integer seconds; every output column is a stored value.
+ORACLES["q188"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS c_ep
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT event_id AS view_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS v_ep, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id, c.c_ep AS click_ep,
+       v.view_id, v.v_ep AS view_ep, v.value
+FROM c JOIN v
+  ON c.user_id = v.user_id
+ AND v.v_ep >= c.c_ep + 1 AND v.v_ep < c.c_ep + 86401
+"""

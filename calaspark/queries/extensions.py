@@ -1062,6 +1062,27 @@ def q55_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q181
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared file-source stream over the events table for the
+    q181/q183/q184/q185/q187/q188 true-streaming gates: declared
+    schema (footer read), event time as TIMESTAMP (LTZ — watermarks
+    reject NTZ; prepare() pins the session to UTC so formatting
+    matches the NTZ batch twins), ns sources truncated with
+    load_table's expression."""
+    from ..session import prepare
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events.parque[t]"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 #: Monotone suffix for q181's memory-sink table: bench re-runs the
 #: query in one session, and each drained run must land in its own
 #: temp view (complete-mode memory sinks replace content per trigger,
@@ -1098,33 +1119,13 @@ def q181_stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     available at start). ns→µs normalization is load_table's exact
     expression, applied to the declared-schema stream.
     """
-    from ..session import prepare
     from ..streaming.windows import run_available_now
 
-    prepare(spark)
-    src = f"{sf_dir}/events.parquet"
-    # Streaming sources never infer — declare the schema from one
-    # driver-side footer read (ts arrives as int64 ns under the
-    # nanosAsLong conf prepare() sets). The file source requires a
-    # directory/glob path (production layout is a directory of
-    # parquet parts); the single-character glob narrows the testdata
-    # directory to exactly the events file.
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(
-        f"{sf_dir}/events.parque[t]"
-    )
-    # Event-time watermarks require TIMESTAMP (not NTZ), so unlike
-    # load_table the event time is LTZ here: int64-ns sources go
-    # through the same ns→µs truncation, NTZ sources cast wall-clock
-    # → instant under the session timeZone, which prepare() pins to
-    # UTC — so LTZ formatting is identical to the batch twin's NTZ
-    # wall-clock rendering.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Stream setup (declared schema, directory glob, ns→µs, LTZ event
+    # time under the UTC session) is the shared _events_stream helper
+    # — one copy, so the footer-read/watermark-type rules can't drift
+    # between the five streaming gates.
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -1148,26 +1149,6 @@ def q181_stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_available_now(agg, name, output_mode="complete")
     assert q.lastProgress is not None  # a StreamingQuery really ran
     return spark.table(name)
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared file-source stream over the events table for the
-    q181/q183/q184 true-streaming gates: declared schema (footer
-    read), event time as TIMESTAMP (LTZ — watermarks reject NTZ;
-    prepare() pins the session to UTC so formatting matches the NTZ
-    batch twins), ns sources truncated with load_table's expression."""
-    from ..session import prepare
-
-    prepare(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(
-        f"{sf_dir}/events.parque[t]"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        return stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------- Q183
@@ -1276,7 +1257,6 @@ def q185_stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..ops.windows import latest_per_key
     from ..streaming.sinks import foreach_batch_upsert, read_upsert_table
 
     stream = _events_stream(spark, sf_dir).select(
@@ -1305,3 +1285,150 @@ def q185_stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_upsert_table(spark, target)
     assert out is not None  # at least one generation committed
     return out.select("user_id", "ep", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------- Q187
+
+
+_Q187_SEQ = iter(range(1_000_000))
+
+
+def q187_stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming SESSION-window aggregation under the hash gate
+    (E23) — the round-11 verdict's missing window family: q181/q183/
+    q184/q185 gate tumbling/sliding/dedup/sink, this gates native
+    ``session_window`` (streaming/windows.session_counts is the
+    operator; its pytest twin asserted batch≡stream, but no hash slot
+    executed it). A watermarked session-window aggregation over the
+    events stream, drained with ``availableNow`` through a real
+    ``writeStream`` (memory sink, complete mode — append would
+    withhold every session inside the final watermark horizon, q181
+    docstring has the full argument).
+
+    Oracle = q36's gaps-and-islands SQL minus the ordinal session_id
+    (sessions are identified by their data-determined (user_id,
+    sess_start) instead of a running index — same rows, no window
+    ordinal to replay).
+
+    Boundary semantics (the one trap): q36 defines "same session" as
+    floored-second gap ≤ 1800, and native session_window merges an
+    event that lands EXACTLY on the session end (inclusive boundary —
+    measured: a pair exactly 1801 s apart merges under gap=1801s,
+    splitting only under gap=1800s; tests pin this). Feeding the
+    window FLOORED-second timestamps with gap = 1800 s therefore
+    makes the two rules identical — inclusive int_gap ≤ 1800 — so
+    the streaming sessions equal the batch islands exactly;
+    min/max/count aggregates are then order-independent.
+
+    Scale: session-window state is partitioned on user_id (the extra
+    grouping key) and merged incrementally per micro-batch; the
+    watermark bounds how long an open session can wait for late
+    events — per-key bounded state at any throughput, the same
+    contract as the batch twin's single user_id shuffle.
+    """
+    from ..streaming.windows import run_available_now
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("fts"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    agg = (
+        ev.withWatermark("fts", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("fts", "1800 seconds").alias("w")
+        )
+        .agg(
+            F.min("ep").alias("sess_start"),
+            F.max("ep").alias("sess_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "sess_start", "sess_end", "n_events")
+    )
+    name = f"q187_drain_{next(_Q187_SEQ)}"
+    q = run_available_now(agg, name, output_mode="complete")
+    assert q.lastProgress is not None  # a StreamingQuery really ran
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------- Q188
+
+
+_Q188_SEQ = iter(range(1_000_000))
+
+
+def q188_stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE STREAM-STREAM interval join under the hash gate (E1 × E23)
+    — the last E23 family outside the oracle (round-11 verdict gap 4):
+    streaming/windows.interval_join_stream ran only in pytest. Two
+    independent file-source streams over the events table (clicks ⋈
+    views), joined on user_id + the half-open event-time window
+    (click_ts, click_ts + 24 h] — the attribution horizon; q52's
+    10-minute window yields single-digit pairs at the gate scale, a
+    vacuous check — drained with ``availableNow`` through a real
+    ``writeStream`` (append mode — Spark's stream-stream inner-join
+    contract emits each matched pair exactly once, so append IS the
+    complete answer; no watermark-withheld tail exists for inner
+    joins).
+
+    Oracle = the q52-family interval-join SQL, kept at PAIR grain
+    (q52's batch form aggregates per click; the streaming contract is
+    append-only pairs, so the gate checks the join itself).
+
+    Determinism: the join window is evaluated on FLOORED-second
+    timestamps — ``[c+1, c+86401)`` on integer seconds in both
+    engines (q52's exact bound rule at the 24 h horizon) — and every
+    output column is a stored value, so the pair set is
+    data-determined regardless of micro-batch interleaving.
+
+    Scale: both sides' state is hash-partitioned on user_id; the
+    watermarks plus the two-sided time bound let the engine prove a
+    click row dead once the view watermark passes click_ts + 24 h
+    and evict it — state bounded by (window span + watermark) of
+    throughput at any scale, which is exactly why
+    interval_join_stream refuses an unbounded condition.
+    """
+    from ..streaming.windows import interval_join_stream, run_available_now
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("c_ts"),
+        )
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("v_ts"),
+            "value",
+        )
+    )
+    pairs = interval_join_stream(
+        clicks,
+        views,
+        left_ts="c_ts",
+        right_ts="v_ts",
+        lower=1,
+        upper=86401,
+        on=(("c_user", "v_user"),),
+        watermark="2 hours",
+    )
+    out = pairs.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("c_ts").alias("click_ep"),
+        "view_id",
+        F.unix_timestamp("v_ts").alias("view_ep"),
+        "value",
+    )
+    name = f"q188_drain_{next(_Q188_SEQ)}"
+    q = run_available_now(out, name, output_mode="append")
+    assert q.lastProgress is not None  # a StreamingQuery really ran
+    return spark.table(name)

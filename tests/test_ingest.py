@@ -169,6 +169,26 @@ def test_wap_sink_partial_failure_never_torn(
     assert spark.read.parquet(dest).count() == v1
     assert not Path(dest + "__retired").exists()
 
+    # window 2b (round-11 ADVICE): after that same crash, the retired
+    # dir holds the ONLY complete copy — recovery must RESTORE it
+    # before deleting anything, so a re-run that then fails in its
+    # WRITE step still leaves the old version published (a second
+    # failure must never lose the table permanently).
+    Path(dest).rename(dest + "__retired")
+    real_writer = load_mod.write_parquet_observed
+
+    def dying(df, path, partition_by=None):
+        raise RuntimeError("simulated write crash")
+
+    monkeypatch.setattr(load_mod, "write_parquet_observed", dying)
+    with pytest.raises(RuntimeError, match="simulated write crash"):
+        write_parquet_wap(spark, typed, dest)
+    monkeypatch.setattr(load_mod, "write_parquet_observed", real_writer)
+    assert spark.read.parquet(dest).count() == v1  # restored, not lost
+    assert not Path(dest + "__retired").exists()
+    out2b = write_parquet_wap(spark, typed, dest)  # and converges
+    assert out2b["audited"] == v1
+
     # audit failure: a lying writer (simulated write loss) must abort
     # pre-publish — stage discarded, published table untouched
     real = load_mod.write_parquet_observed

@@ -713,3 +713,107 @@ def test_stateful_dedup_state_survives_micro_batches(spark, tmp_path):
     out = [r["k"] for r in spark.table("t_dd_mb").collect()]
     assert sorted(out) == ["a", "b", "c", "d"], out
     q.stop()
+
+
+def test_session_window_gap_boundary_is_inclusive(spark, tmp_path):
+    """Pin the semantics q187 depends on: Spark's session_window
+    merges an event landing EXACTLY ``gap`` after the previous event
+    (inclusive boundary), and splits one second past it. If an engine
+    upgrade ever flips this to exclusive, q187's gap constant (1800 s
+    ≡ the q36 islands rule "floored gap ≤ 1800") must flip to 1801 —
+    this test is the tripwire."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "sess_in"
+    spark.createDataFrame(
+        [
+            (1, t0),
+            (1, t0 + dt.timedelta(seconds=1800)),  # exactly gap later
+            (2, t0),
+            (2, t0 + dt.timedelta(seconds=1801)),  # one past gap
+        ],
+        "user_id int, ts timestamp",
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("user_id int, ts timestamp").parquet(
+        str(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+    )
+    q = run_available_now(agg, "t_sess_boundary", output_mode="complete")
+    rows = sorted(
+        (r["user_id"], r["n"]) for r in spark.table("t_sess_boundary").collect()
+    )
+    # user 1: one merged session of 2; user 2: two singleton sessions
+    assert rows == [(1, 2), (2, 1), (2, 1)], rows
+    q.stop()
+
+
+def test_q187_q188_drains_match_batch_twins(spark):
+    """The two new hash-gated streaming drains equal their batch
+    formulations bitwise on the pinned sf0.001 corpus (the driver
+    proves them against the DuckDB oracle at sf0.01; this is the
+    in-repo twin)."""
+    from calaspark.queries.extensions import (
+        q187_stream_session_drain,
+        q188_stream_stream_join_drain,
+    )
+    from calaspark.queries.extensions import q36_session_window_batch
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in q187_stream_session_drain(spark, sf)
+        .select("user_id", "sess_start", "sess_end", "n_events")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in q36_session_window_batch(spark, sf)
+        .select("user_id", "sess_start", "sess_end", "n_events")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    from calaspark.ops.rangejoin import interval_join
+    from calaspark.tables import load_table
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ep"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ep").alias("c_ts"), "user_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ep").alias("v_ts"),
+        "user_id",
+        "value",
+    )
+    batch_pairs = interval_join(
+        clicks,
+        views,
+        left_ts="c_ts",
+        right_ts="v_ts",
+        lower=1,
+        upper=86401,
+        on=("user_id",),
+    ).select(
+        "click_id",
+        "user_id",
+        F.col("c_ts").alias("click_ep"),
+        "view_id",
+        F.col("v_ts").alias("view_ep"),
+        "value",
+    )
+    got_j = {tuple(r) for r in q188_stream_stream_join_drain(spark, sf).collect()}
+    want_j = {tuple(r) for r in batch_pairs.collect()}
+    assert got_j == want_j and len(got_j) > 0
