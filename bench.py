@@ -189,6 +189,7 @@ _STDOUT_ABBREV = {
     "hybrid_search": "HY",
     "cms_shingle_error": "CM",
     "bpe_train_merges": "BT",
+    "bpe_encode_words": "BE",
     # companion ids (q13_latest…) — previously emitted verbatim,
     # ~8 bytes/entry of line budget each
     "q13_latest": "QL",

@@ -5670,3 +5670,60 @@ FROM c JOIN v
   ON c.user_id = v.user_id
  AND v.v_ep >= c.c_ep + 1 AND v.v_ep < c.c_ep + 86401
 """
+
+
+# Q189 — BPE corpus encoder: DuckDB replays the SAME pinned merge
+# table (ops/bpe.BPE_FIXED_MERGES, fixed text in both engines) with a
+# recursive CTE over the word dictionary. Each step applies ONE
+# non-global regexp_replace of the current rank's delimited pair
+# (' l r ' → ' lr ') — merge-first-occurrence-until-absent, which
+# equals Spark's left-to-right greedy fold because fusing (l, r) can
+# never create a new (l, r) adjacency. The rank pointer advances only
+# when the pair is absent; terminal rows carry k = max_rank + 1.
+# Normalization (lower, strip [^a-z]) keeps every symbol regex-safe.
+ORACLES["q189"] = r"""
+WITH RECURSIVE
+merges(rank, l, r) AS (
+  SELECT * FROM (VALUES
+    (1,'t','h'),(2,'th','e'),(3,'e','r'),(4,'i','n'),
+    (5,'a','n'),(6,'o','r'),(7,'s','t'),(8,'a','t'),
+    (9,'o','w'),(10,'d','ow'),(11,'in','dow'),(12,'w','indow'),
+    (13,'l','l'),(14,'g','g'),(15,'r','e'),(16,'b','at')
+  ) AS m(rank, l, r)
+),
+wocc AS (
+  SELECT doc_id, regexp_replace(lower(tok), '[^a-z]', '', 'g') AS w
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(text, E'[\t\n\f\r ]+'), x -> x <> ''))
+        AS tok FROM documents)
+  WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+),
+dict AS (SELECT DISTINCT w FROM wocc),
+enc AS (
+  SELECT w,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+         1 AS k
+  FROM dict
+  UNION ALL
+  SELECT e.w,
+         CASE WHEN contains(e.s, ' ' || m.l || ' ' || m.r || ' ')
+              THEN regexp_replace(e.s, ' ' || m.l || ' ' || m.r || ' ',
+                                  ' ' || m.l || m.r || ' ')
+              ELSE e.s END,
+         CASE WHEN contains(e.s, ' ' || m.l || ' ' || m.r || ' ')
+              THEN e.k ELSE e.k + 1 END
+  FROM enc e JOIN merges m ON m.rank = e.k
+),
+word_tok AS (
+  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tok
+  FROM enc
+  WHERE k = (SELECT MAX(rank) FROM merges) + 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(COUNT(o.w) AS BIGINT) AS n_words
+FROM documents d
+LEFT JOIN wocc o ON o.doc_id = d.doc_id
+LEFT JOIN word_tok t ON t.w = o.w
+GROUP BY d.doc_id
+"""

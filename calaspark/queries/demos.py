@@ -1098,3 +1098,37 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n long"
     )
+
+
+def bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 — BPE ENCODE at dictionary grain (rows-only companion to
+    the hash-gated q189): apply the pinned fixed merge table
+    (ops/bpe.BPE_FIXED_MERGES) to the corpus word dictionary and emit
+    the 50 most frequent words with their encoded symbol sequences —
+    the word→ids artifact a tokenizer pipeline memoizes before
+    streaming the corpus through it. Total order (corpus count DESC,
+    word ASC) makes the LIMIT deterministic; the oracled per-doc
+    rollup lives in q189.
+    """
+    from .advanced import _bpe_encoded_dict
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.regexp_replace(F.lower("tok"), "[^a-z]", "").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        _bpe_encoded_dict(spark, sf_dir)
+        .join(counts, "w")
+        .select(
+            "w",
+            F.array_join("syms", " ").alias("bpe_tokens"),
+            "n_tok",
+            "n",
+        )
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(50)
+    )
