@@ -67,10 +67,20 @@ BPE_FIXED_MERGES: list[tuple[str, str]] = [
 
 
 def _chars(col: Column) -> Column:
-    """String → array of single characters (codegen, no Python)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: col.substr(i, F.lit(1)),
+    """String → array of single characters (codegen, no Python).
+
+    The empty string needs its own branch: Spark's ``sequence(1, 0)``
+    is the DESCENDING sequence [1, 0] (not empty), which would turn
+    '' into ["", ""] — latent only because every caller filters empty
+    words first; pinned by the encode property test.
+    """
+    return F.when(
+        F.length(col) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: col.substr(i, F.lit(1)),
+        )
     )
 
 

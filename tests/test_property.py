@@ -410,3 +410,68 @@ def test_bpe_merge_fold_matches_reference(spark, words, pair):
     }
     for i, w in enumerate(words):
         assert got[i] == _merge_ref(w, left, right), (w, left, right)
+
+
+# ---- BPE chained encode (ops/bpe.bpe_apply_merges) ------------------
+
+#: lowercase words so every generated merge symbol is a substring
+#: class the encoder contract allows ([a-z]+, regex-safe both engines)
+_WORD = st.text(alphabet="ab", min_size=0, max_size=10)
+
+
+def _ref_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Classic BPE application: each merge in rank order, greedy
+    left-to-right (single pass ≡ repeat-until-absent — fusing (l, r)
+    can't create a new (l, r))."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=10, unique=True),
+    data=st.data(),
+)
+def test_bpe_apply_merges_matches_reference(spark, words, data):
+    """ops/bpe.bpe_apply_merges (the q189 encoder: chained folds +
+    per-chain persist) ≡ classic BPE application for RANDOM merge
+    lists whose later ranks may reference symbols fused by earlier
+    ranks — the composition the single-pair property test cannot
+    reach. Merge lists are built rank by rank from the closure of
+    symbols reachable so far, so every list is a valid BPE table."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.bpe import _chars, bpe_apply_merges
+
+    symbols = ["a", "b"]
+    merges: list[tuple[str, str]] = []
+    n_merges = data.draw(st.integers(min_value=1, max_value=5))
+    for _ in range(n_merges):
+        l = data.draw(st.sampled_from(symbols))
+        r = data.draw(st.sampled_from(symbols))
+        merges.append((l, r))
+        fused = l + r
+        if fused not in symbols and len(fused) <= 8:
+            symbols.append(fused)
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", _chars(F.col("w")).alias("syms")
+    )
+    enc = bpe_apply_merges(df, merges, chain=2)
+    got = {r["w"]: r["syms"] for r in enc.collect()}
+    enc.unpersist()
+    for w in words:
+        assert got[w] == _ref_apply(w, merges), (w, merges, got[w])
