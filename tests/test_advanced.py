@@ -2087,3 +2087,31 @@ def test_q175_kruskal_wallis_matches_python(spark):
         assert abs(row["h"] - float(h)) < 1e-4, (row["h"], float(h))
         assert abs(row["h_adj"] - float(h / c)) < 1e-4
         assert row["h"] >= -1e-9
+
+
+def test_q189_zero_word_docs_report_zero(spark, tmp_path):
+    """q189's LEFT-join + COALESCE path: a document whose every token
+    normalizes away ([^a-z] strip — digits/punctuation-only text) must
+    still appear with n_bpe_tokens = 0 and n_words = 0, never drop out
+    (the gate corpus has no such doc, so this pins the branch)."""
+    import pyspark.sql.functions as F
+
+    from calaspark.queries.advanced import q189_bpe_encode
+
+    src = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "the window batch", "en", "t", 16),
+            (2, "123 456 !!!", "en", "t", 11),  # nothing survives [a-z]
+            (3, "", "en", "t", 0),  # empty text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(src))
+    rows = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in q189_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (0, 0) and rows[3] == (0, 0)
+    # doc 1: the->the(1), window->window(1), batch->bat,c,h(3)
+    assert rows[1] == (5, 3)
