@@ -6856,14 +6856,18 @@ def q189_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     after normalization) — the two numbers a token-budget planner
     (q54/q58's consumers) actually needs.
 
-    Plan (dictionary discipline, bpe_train's): one documents scan →
-    per-(doc, word) hash agg; DISTINCT words → ops/bpe.
-    bpe_apply_merges (chained codegen folds at DICTIONARY grain,
-    persisted every 4 merges — never the corpus), session-memoized
-    per corpus via _bpe_encoded_dict so repeated calls encode once;
-    word→n_tok equi-join back (dictionary build side, AQE broadcasts
-    when it fits); final (doc_id) hash agg. No Python, no windows,
-    no collects — at 100 TB the encode cost is dictionary-sized,
+    Plan (dictionary discipline, bpe_train's): ONE documents scan —
+    ``explode_outer`` keeps zero-word documents as a NULL-token row,
+    so no doc_id spine join is needed (that join is a doc-grain
+    shuffle at 100 TB; NULL/'' words just carry zero token weight
+    through the LEFT dictionary join) — then per-(doc, word) hash
+    agg; the encoded dictionary comes from ops/bpe.bpe_apply_merges
+    (chained codegen folds at DICTIONARY grain, persisted every 4
+    merges — never the corpus), session-memoized per corpus via
+    _bpe_encoded_dict so repeated calls encode once; word→n_tok
+    LEFT equi-join (dictionary build side, AQE broadcasts when it
+    fits); final (doc_id) hash agg. No Python, no windows, no
+    collects — at 100 TB the encode cost is dictionary-sized,
     exactly like every published tokenizer pipeline.
 
     Determinism: _merge_pair's left-to-right greedy fold equals
@@ -6875,28 +6879,27 @@ def q189_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select(
-            "doc_id",
-            F.regexp_replace(F.lower("tok"), "[^a-z]", "").alias("w"),
-        )
-        .filter(F.col("w") != "")
+    words = d.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_replace(F.lower("tok"), "[^a-z]", ""), F.lit("")
+        ).alias("w"),
     )
     per_doc_word = words.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).alias("n_w")
     )
     word_tok = _bpe_encoded_dict(spark, sf_dir).select("w", "n_tok")
-    per_doc = (
-        per_doc_word.join(word_tok, "w")
+    return (
+        per_doc_word.join(word_tok, "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("n_w") * F.col("n_tok")).alias("n_bpe_tokens"),
-            F.sum("n_w").alias("n_words"),
+            F.sum(F.col("n_w") * F.coalesce(F.col("n_tok"), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("w") != "", F.col("n_w")).otherwise(0))
+            .cast("long")
+            .alias("n_words"),
         )
-    )
-    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
-        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
     )
