@@ -79,11 +79,30 @@ def _run_once(fn, spark, sf_dir: str):
 
 
 def _fingerprint(df) -> str:
-    """Stable hash of the optimized plan: expression ids (#123) and
-    plan ids vary run to run, the plan shape does not."""
+    """Stable hash of the optimized plan: tokens that vary run to run
+    (or SESSION to session) are normalized away, the plan shape is
+    not. Beyond expression ids (#123) and plan ids, three
+    session-scoped JVM counters leak into optimizedPlan text and
+    churned 53 ids' fingerprints in round 12 with no code change
+    (measured by diffing the normalized text of the same query in two
+    cache states):
+
+    - ``_common_expr_N`` — the common-subexpression rewrite names its
+      aliases from a session-global counter;
+    - ``lambda x_N`` — higher-order-function lambda variables are
+      numbered by a session-global counter (q34's zip_with/aggregate);
+    - ``<qid>_drain_N`` — the streaming gates' memory-sink table
+      names carry a per-session sequence (bench reruns bump it).
+
+    Each is normalized by its full generated-name pattern (never bare
+    ``\\w+_\\d+`` — real column names like ``h_1`` must keep their
+    digits so genuinely different plans still hash apart)."""
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+#", r"lambda \1_#", s)
+    s = re.sub(r"_drain_\d+", "_drain_", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 

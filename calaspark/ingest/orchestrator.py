@@ -141,10 +141,15 @@ def update(
             # any observed/audited mismatch (the audit is a pre-publish
             # read-back of the stage dir), so the two counts it returns
             # are equal by construction on every non-raising path.
-            assert rec.load_count == rec.clean_count, (
-                f"write loss for {name}: observed {rec.clean_count} "
-                f"written, {rec.load_count} audited"
-            )
+            # An explicit raise, not `assert` — asserts vanish under
+            # `python -O`, and this backstop must survive even if the
+            # WAP-internal invariant is ever weakened (round-12
+            # advice). Both counts are already computed: no extra job.
+            if rec.load_count != rec.clean_count:
+                raise RuntimeError(
+                    f"write loss for {name}: observed {rec.clean_count} "
+                    f"written, {rec.load_count} audited"
+                )
             if compact_threshold is not None:
                 stats = _maybe_compact(
                     spark, dest, compact_threshold, compact_target_bytes

@@ -98,14 +98,22 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     return items.select(col).mapInPandas(summarize, schema).distinct()
 
 
-def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
-    """Exact keys with frequency > N/k and their exact counts.
+def recount_candidates(
+    items: DataFrame, col: str, k: int, cands: DataFrame
+) -> DataFrame:
+    """Pass 2 alone: exact recount of a SUPERSET candidate set.
 
-    Columns: ``col``, ``cnt`` (bigint), ``total`` (bigint, = N).
-    Ordered by (cnt desc, key) for a total order.
+    ``cands`` must be a 1-column (``col``) superset of every key with
+    global frequency > N/k (the Misra–Gries cover guarantee — batch
+    via :func:`misra_gries_candidates`, or the union of a drained
+    streaming summary's emissions). False positives are recounted to
+    their true totals and removed by the threshold filter, so the
+    result is EXACT and independent of which superset arrived.
+    Duplicate candidate rows are harmless (left_semi ignores right
+    multiplicity) but callers should pre-dedupe so the join's build
+    side stays model-sized. Columns: ``col``, ``cnt`` (bigint),
+    ``total`` (bigint, = N), ordered by (cnt desc, key).
     """
-    spark = items.sparkSession
-    cands = misra_gries_candidates(items, col, k)
     total = items.select(
         F.count(F.lit(1)).cast("long").alias("total")
     )
@@ -124,4 +132,16 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
         counted.crossJoin(F.broadcast(total))  # 1-row scalar join
         .filter(F.col("cnt") * F.lit(k) > F.col("total"))
         .orderBy(F.col("cnt").desc(), F.col(col))
+    )
+
+
+def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact keys with frequency > N/k and their exact counts
+    (candidate pass + recount pass; see module docstring).
+
+    Columns: ``col``, ``cnt`` (bigint), ``total`` (bigint, = N).
+    Ordered by (cnt desc, key) for a total order.
+    """
+    return recount_candidates(
+        items, col, k, misra_gries_candidates(items, col, k)
     )

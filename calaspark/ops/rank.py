@@ -42,11 +42,28 @@ from pyspark.sql import DataFrame, Window
 #: (semanticHash of the bucket agg, limit) — the hash identifies the
 #: canonicalized logical plan, and a (vanishingly unlikely) collision
 #: only flips a JOIN-STRATEGY hint, never semantics, which is why a
-#: hash key is acceptable here. Bounded; session-lifetime staleness is
-#: fine because the probe answers "is this ≤ limit rows", a property
-#: of the plan over immutable lake inputs.
-_PROBE_MEMO: dict[tuple[int, int], bool] = {}
+#: hash key is acceptable here. Bounded. Round-12 advice: the key
+#: also folds in a DATA-VERSION component — the applicationId plus a
+#: hash of the plan's concrete input files (driver-side metadata from
+#: the already-listed FileIndex, no job) — so a same-path rewrite
+#: within one process (new part-file names) or a new session cannot
+#: reuse a stale "small" verdict and force F.broadcast() of a
+#: now-large offset table.
+_PROBE_MEMO: dict[tuple, bool] = {}
 _PROBE_MEMO_MAX = 256
+
+
+def _data_version(df: DataFrame) -> tuple[str, int]:
+    """(applicationId, hash of sorted input file paths) — changes on
+    session restart and on any same-path rewrite (Spark part-file
+    names embed a fresh job UUID). Non-file plans hash the empty
+    list; any metadata failure degrades to "no memo reuse"."""
+    sc = df.sparkSession.sparkContext
+    try:
+        files_h = hash(tuple(sorted(df.inputFiles())))
+    except Exception:  # pragma: no cover - defensive vs API drift
+        files_h = id(df)  # unique → memo miss, probe runs
+    return (sc.applicationId, files_h)
 
 
 def with_rank2(
@@ -95,7 +112,7 @@ def with_rank2(
     # Plan-time size probe on the bucket-grain agg (pre-window, so the
     # probe job is a partial-agg count, not a sorted prefix scan),
     # memoized per canonical plan so repeated calls pay it once.
-    memo_key = (off.semanticHash(), broadcast_limit)
+    memo_key = (_data_version(df), off.semanticHash(), broadcast_limit)
     if memo_key in _PROBE_MEMO:
         off_small = _PROBE_MEMO[memo_key]
     else:

@@ -5727,3 +5727,12 @@ LEFT JOIN wocc o ON o.doc_id = d.doc_id
 LEFT JOIN word_tok t ON t.w = o.w
 GROUP BY d.doc_id
 """
+
+# Q190 — streaming heavy-hitters drain ------------------------------
+# q113's oracle VERBATIM: the drained applyInPandasWithState
+# Misra-Gries candidate union is a guaranteed superset of the true
+# heavy hitters (bucket-local pigeonhole + mergeable-summary error
+# bound), and the batch recount makes the final answer exactly the
+# naive full-vocabulary groupBy at threshold N/30.
+
+ORACLES["q190"] = ORACLES["q113"]

@@ -6817,10 +6817,25 @@ def _bpe_encoded_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = Path(sf_dir) / "documents.parquet"
     ck = f"{src}|{src.stat().st_mtime_ns if src.exists() else 0}"
-    key = (spark.sparkContext.applicationId, ck)
+    app = spark.sparkContext.applicationId
+    key = (app, ck)
     hit = _BPE_DICT_HANDLES.get(key)
     if hit is not None:
         return hit
+    # Evict handles that can no longer serve a request (round-12
+    # advice: the dict grew for the process lifetime): entries keyed
+    # by a DEAD applicationId (their SparkContext is gone — the
+    # handle is unusable and its blocks died with the context), and
+    # entries for THIS corpus path under a superseded mtime (a
+    # rewrite makes the old encode stale). Popping the last Python
+    # reference lets py4j release the JVM-side plan and the
+    # ContextCleaner reclaim the checkpoint blocks.
+    for stale in [
+        k
+        for k in _BPE_DICT_HANDLES
+        if k[0] != app or (k != key and k[1].startswith(f"{src}|"))
+    ]:
+        del _BPE_DICT_HANDLES[stale]
     d = load_table(spark, sf_dir, "documents")
     dict_df = (
         d.select(F.explode(tokens("text")).alias("tok"))
@@ -6862,8 +6877,9 @@ def q189_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at 100 TB; NULL/'' words just carry zero token weight
     through the LEFT dictionary join) — then per-(doc, word) hash
     agg; the encoded dictionary comes from ops/bpe.bpe_apply_merges
-    (chained codegen folds at DICTIONARY grain, persisted every 4
-    merges — never the corpus), session-memoized per corpus via
+    (chained codegen folds at DICTIONARY grain, persisted every
+    ``chain`` merges — default 8; never the corpus), session-memoized
+    per corpus via
     _bpe_encoded_dict so repeated calls encode once; word→n_tok
     LEFT equi-join (dictionary build side, AQE broadcasts when it
     fits); final (doc_id) hash agg. No Python, no windows, no

@@ -1432,3 +1432,76 @@ def q188_stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     q = run_available_now(out, name, output_mode="append")
     assert q.lastProgress is not None  # a StreamingQuery really ran
     return spark.table(name)
+
+
+# ---------------------------------------------------------------- Q190
+
+
+_Q190_SEQ = iter(range(1_000_000))
+
+
+def q190_stream_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ``applyInPandasWithState`` streaming under the hash gate
+    (E22 × E23) — the round-12 verdict's last streaming gap: the
+    arbitrary-state family (streaming/stateful.py) ran only in
+    pytest; every other E23 family already drains under the oracle
+    (q181 tumbling, q183 sliding, q184 dedup, q185 foreachBatch CDC,
+    q187 session, q188 stream-stream join).
+
+    Two stages, one answer — q113's exact heavy hitters:
+
+    1. **Streaming candidate pass** — a file-source stream over the
+       documents parquet, tokens exploded, then
+       ``streaming.stateful.heavy_hitters_stream``: per-bucket
+       mergeable Misra-Gries summaries held as ``GroupState`` across
+       micro-batches (capacity K=32, 8 hash buckets), drained with
+       ``trigger(availableNow)`` through a real ``writeStream``
+       (memory sink, update mode — each micro-batch emits the
+       touched buckets' current summaries; the drained table's tok
+       union therefore contains the final state's keys).
+    2. **Batch recount** — ``ops.heavy.recount_candidates`` over the
+       distinct drained candidates at threshold k=30: exact counts
+       for candidates only, threshold filter ``cnt*30 > N``.
+
+    Determinism despite stateful streaming: the candidate SET varies
+    with micro-batch/Arrow-chunk boundaries, but it is always a
+    SUPERSET of the true heavy hitters — a token with global count
+    > N/30 has, in its own bucket, count > n_bucket/30 > n_bucket/33
+    = n_bucket/(K+1), and the merged MG summary's error bound
+    (Agarwal et al., mergeable summaries) keeps its counter positive
+    in the final state, whose keys the last touching micro-batch
+    emitted. The recount replaces estimates with exact counts and
+    drops false positives, so the output equals the naive full
+    groupBy — which is the DuckDB oracle (q113's SQL verbatim).
+
+    Scale: stream state is O(K × buckets) FOREVER — independent of
+    stream length and key cardinality (the whole point vs a
+    streaming groupBy(tok).count() whose state is the vocabulary);
+    the recount is one batch scan + candidate semi-join. The memory
+    sink holds only candidate summaries (≤ K × buckets rows per
+    micro-batch) — model-sized by construction, unlike a data-grain
+    complete-mode aggregate.
+    """
+    from ..ops.heavy import recount_candidates
+    from ..ops.text import tokens
+    from ..session import prepare
+    from ..streaming.stateful import heavy_hitters_stream
+    from ..streaming.windows import run_available_now
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tok_stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque[t]")
+        .select(F.explode(tokens("text")).alias("tok"))
+    )
+    name = f"q190_drain_{next(_Q190_SEQ)}"
+    q = run_available_now(
+        heavy_hitters_stream(tok_stream), name, output_mode="update"
+    )
+    assert q.lastProgress is not None  # a StreamingQuery really ran
+    cands = spark.table(name).select("tok").distinct()
+    items = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    return recount_candidates(items, "tok", 30, cands)

@@ -817,3 +817,18 @@ def test_q187_q188_drains_match_batch_twins(spark):
     got_j = {tuple(r) for r in q188_stream_stream_join_drain(spark, sf).collect()}
     want_j = {tuple(r) for r in batch_pairs.collect()}
     assert got_j == want_j and len(got_j) > 0
+
+
+def test_q190_drain_matches_batch_heavy_hitters(spark):
+    """The hash-gated applyInPandasWithState drain (q190) must equal
+    the batch q113 heavy hitters exactly on the pinned sf0.001 corpus
+    — the superset-candidates + exact-recount contract makes the
+    stateful streaming pass answer-invariant (the driver proves the
+    same equality against the DuckDB oracle at sf0.01)."""
+    from calaspark.queries.advanced import q113_heavy_hitters
+    from calaspark.queries.extensions import q190_stream_heavy_hitters_drain
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q190_stream_heavy_hitters_drain(spark, sf).collect()}
+    want = {tuple(r) for r in q113_heavy_hitters(spark, sf).collect()}
+    assert got == want and len(got) > 0

@@ -150,6 +150,11 @@ ALLOWED = {
     # broadcast-crossJoins onto the recount (1-row BNLJ + its global
     # final merge) — q56/q80/tfidf's declared scalar-subquery shape
     "q113": {"py_arrow", "bnlj", "single_part_exchange"},
+    # q190 returns q113's recount plan (the streaming candidate pass
+    # already ran to the memory sink before the audit sees the df):
+    # same declared scalar-subquery shape — 1-row total broadcast-
+    # crossJoined onto the candidate recount + its global final merge
+    "q190": {"bnlj", "single_part_exchange"},
     # universe size (COUNT DISTINCT event_type, 1 row) broadcast-
     # crossJoined onto the per-user counts (1-row BNLJ) + the global
     # 1-row division report (final merge) — declared scalar shape
