@@ -236,6 +236,9 @@ def load_or_build_ivf_index(
     cached = _INDEX_HANDLES.get(key)
     if cached is not None:
         return cached
+    from .materialize import evict_dead_sessions
+
+    evict_dead_sessions(_INDEX_HANDLES, key[0])
     ok = all(
         Path(path, part, "_SUCCESS").exists() for part in ("centroids", "invfile")
     )

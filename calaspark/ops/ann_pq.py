@@ -219,7 +219,9 @@ def load_or_build_pq(
     hit = _PQ_HANDLES.get(key)
     if hit is not None:
         return hit
-    from .materialize import materialize
+    from .materialize import evict_dead_sessions, materialize
+
+    evict_dead_sessions(_PQ_HANDLES, key[0])
 
     model = train_pq(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     codes = materialize(pq_encode(emb, model, id_col, vec_col))
@@ -308,7 +310,9 @@ def load_or_build_ivfpq(
     if hit is not None:
         return hit
     from .ann_ivf import load_or_build_ivf_index
-    from .materialize import materialize
+    from .materialize import evict_dead_sessions, materialize
+
+    evict_dead_sessions(_IVFPQ_HANDLES, key[0])
 
     model, codes = load_or_build_pq(emb, corpus_key, m, ksub, id_col, vec_col)
     idx = load_or_build_ivf_index(emb, ivf_index_path, id_col=id_col, vec_col=vec_col)

@@ -72,6 +72,9 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _SHINGLE_HANDLES.get(key)
     if hit is not None:
         return hit
+    from ..ops.materialize import evict_dead_sessions
+
+    evict_dead_sessions(_SHINGLE_HANDLES, key[0])
     d = spread(load_table(spark, sf_dir, "documents"))
     docs = materialize(
         with_shingle_hashes(d.select("doc_id", "text"), n=3)
@@ -96,6 +99,9 @@ def _corpus_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _E_HANDLES.get(key)
     if hit is not None:
         return hit
+    from ..ops.materialize import evict_dead_sessions
+
+    evict_dead_sessions(_E_HANDLES, key[0])
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     dot_self = F.aggregate(
         F.zip_with("e", "e", lambda a, b: a * b),
@@ -910,7 +916,9 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _SEMDEDUP_CENTROIDS.get(key)
     if cents is None:
         from ..ops.ann_ivf import train_ivf_centroids
-        from ..ops.materialize import materialize
+        from ..ops.materialize import evict_dead_sessions, materialize
+
+        evict_dead_sessions(_SEMDEDUP_CENTROIDS, key[0])
 
         sample = materialize(
             corpus.filter(

@@ -203,3 +203,35 @@ def test_bench_stdout_key_map_covers_registry():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     bench._validate_stdout_keys(QUERIES)  # raises on gap or collision
+
+
+def test_bench_fingerprint_invariant_to_session_counters(spark):
+    """bench.py's plan fingerprint must not move when session-global
+    JVM counters advance (round-12 advisory: 53 ids churned across
+    bench sessions with no code change). The three known leaks are
+    the CSE alias counter (_common_expr_N — q16/q22/q26), the
+    higher-order-function lambda variable counter (q34), and the
+    drain queries' memory-sink sequence; planning OTHER queries in
+    between advances the first two, and re-calling a drain advances
+    the third."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ids = ["q16", "q22", "q34", "q181"]
+    before = {q: bench._fingerprint(QUERIES[q](spark, SF_SMOKE)) for q in ids}
+    # advance the session counters: CSE aliases, lambda variables
+    for warm in ["q26", "q34", "q22", "q16"]:
+        QUERIES[warm](spark, SF_SMOKE).count()
+    after = {q: bench._fingerprint(QUERIES[q](spark, SF_SMOKE)) for q in ids}
+    assert after == before, {
+        q: (before[q], after[q]) for q in ids if before[q] != after[q]
+    }
+    # and distinct queries must still hash apart (the normalizer may
+    # never collapse real plan differences)
+    assert len(set(before.values())) == len(ids)

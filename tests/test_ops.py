@@ -1470,3 +1470,18 @@ def test_bpe_encode_compose_train(spark):
     # (s,t) was never learned on this corpus, so "newest" only gets
     # the (e,r)-free character form
     assert got["newest"] == ["n", "e", "w", "e", "s", "t"]
+
+
+def test_evict_dead_sessions_drops_only_dead_apps():
+    """The shared memo hygiene rule (round-12 advice generalized):
+    entries led by a dead applicationId go, everything belonging to
+    the live session stays — regardless of the rest of the key."""
+    from calaspark.ops.materialize import evict_dead_sessions
+
+    memo = {
+        ("app-old", "corpus-a"): 1,
+        ("app-old", "corpus-b", "x"): 2,
+        ("app-live", "corpus-a"): 3,
+    }
+    evict_dead_sessions(memo, "app-live")
+    assert memo == {("app-live", "corpus-a"): 3}
