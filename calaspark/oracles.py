@@ -395,14 +395,23 @@ WITH mangled AS (
   SELECT event_id,
          CASE WHEN event_id % 7 = 0 THEN substring(props, 2) ELSE props END AS m
   FROM events
+), checked AS (
+  -- invalid JSON is NULLed at the ARGUMENT, not in a predicate
+  -- branch (round-13 sf0.1 sweep find): DuckDB's vectorized CASE
+  -- does not guarantee short-circuit, so json_extract_string could
+  -- still run on (and throw for) rows json_valid already excluded;
+  -- extracting from the CASE's result value is safe under any
+  -- evaluation order and matches Spark's NULL-on-malformed
+  SELECT event_id,
+         json_extract_string(CASE WHEN json_valid(m) THEN m END, '$.k') AS k
+  FROM mangled
 )
 SELECT
-  CASE WHEN json_valid(m) AND json_extract_string(m, '$.k') IS NOT NULL
-       THEN 'good' ELSE 'quarantine' END AS cls,
+  CASE WHEN k IS NOT NULL THEN 'good' ELSE 'quarantine' END AS cls,
   COUNT(*) AS n,
   MIN(event_id) AS min_id,
   MAX(event_id) AS max_id
-FROM mangled
+FROM checked
 GROUP BY 1
 """
 
@@ -1859,7 +1868,12 @@ LIMIT 20
 
 # Q89 — pairwise correlation matrix from exact bivariate power sums -
 # daily sums pinned to DECIMAL(18,2) in both engines so the x*y
-# product (37,4) stays inside decimal-38 exactness.
+# product (37,4) stays inside decimal-38 exactness. One operand is
+# promoted to DECIMAL(19,2) like q158 (round-13 hardening): DuckDB's
+# width-18 × width-18 multiply runs on the int64 fast path with a
+# 10^18 unscaled bound — fine at sf0.1 for these per-type sums, but
+# a 10× SF pushes products past it; width 19 forces HUGEINT
+# arithmetic, values identical.
 
 ORACLES["q89"] = """
 WITH e AS (
@@ -1876,8 +1890,10 @@ WITH e AS (
   WHERE a.event_type < b.event_type
 ), s AS (
   SELECT type_a, type_b, COUNT(*) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(19,2)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,2)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,2)) * y) AS syy
   FROM j GROUP BY type_a, type_b
 ), d AS (
   SELECT type_a, type_b, n,
@@ -4493,7 +4509,12 @@ ORDER BY user_id
 
 # Q158 — lag-1..7 autocorrelation of daily order revenue --------------
 # q89's exact-decimal power sums + fixed IEEE Pearson, lag fanout at
-# DATE grain only.
+# DATE grain only. The product operands are promoted to DECIMAL(19,2)
+# (round-13 sf0.1 sweep find): DuckDB multiplies two width-18
+# decimals on the int64 fast path with a 10^18 bound, which a
+# ~$15M-cents daily-revenue product exceeds at sf0.1; width 19 forces
+# HUGEINT arithmetic and the exact DECIMAL(38,4) sum — identical
+# values at every SF, Spark's decimal path unchanged.
 
 ORACLES["q158"] = """
 WITH o AS (
@@ -4513,8 +4534,10 @@ WITH o AS (
   FROM lagged lg JOIN daily d2 ON lg.day_y = d2.day
 ), st AS (
   SELECT lag, COUNT(*) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(19,2)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,2)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,2)) * y) AS syy
   FROM j GROUP BY lag
 )
 SELECT CAST(lag AS INT) AS lag,
