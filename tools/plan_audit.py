@@ -26,6 +26,7 @@ Usage: python tools/plan_audit.py [ids...]  (default: all)
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from pathlib import Path
@@ -35,7 +36,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from calaspark.queries import QUERIES  # noqa: E402
 from calaspark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+# Overridable so the audit can also run at sf0.1 (round 13): AQE and
+# size-based join planning can legitimately change plan SHAPE with
+# 10x the data, and a red flag that only appears at scale is exactly
+# the kind this audit exists to catch.
+SF = os.environ.get("CALASPARK_AUDIT_SF", "/root/testdata/sf0.01")
 
 #: queries where a flagged pattern is the declared, documented plan
 ALLOWED = {
