@@ -91,6 +91,10 @@ def _fingerprint(df) -> str:
       aliases from a session-global counter;
     - ``lambda x_N`` — higher-order-function lambda variables are
       numbered by a session-global counter (q34's zip_with/aggregate);
+      the arg-name capture admits digits/underscores (round-13
+      advice: ``lambda x1: ...`` would otherwise leak the counter),
+      anchored by the ``lambda `` prefix + ``_N#`` suffix so it can
+      never touch a real column name;
     - ``<qid>_drain_N`` — the streaming gates' memory-sink table
       names carry a per-session sequence (bench reruns bump it).
 
@@ -101,7 +105,7 @@ def _fingerprint(df) -> str:
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
-    s = re.sub(r"lambda ([A-Za-z]+)_\d+#", r"lambda \1_#", s)
+    s = re.sub(r"lambda ([A-Za-z][A-Za-z0-9_]*?)_\d+#", r"lambda \1_#", s)
     s = re.sub(r"_drain_\d+", "_drain_", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
 

@@ -35,17 +35,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .materialize import evict_dead_sessions
+
 #: Probe memo (round-11 verdict advisory 2): the broadcast-guard count
 #: below is a plan-time Spark job, so repeated with_rank2 calls over
 #: the SAME bucket-grain plan (bench re-runs, multi-rank queries like
 #: q166's two-column Spearman) paid it once per call. Keyed on
-#: (semanticHash of the bucket agg, limit) — the hash identifies the
-#: canonicalized logical plan, and a (vanishingly unlikely) collision
-#: only flips a JOIN-STRATEGY hint, never semantics, which is why a
-#: hash key is acceptable here. Bounded. Round-12 advice: the key
-#: also folds in a DATA-VERSION component — the applicationId plus a
-#: hash of the plan's concrete input files (driver-side metadata from
-#: the already-listed FileIndex, no job) — so a same-path rewrite
+#: (applicationId, input-files hash, semanticHash of the bucket agg,
+#: limit) — the hash identifies the canonicalized logical plan, and a
+#: (vanishingly unlikely) collision only flips a JOIN-STRATEGY hint,
+#: never semantics, which is why a hash key is acceptable here.
+#: Bounded, and dead-session entries are evicted on every miss
+#: (round-13 advice: without eviction, 256 accumulated dead keys
+#: would permanently disable memoization for new plans — the key
+#: LEADS with applicationId precisely so evict_dead_sessions applies,
+#: like every other session-scoped memo in this package). Round-12
+#: advice: the DATA-VERSION component — applicationId plus a hash of
+#: the plan's concrete input files (driver-side metadata from the
+#: already-listed FileIndex, no job) — means a same-path rewrite
 #: within one process (new part-file names) or a new session cannot
 #: reuse a stale "small" verdict and force F.broadcast() of a
 #: now-large offset table.
@@ -53,17 +60,18 @@ _PROBE_MEMO: dict[tuple, bool] = {}
 _PROBE_MEMO_MAX = 256
 
 
-def _data_version(df: DataFrame) -> tuple[str, int]:
-    """(applicationId, hash of sorted input file paths) — changes on
-    session restart and on any same-path rewrite (Spark part-file
-    names embed a fresh job UUID). Non-file plans hash the empty
-    list; any metadata failure degrades to "no memo reuse"."""
-    sc = df.sparkSession.sparkContext
+def _input_files_hash(df: DataFrame) -> int | None:
+    """Hash of the plan's sorted input file paths — changes on any
+    same-path rewrite (Spark part-file names embed a fresh job UUID).
+    Non-file plans hash the empty list. Returns ``None`` on any
+    metadata failure: the caller must then SKIP memoization entirely
+    (round-13 advice — the previous ``id(df)`` fallback was still
+    inserted into the memo, and CPython recycles ids after GC, so two
+    distinct frames could collide on a stale verdict)."""
     try:
-        files_h = hash(tuple(sorted(df.inputFiles())))
+        return hash(tuple(sorted(df.inputFiles())))
     except Exception:  # pragma: no cover - defensive vs API drift
-        files_h = id(df)  # unique → memo miss, probe runs
-    return (sc.applicationId, files_h)
+        return None
 
 
 def with_rank2(
@@ -112,13 +120,21 @@ def with_rank2(
     # Plan-time size probe on the bucket-grain agg (pre-window, so the
     # probe job is a partial-agg count, not a sorted prefix scan),
     # memoized per canonical plan so repeated calls pay it once.
-    memo_key = (_data_version(df), off.semanticHash(), broadcast_limit)
-    if memo_key in _PROBE_MEMO:
+    app = df.sparkSession.sparkContext.applicationId
+    files_h = _input_files_hash(df)
+    memo_key = (
+        None
+        if files_h is None
+        else (app, files_h, off.semanticHash(), broadcast_limit)
+    )
+    if memo_key is not None and memo_key in _PROBE_MEMO:
         off_small = _PROBE_MEMO[memo_key]
     else:
         off_small = off.limit(broadcast_limit + 1).count() <= broadcast_limit
-        if len(_PROBE_MEMO) < _PROBE_MEMO_MAX:
-            _PROBE_MEMO[memo_key] = off_small
+        if memo_key is not None:
+            evict_dead_sessions(_PROBE_MEMO, app)
+            if len(_PROBE_MEMO) < _PROBE_MEMO_MAX:
+                _PROBE_MEMO[memo_key] = off_small
     wb = (
         Window.partitionBy(*gcols)
         .orderBy("_rk_b")
