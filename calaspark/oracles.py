@@ -4003,8 +4003,14 @@ WITH c AS (
   FROM g
 ), m AS (
   SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
-         CAST(SUM(d1 * (2 * prefix + t + 1)) AS BIGINT) AS ra2,
-         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+         -- operands promoted to DECIMAL(19,0) so DuckDB takes the
+         -- HUGEINT path (round-14 overflow audit, §2.6 rule 6): the
+         -- int64 fast path wraps t^3 past t ≈ 2.09e6 ties and
+         -- d1·2·prefix past N ≈ 2.1e9 rows; values identical.
+         CAST(SUM(CAST(d1 AS DECIMAL(19,0)) * (2 * prefix + t + 1))
+              AS BIGINT) AS ra2,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * t * t - t) AS BIGINT)
+           AS tie_term
   FROM r
 )
 SELECT n1, n2,

@@ -4038,11 +4038,21 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ranks.agg(
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
+        # Products are widened to decimal BEFORE multiplying (round-14
+        # proactive overflow audit, the q158/q89 class): worst-case a
+        # single tie block spans the whole column, so t^3 wraps a LONG
+        # past t ≈ 2.09e6 and d1·2·prefix wraps past N ≈ 2.1e9 rows —
+        # reachable at 100 TB with degenerate (constant-price) data.
+        # Decimal(38) arithmetic moves the horizon out of reach; the
+        # summed value is identical and the final cast("long") keeps
+        # the output schema (the oracle widens the same terms).
         F.sum(
-            F.col("d1") * (2 * F.col("prefix") + F.col("t") + 1)
+            F.col("d1").cast("decimal(19,0)")
+            * (2 * F.col("prefix") + F.col("t") + 1)
         ).cast("long").alias("_ra2"),
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            F.col("t").cast("decimal(19,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         ).cast("long").alias("tie_term"),
     )
     u1_2 = F.col("_ra2") - F.col("n1") * (F.col("n1") + 1)
