@@ -153,6 +153,9 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
         # the driver wraps our JSON line under "parsed"
         payload = d if d.get("queries") else (d.get("parsed") or {})
         q = payload.get("queries")
+        if isinstance(q, str) and payload.get("queries_enc") == "kv":
+            # tier-3 packed line (armed round 14): "k:v k2:v2 ..."
+            q = _kv_decode(q)
         if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), p.name, payload, q)
     if best is None:
@@ -267,6 +270,70 @@ def _short_key(qid: str) -> str:
     return _STDOUT_ABBREV[qid]  # non-numeric ids MUST be in the map
 
 
+def _stdout_payload(times: dict, sf) -> tuple[dict, str]:
+    """Build the driver stdout line: ONLY the fields the driver
+    needs, compact — its capture keeps a bounded tail (2000 bytes
+    TOTAL including any preceding stderr), and extras overflowed it
+    in round 3 (BENCH_r03.json parsed=null). Round 8: at 138 queries
+    even 2-decimal full-name keys hit 1,876/2,000 bytes, so the line
+    carries SHORT keys (numeric ids in base36; named demos use the
+    fixed abbreviations above) and 1-decimal times. Full names +
+    3-decimal figures stay in the sidecar, which also records the
+    exact stdout_key_map used, so cross-round per-query comparison
+    needs no guesswork.
+
+    Compression tiers, each armed in-band and fired only past 1,900
+    bytes (and kept only if it actually shrinks the line):
+      1. seconds dict (default, ``queries_unit: "s"``);
+      2. INTEGER DECISECONDS dict (round 10, ``queries_unit: "ds"``)
+         — ~2 bytes/query smaller in the common sub-10s regime;
+      3. PACKED KV STRING (round 14, ``queries_enc: "kv"`` —
+         ``"k:v k2:v2 ..."`` over the ds values) — drops the two
+         quote bytes per key that JSON dict syntax forces, another
+         ~2 bytes/query; decoded by _kv_decode (used by _prev_bench
+         when a future BENCH_r file carries a packed line).
+    test_stdout_line_headroom_at_250_ids projects tier capacity: the
+    registry can grow past 250 ids before 1,950 bytes is brushed.
+    """
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_query_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": sf,
+        # ALWAYS explicit (round-10 verdict: r10's ds line next to
+        # r9's unit-less seconds line read as a phantom 10× regression
+        # to any tool that diffed the raw dicts)
+        "queries_unit": "s",
+        "queries": _short_keyed(times),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        ds = {k: int(round(v * 10)) for k, v in _short_keyed(times).items()}
+        alt = dict(out, queries_unit="ds", queries=ds)
+        alt_line = json.dumps(alt, separators=(",", ":"))
+        if len(alt_line) < len(line):
+            out, line = alt, alt_line
+        if len(line) > 1900:
+            packed = " ".join(f"{k}:{v}" for k, v in ds.items())
+            alt = dict(out, queries_unit="ds", queries_enc="kv", queries=packed)
+            alt_line = json.dumps(alt, separators=(",", ":"))
+            if len(alt_line) < len(line):
+                out, line = alt, alt_line
+    return out, line
+
+
+def _kv_decode(s: str) -> dict:
+    """Invert the tier-3 packed encoding: ``"k:v k2:v2"`` → dict with
+    numeric values (the inverse of the packing in _stdout_payload —
+    kept adjacent so the two can't drift apart)."""
+    out = {}
+    for pair in s.split():
+        k, _, v = pair.partition(":")
+        out[k] = float(v) if "." in v else int(v)
+    return out
+
+
 def _short_keyed(times: dict) -> dict:
     """Apply _short_key to every id, REFUSING silent collisions — a
     base36 numeric key landing on a demo abbreviation would merge two
@@ -365,52 +432,7 @@ def main() -> None:
         else {}
     )
 
-    total = round(sum(times.values()), 3)
-    # stdout: ONLY the fields the driver needs, compact — its capture
-    # keeps a bounded tail (2000 bytes TOTAL including any preceding
-    # stderr), and extras overflowed it in round 3 (BENCH_r03.json
-    # parsed=null). Round 8: at 138 queries even 2-decimal full-name
-    # keys hit 1,876/2,000 bytes (~10 queries of headroom), so the
-    # stdout line now carries SHORT keys (numeric ids in base36 —
-    # round 9: bare decimal ids brushed 1,9xx bytes again at 190
-    # queries; named demos use the fixed abbreviations below) and
-    # 1-decimal times — both options the round-7 verdict sanctioned.
-    # Full names + 3-decimal figures stay in the sidecar, which also
-    # records the exact stdout_key_map used, so cross-round per-query
-    # comparison needs no guesswork.
-    out = {
-        "metric": "total_query_sec",
-        "value": round(total, 2),
-        "unit": "sec",
-        "sf": _sf_of(sf_dir),
-        # ALWAYS explicit (round-10 verdict: r10's ds line next to
-        # r9's unit-less seconds line read as a phantom 10× regression
-        # to any tool that diffed the raw dicts)
-        "queries_unit": "s",
-        "queries": _short_keyed(times),
-    }
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # Headroom fallback (armed round 10, fires automatically when
-        # the registry outgrows 1-decimal seconds): re-encode the
-        # per-query map as INTEGER DECISECONDS and say so in-band
-        # ("queries_unit": "ds"). ~2 bytes/query smaller in the
-        # common sub-10s regime; the sidecar always carries
-        # full-precision seconds under full names, so nothing is
-        # lost — only the stdout line gets denser. Kept only if it
-        # actually shrinks the line (integral seconds re-encode
-        # LONGER: "2" -> "20").
-        alt = dict(
-            out,
-            queries_unit="ds",
-            queries={
-                k: int(round(v * 10))
-                for k, v in _short_keyed(times).items()
-            },
-        )
-        alt_line = json.dumps(alt, separators=(",", ":"))
-        if len(alt_line) < len(line):
-            out, line = alt, alt_line
+    out, line = _stdout_payload(times, _sf_of(sf_dir))
     if len(line) > 1950:
         print(
             f"WARNING: stdout line {len(line)} bytes — approaching the "
@@ -424,11 +446,16 @@ def main() -> None:
     sys.stdout.flush()
 
     sidecar = {
-        **{k: v for k, v in out.items() if k != "queries_unit"},
-        "value": total,
+        # drop the stdout-only encoding markers so they cannot
+        # mislabel the sidecar's always-seconds, always-dict times
+        **{
+            k: v
+            for k, v in out.items()
+            if k not in ("queries_unit", "queries_enc")
+        },
+        "value": round(sum(times.values()), 3),
         "n_queries": len(times),
-        # sidecar times are ALWAYS seconds — drop the stdout-only
-        # "queries_unit" marker so it cannot mislabel them
+        # sidecar times are ALWAYS seconds
         "queries": times,  # full names + 3-decimal figures
         "stdout_key_map": {_short_key(k): k for k in times},
         "plan_fingerprints": plans,

@@ -205,6 +205,51 @@ def test_bench_stdout_key_map_covers_registry():
     bench._validate_stdout_keys(QUERIES)  # raises on gap or collision
 
 
+def test_stdout_line_headroom_at_250_ids():
+    """Round-13 verdict item 4: the registry is at 223 ids and the
+    stdout line rides the deciseconds fallback at ~1,680 of the
+    driver's 2,000-byte capture. Project the NEXT growth step through
+    the real encoder — the current 223 ids plus 27 synthetic q191…
+    q217 — under a pessimistic time distribution (every query slower
+    than today's p90, plus 25 ids past 10 s, i.e. 3-digit
+    deciseconds) and prove the tiered fallbacks keep the line under
+    1,950 bytes. Also round-trips the tier-3 packed encoding through
+    _kv_decode (what _prev_bench will use on a future packed
+    BENCH_r file)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ids = list(QUERIES) + [f"q{i}" for i in range(191, 218)]
+    assert len(ids) >= 250
+    bench._validate_stdout_keys(ids)  # collision-free at 250 too
+    # pessimistic: 2.5 s everywhere (today's mean is ~0.9 s), 25
+    # heavy ids at 42.3 s (3-digit deciseconds)
+    times = {q: 2.5 for q in ids}
+    for q in list(ids)[::10][:25]:
+        times[q] = 42.3
+    out, line = bench._stdout_payload(times, 0.1)
+    assert len(line) < 1950, len(line)
+    # the projected line must have fallen through to a denser tier
+    # and stay self-describing + decodable
+    assert out["queries_unit"] == "ds"
+    if out.get("queries_enc") == "kv":
+        decoded = bench._kv_decode(out["queries"])
+    else:
+        decoded = out["queries"]
+    assert decoded[bench._short_key("q06")] == 25  # 2.5 s → 25 ds
+    assert decoded[bench._short_key("q05")] == 423  # heavy id → 3-digit ds
+    assert len(decoded) == len(ids)
+    # tier-3 decode is the exact inverse of the packing
+    packed = " ".join(f"{k}:{v}" for k, v in decoded.items())
+    assert bench._kv_decode(packed) == decoded
+
+
 def test_bench_fingerprint_invariant_to_session_counters(spark):
     """bench.py's plan fingerprint must not move when session-global
     JVM counters advance (round-12 advisory: 53 ids churned across
