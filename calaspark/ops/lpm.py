@@ -1,0 +1,146 @@
+"""Longest-prefix-match (LPM) join — the E1-family operator behind
+route/IP/dictionary-prefix matching (round-9 backlog; round-13
+verdict ask 5).
+
+Reference anchor: the reference's lookup tables are exact-code joins
+(`calaccess_raw/annotations/__init__.py §FilingForm` resolution is
+dict-keyed); LPM generalizes that to hierarchical code spaces
+(dialing prefixes, ZIP prefixes, IP routes) the way a warehouse user
+would expect from SURVEY.md §2.5 E1's join family.
+
+Why not a LIKE-prefix theta join: ``lookup JOIN routes ON
+lookup.key LIKE routes.prefix || '%'`` has no equi key, so Spark
+plans a broadcast-nested-loop (or cartesian) — O(|lookup|·|routes|)
+compare work that dies long before 100 TB. The classic decomposition
+is EXPAND-ON-PREFIX-LENGTH + EQUI-JOIN:
+
+1. Collect the DISTINCT prefix lengths present in the route table —
+   a model-sized driver collect by construction: a route table has
+   at most ``max(len(prefix))`` distinct lengths (IPv4 tables ≤ 32,
+   dialing plans < 10) regardless of how many prefixes or how much
+   lookup data there is. Same collect class as q71's query batch
+   and the IVF centroids.
+2. Explode each lookup row into one probe arm per length L:
+   ``(substring(key, 1, L), L)`` — bounded fan-out ×|lengths|, a
+   generator projection, no shuffle.
+3. Hash equi-join probe arms against routes on (prefix, plen). The
+   join ships only the arms; AQE broadcasts a small route table and
+   degrades to a shuffle join for a huge one — semantics identical.
+   Joining on plen as well as the prefix string closes the
+   short-key corner: a lookup key shorter than L yields an arm
+   whose substring is the whole key, which could textually equal a
+   SHORTER route prefix from a different arm; the plen equality
+   makes that arm match only length-L routes.
+4. Longest-wins: ``row_number() OVER (PARTITION BY row key ORDER BY
+   plen DESC, prefix)`` filtered to 1 — Spark rewrites the rank-
+   filter into WindowGroupLimit, so the per-key state is one row,
+   and the partition key is the lookup row key (high cardinality —
+   parallelism scales with data, never with the route table).
+
+Spark citations: explode F:14939, substring F:18609, row_number
+F:22953 (see SURVEY.md §0 for the path convention).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: A route table with more distinct prefix lengths than this is not a
+#: prefix hierarchy (IPv4 = 32; dialing plans < 10); failing loudly
+#: beats silently exploding every lookup row ×1000.
+MAX_DISTINCT_LENGTHS = 64
+
+
+def prefix_match_join(
+    lookup: DataFrame,
+    routes: DataFrame,
+    *,
+    key_col: str,
+    row_key: str,
+    prefix_col: str = "prefix",
+    payload: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Longest-prefix-match: each ``lookup`` row joined to the
+    LONGEST ``routes.prefix_col`` value that prefixes its
+    ``key_col`` string (ties are impossible at equal length — two
+    distinct equal-length prefixes cannot both prefix one key).
+    ``row_key`` must uniquely identify a lookup row (it is the
+    longest-wins window key). Returns all lookup columns plus
+    ``matched_prefix``/``match_len`` and any ``payload`` columns
+    from routes.
+
+    ``how="inner"`` drops unmatched lookup rows; ``how="left"``
+    keeps them with ``matched_prefix`` NULL and ``match_len`` 0 —
+    IN THE SAME SINGLE PASS (the probe arms left-join routes and
+    unmatched arms rank below every real match via nulls-last
+    ordering), so left semantics cost no second lookup scan, no
+    anti-join and no extra shuffle — the composition
+    ``inner + anti-join`` would re-derive the whole match subtree,
+    exactly the round-9 repeated-scan pathology.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    r = (
+        routes.select(
+            F.col(prefix_col).alias("_pfx"),
+            F.length(prefix_col).alias("_plen"),
+            *(payload or []),
+        )
+        .dropDuplicates(["_pfx"])
+        .withColumn("_hit", F.lit(1))
+    )
+    lengths = sorted(
+        x["_plen"] for x in r.select("_plen").distinct().collect()
+    )
+    if len(lengths) > MAX_DISTINCT_LENGTHS:
+        raise ValueError(
+            f"{len(lengths)} distinct prefix lengths — not a prefix "
+            f"hierarchy (max {MAX_DISTINCT_LENGTHS})"
+        )
+    out_cols = [
+        *lookup.columns,
+        F.when(F.col("_hit").isNotNull(), F.col("_pfx")).alias(
+            "matched_prefix"
+        ),
+        F.coalesce(
+            F.when(F.col("_hit").isNotNull(), F.col("_plen")), F.lit(0)
+        ).alias("match_len"),
+        *(payload or []),
+    ]
+    if not lengths:  # empty route table → no matches, stable schema
+        empty = lookup.join(r, F.lit(False), how)
+        return empty.select(*out_cols)
+    arms = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(length).cast("int").alias("_plen"),
+                    F.substring(F.col(key_col), 1, length).alias("_pfx"),
+                )
+                for length in lengths
+            ]
+        )
+    )
+    probe = lookup.withColumn("_arm", arms).select(
+        *lookup.columns, F.col("_arm._plen").alias("_plen"),
+        F.col("_arm._pfx").alias("_pfx"),
+    )
+    # Matched arms first (longest prefix first); in left mode the
+    # unmatched arms sort after every real match, and whichever one
+    # wins, the selected output (NULL prefix, len 0) is identical —
+    # the _plen tiebreak just makes the winning arm deterministic.
+    w = Window.partitionBy(row_key).orderBy(
+        F.desc_nulls_last(
+            F.when(F.col("_hit").isNotNull(), F.col("_plen"))
+        ),
+        F.asc("_plen"),
+        F.asc("_pfx"),
+    )
+    return (
+        probe.join(r, ["_pfx", "_plen"], how)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*out_cols)
+    )

@@ -5765,3 +5765,56 @@ GROUP BY d.doc_id
 # naive full-vocabulary groupBy at threshold N/30.
 
 ORACLES["q190"] = ORACLES["q113"]
+
+# Q191 — longest-prefix-match join -----------------------------------
+# The lateral-style spelling of LPM: a theta join on
+# substr(key, 1, plen) = prefix (every matching route, any length),
+# then row_number ordered by plen DESC picks the longest — the
+# textbook single-machine form. The engine instead expands each
+# lookup key into one probe arm per DISTINCT route length and hash
+# equi-joins on (prefix, plen) (ops/lpm.py), so the driver hash
+# proves the expand-on-length decomposition computes the identical
+# longest match. Ties at equal length are impossible (two distinct
+# equal-length prefixes cannot both prefix one key), so the
+# row_number is deterministic.
+
+ORACLES["q191"] = """
+WITH sup AS (
+  SELECT s_suppkey, reverse(lpad(CAST(s_suppkey AS VARCHAR), 12, '0')) AS d
+  FROM supplier
+), routes AS (
+  SELECT DISTINCT substr(d, 1, 1) AS prefix FROM sup WHERE s_suppkey % 2 = 0
+  UNION
+  SELECT DISTINCT substr(d, 1, 3) AS prefix FROM sup WHERE s_suppkey % 3 = 0
+  UNION
+  SELECT DISTINCT substr(d, 1, 5) AS prefix FROM sup
+), rl AS (
+  SELECT prefix, length(prefix) AS plen FROM routes
+), lk AS (
+  SELECT c_custkey, reverse(lpad(CAST(c_custkey AS VARCHAR), 12, '0')) AS k
+  FROM customer
+), m AS (
+  SELECT lk.c_custkey, rl.prefix, rl.plen,
+         row_number() OVER (PARTITION BY lk.c_custkey
+                            ORDER BY rl.plen DESC, rl.prefix) AS rn
+  FROM lk JOIN rl ON substr(lk.k, 1, rl.plen) = rl.prefix
+), best AS (
+  SELECT c_custkey, prefix, plen FROM m WHERE rn = 1
+), agg AS (
+  SELECT prefix AS matched_prefix, CAST(plen AS BIGINT) AS match_len,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+         CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+  FROM best GROUP BY prefix, plen
+), un AS (
+  SELECT '(none)' AS matched_prefix, CAST(0 AS BIGINT) AS match_len,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+         CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+  FROM lk WHERE NOT EXISTS (
+    SELECT 1 FROM rl WHERE substr(lk.k, 1, rl.plen) = rl.prefix)
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM agg UNION ALL SELECT * FROM un
+ORDER BY match_len DESC, matched_prefix
+"""

@@ -94,6 +94,11 @@ QUERIES: dict[str, QueryFn] = {
     "q10": relational.q10_join_anti,
     "q11": relational.q11_join_broadcast_dim,
     # ---- driver cut (first 50 ids above) ----
+    # q191 is NEW this round (longest-prefix-match join, verdict ask
+    # 5) and leads the below-cut block so it rotates into the hash
+    # window first next round; this round it carries the local
+    # oracle sweep + vanilla-session evidence.
+    "q191": extensions.q191_prefix_match_join,
     # q165 is rows-only (no oracle) — held below the cut by policy;
     # its pytest twin proves the PAVA fit (see §2.6).
     "q165": advanced.q165_isotonic_calibration,

@@ -1505,3 +1505,85 @@ def q190_stream_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFra
         F.explode(tokens("text")).alias("tok")
     )
     return recount_candidates(items, "tok", 30, cands)
+
+
+# ---------------------------------------------------------------- Q191
+
+
+def q191_prefix_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match join (E1 family — round-13 verdict ask 5;
+    ops/lpm.py carries the scale design): a dial-plan-style route
+    table matched against a lookup key space, LONGEST prefix wins,
+    then a per-route rollup with an explicit unmatched bucket.
+
+    The synthetic tables carry no phone/IP column, so the code space
+    is derived deterministically: ``reverse(lpad(key, 12, '0'))`` —
+    reversal makes the LEADING characters high-entropy (the last
+    digits of the key), giving a uniform hierarchical namespace in
+    which prefix density is controlled exactly. Routes come from
+    supplier keys at three lengths/densities (plen 1 from even
+    suppliers, plen 3 from s%3=0, plen 5 from all), lookups are the
+    customer keys — so longest-wins, mixed-density fallback AND the
+    unmatched bucket are all exercised at every SF.
+
+    100 TB: the ONLY driver-side collect is the distinct prefix
+    LENGTH set (≤ max prefix length by construction — model-sized,
+    like q71's query batch); the lookup side explodes ×3 bounded
+    arms and hash-joins on (prefix, plen) — AQE broadcasts the small
+    route table here, and a billion-route table degrades to a
+    shuffle equi-join, never a nested loop. Longest-wins is a
+    row_number→WindowGroupLimit keyed on c_custkey (parallelism
+    scales with customers, not routes). Left semantics ride the SAME
+    pass (ops/lpm.py ``how="left"``): no anti-join, no second
+    customer scan, no 1-row global aggregate for the unmatched
+    bucket — it is just another group. The route table reads
+    supplier ONCE (conditional-arm explode instead of a 3-way
+    union). The oracle spells the same semantics as a lateral-style
+    theta join + window, so the driver hash proves the
+    expand-on-length decomposition exact.
+    """
+    from ..ops.lpm import prefix_match_join
+
+    d = F.reverse(F.lpad(F.col("s_suppkey").cast("string"), 12, "0"))
+    routes = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.explode(
+                F.array(
+                    F.when(F.col("s_suppkey") % 2 == 0, F.substring(d, 1, 1)),
+                    F.when(F.col("s_suppkey") % 3 == 0, F.substring(d, 1, 3)),
+                    F.substring(d, 1, 5),
+                )
+            ).alias("prefix")
+        )
+        .filter(F.col("prefix").isNotNull())
+        .distinct()
+    )
+    lk = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.reverse(F.lpad(F.col("c_custkey").cast("string"), 12, "0")).alias(
+            "k"
+        ),
+    )
+    best = prefix_match_join(
+        lk,
+        routes,
+        key_col="k",
+        row_key="c_custkey",
+        prefix_col="prefix",
+        how="left",
+    )
+    return (
+        best.groupBy(
+            F.coalesce(F.col("matched_prefix"), F.lit("(none)")).alias(
+                "matched_prefix"
+            ),
+            F.col("match_len").cast("long").alias("match_len"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+            F.max("c_custkey").cast("long").alias("max_custkey"),
+        )
+        .orderBy(F.desc("match_len"), F.asc("matched_prefix"))
+    )

@@ -206,11 +206,11 @@ def test_bench_stdout_key_map_covers_registry():
 
 
 def test_stdout_line_headroom_at_250_ids():
-    """Round-13 verdict item 4: the registry is at 223 ids and the
+    """Round-13 verdict item 4: the registry is at 224 ids and the
     stdout line rides the deciseconds fallback at ~1,680 of the
     driver's 2,000-byte capture. Project the NEXT growth step through
-    the real encoder — the current 223 ids plus 27 synthetic q191…
-    q217 — under a pessimistic time distribution (every query slower
+    the real encoder — the current registry plus synthetic ids up to
+    ≥250 total — under a pessimistic time distribution (every query slower
     than today's p90, plus 25 ids past 10 s, i.e. 3-digit
     deciseconds) and prove the tiered fallbacks keep the line under
     1,950 bytes. Also round-trips the tier-3 packed encoding through
@@ -225,7 +225,11 @@ def test_stdout_line_headroom_at_250_ids():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    ids = list(QUERIES) + [f"q{i}" for i in range(191, 218)]
+    # synthesize past the registry's current max numeric id to ≥250
+    top = max(
+        int(q[1:]) for q in QUERIES if q.startswith("q") and q[1:].isdigit()
+    )
+    ids = list(QUERIES) + [f"q{i}" for i in range(top + 1, top + 1 + 27)]
     assert len(ids) >= 250
     bench._validate_stdout_keys(ids)  # collision-free at 250 too
     # pessimistic: 2.5 s everywhere (today's mean is ~0.9 s), 25

@@ -1485,3 +1485,103 @@ def test_evict_dead_sessions_drops_only_dead_apps():
     }
     evict_dead_sessions(memo, "app-live")
     assert memo == {("app-live", "corpus-a"): 3}
+
+
+def test_prefix_match_join_equals_naive(spark):
+    """ops/lpm.prefix_match_join (expand-on-length + equi-join +
+    WindowGroupLimit) must agree row-for-row with the naive
+    every-route substring scan, including mixed densities, keys that
+    match nothing, and keys SHORTER than the longest route prefix
+    (the plen-equality corner: a short key's truncated probe arm
+    must not claim a longer match length)."""
+    from calaspark.ops.lpm import prefix_match_join
+
+    routes = ["1", "12", "123", "1234", "9", "98", "555", "0001"]
+    keys = [
+        "1234567",  # matches 1,12,123,1234 → 1234
+        "129",      # 1, 12 → 12
+        "198",      # 1 → 1
+        "987",      # 9, 98 → 98
+        "5",        # prefix of 555 but shorter — NO match
+        "555",      # exact-length match
+        "5556",     # 555
+        "0002",     # nothing (0001 differs at last char)
+        "7",        # nothing
+        "0001",     # 0001
+    ]
+    rdf = spark.createDataFrame([(p,) for p in routes], "prefix string")
+    ldf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "rid int, k string"
+    )
+    got = {
+        r["rid"]: (r["matched_prefix"], r["match_len"])
+        for r in prefix_match_join(
+            ldf, rdf, key_col="k", row_key="rid"
+        ).collect()
+    }
+    want = {}
+    for i, k in enumerate(keys):
+        m = [p for p in routes if k.startswith(p)]
+        if m:
+            best = max(m, key=len)
+            want[i] = (best, len(best))
+    assert got == want
+    # left mode: one row per lookup key, unmatched as (NULL, 0) —
+    # same single pass, no anti-join composition needed
+    left = {
+        r["rid"]: (r["matched_prefix"], r["match_len"])
+        for r in prefix_match_join(
+            ldf, rdf, key_col="k", row_key="rid", how="left"
+        ).collect()
+    }
+    assert left == {
+        i: want.get(i, (None, 0)) for i in range(len(keys))
+    }
+
+
+def test_prefix_match_join_naive_fuzz(spark):
+    """Randomized cross-check on a digit namespace (seeded): every
+    (route-set, key-set) draw must match the naive scan exactly."""
+    import random
+
+    from calaspark.ops.lpm import prefix_match_join
+
+    rng = random.Random(191)
+    for _ in range(5):
+        routes = list(
+            {
+                str(rng.randrange(10 ** rng.randrange(1, 5)))
+                for _ in range(rng.randrange(1, 20))
+            }
+        )
+        keys = [str(rng.randrange(10**6)) for _ in range(40)]
+        rdf = spark.createDataFrame([(p,) for p in routes], "prefix string")
+        ldf = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "rid int, k string"
+        )
+        got = {
+            r["rid"]: (r["matched_prefix"], r["match_len"])
+            for r in prefix_match_join(
+                ldf, rdf, key_col="k", row_key="rid"
+            ).collect()
+        }
+        want = {}
+        for i, k in enumerate(keys):
+            m = [p for p in routes if k.startswith(p)]
+            if m:
+                best = max(m, key=len)
+                want[i] = (best, len(best))
+        assert got == want, (routes, keys)
+
+
+def test_prefix_match_join_empty_routes(spark):
+    """An empty route table yields zero matches with a stable schema
+    (no lengths to expand — the operator must not explode a zero-arm
+    array)."""
+    from calaspark.ops.lpm import prefix_match_join
+
+    rdf = spark.createDataFrame([], "prefix string")
+    ldf = spark.createDataFrame([(1, "123")], "rid int, k string")
+    out = prefix_match_join(ldf, rdf, key_col="k", row_key="rid")
+    assert out.count() == 0
+    assert set(out.columns) == {"rid", "k", "matched_prefix", "match_len"}
