@@ -69,7 +69,11 @@ def prefix_match_join(
     ``row_key`` must uniquely identify a lookup row (it is the
     longest-wins window key). Returns all lookup columns plus
     ``matched_prefix``/``match_len`` and any ``payload`` columns
-    from routes.
+    from routes. ``prefix_col`` should be unique in ``routes`` (a
+    route table's defining property); duplicate prefixes are
+    collapsed to ONE arbitrary row's payload by the dropDuplicates
+    below — dedupe with an explicit priority rule upstream if route
+    payloads can conflict.
 
     ``how="inner"`` drops unmatched lookup rows; ``how="left"``
     keeps them with ``matched_prefix`` NULL and ``match_len`` 0 —
@@ -144,3 +148,54 @@ def prefix_match_join(
         .filter(F.col("_rn") == 1)
         .select(*out_cols)
     )
+
+
+def cidr_to_prefix(cidr):
+    """Column helper: an IPv4 CIDR string (``'10.1.0.0/16'``) → the
+    fixed-length BIT-STRING prefix (``'0000101000000001'``) that
+    makes :func:`prefix_match_join` an exact IP route-table lookup
+    (keys converted with :func:`ip_to_bits`). All JVM-side builtins
+    — split/cast/shifts/conv — no UDF; malformed input yields NULL
+    (try-cast semantics), which a router table build should filter.
+    A /0 route (default gateway) yields the empty string: Spark's
+    ``substring(key, 1, 0)`` is also empty, so the default route
+    matches every key at length 0 — exactly LPM's semantics, but
+    note ``prefix_match_join`` drops empty prefixes only via the
+    length-0 probe arm matching everything, so keep at most ONE /0
+    route (two distinct length-0 prefixes cannot exist anyway).
+    """
+    parts = F.split(F.col(cidr) if isinstance(cidr, str) else cidr, "[/.]")
+    octets = [F.try_element_at(parts, F.lit(i)).try_cast("long") for i in (1, 2, 3, 4)]
+    masklen = F.try_element_at(parts, F.lit(5)).try_cast("int")
+    ip = (
+        F.shiftleft(octets[0], 24)
+        + F.shiftleft(octets[1], 16)
+        + F.shiftleft(octets[2], 8)
+        + octets[3]
+    )
+    bits = F.lpad(F.conv(ip.cast("string"), 10, 2), 32, "0")
+    valid = masklen.isNotNull() & (masklen >= 0) & (masklen <= 32)
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    return F.when(valid, F.substring(bits, 1, masklen).cast("string"))
+
+
+def ip_to_bits(ip_col):
+    """Column helper: a dotted-quad IPv4 string → its 32-char
+    bit-string, the lookup-key form matching :func:`cidr_to_prefix`
+    prefixes. Malformed input yields NULL."""
+    parts = F.split(
+        F.col(ip_col) if isinstance(ip_col, str) else ip_col, "\\."
+    )
+    octets = [F.try_element_at(parts, F.lit(i)).try_cast("long") for i in (1, 2, 3, 4)]
+    ip = (
+        F.shiftleft(octets[0], 24)
+        + F.shiftleft(octets[1], 16)
+        + F.shiftleft(octets[2], 8)
+        + octets[3]
+    )
+    valid = F.lit(True)
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    valid = valid & (F.size(parts) == 4)
+    return F.when(valid, F.lpad(F.conv(ip.cast("string"), 10, 2), 32, "0"))

@@ -1585,3 +1585,56 @@ def test_prefix_match_join_empty_routes(spark):
     out = prefix_match_join(ldf, rdf, key_col="k", row_key="rid")
     assert out.count() == 0
     assert set(out.columns) == {"rid", "k", "matched_prefix", "match_len"}
+
+
+def test_prefix_match_join_ip_routing(spark):
+    """cidr_to_prefix + ip_to_bits + prefix_match_join = an exact
+    IPv4 route-table lookup: most-specific route wins, the /0
+    default route catches everything else, malformed routes/IPs
+    drop to NULL."""
+    from calaspark.ops.lpm import (
+        cidr_to_prefix,
+        ip_to_bits,
+        prefix_match_join,
+    )
+
+    routes = spark.createDataFrame(
+        [
+            ("0.0.0.0/0", "default"),
+            ("10.0.0.0/8", "corp"),
+            ("10.1.0.0/16", "dc1"),
+            ("10.1.2.0/24", "rack"),
+            ("192.168.0.0/16", "lan"),
+            ("not-a-route", "junk"),
+        ],
+        "cidr string, nexthop string",
+    ).select(
+        cidr_to_prefix("cidr").alias("prefix"), "nexthop"
+    ).filter(F.col("prefix").isNotNull())
+    ips = spark.createDataFrame(
+        [
+            (0, "10.1.2.3"),   # rack (/24 beats /16 beats /8 beats /0)
+            (1, "10.1.9.9"),   # dc1
+            (2, "10.9.9.9"),   # corp
+            (3, "192.168.7.1"),  # lan
+            (4, "8.8.8.8"),    # default
+        ],
+        "rid int, ip string",
+    ).select("rid", "ip", ip_to_bits("ip").alias("k"))
+    got = {
+        r["rid"]: (r["nexthop"], r["match_len"])
+        for r in prefix_match_join(
+            ips,
+            routes,
+            key_col="k",
+            row_key="rid",
+            payload=["nexthop"],
+        ).collect()
+    }
+    assert got == {
+        0: ("rack", 24),
+        1: ("dc1", 16),
+        2: ("corp", 8),
+        3: ("lan", 16),
+        4: ("default", 0),
+    }
