@@ -2115,3 +2115,52 @@ def test_q189_zero_word_docs_report_zero(spark, tmp_path):
     assert rows[2] == (0, 0) and rows[3] == (0, 0)
     # doc 1: the->the(1), window->window(1), batch->bat,c,h(3)
     assert rows[1] == (5, 3)
+
+
+def test_duckdb_decimal_fastpath_boundary_pinned():
+    """SURVEY.md §2.6 rule 6 (the q158/q89/q145 overflow class) rests
+    on an EMPIRICALLY pinned DuckDB behavior: a decimal×decimal
+    multiply takes the int64 fast path iff BOTH operand widths are
+    ≤ 18 (unscaled product bounded at 10^18 — NOT int64's 9.2e18),
+    width ≥ 19 on either side forces HUGEINT, and SUM over
+    decimal/bigint accumulates HUGEINT (sums never cliff, only
+    per-row products). If a DuckDB upgrade shifts any of these, the
+    round-14 overflow-audit dispositions need re-deriving — this
+    test turns that into a loud failure instead of a silent drift."""
+    import duckdb
+
+    con = duckdb.connect()
+    # 18x18 products: fine under 1e18 unscaled, overflow just past it
+    assert con.sql(
+        "SELECT CAST(900000000 AS DECIMAL(18,0))"
+        " * CAST(1000000000 AS DECIMAL(18,0))"
+    ).fetchone()[0] == 900000000000000000
+    try:
+        con.sql(
+            "SELECT CAST(1100000000 AS DECIMAL(18,0))"
+            " * CAST(1000000000 AS DECIMAL(18,0))"
+        ).fetchone()
+        raise AssertionError(
+            "18x18 decimal product past 1e18 no longer overflows — "
+            "DuckDB changed its fast path; re-derive §2.6 rule 6"
+        )
+    except duckdb.OutOfRangeException:
+        pass
+    # width 19 on one side → HUGEINT path, same values, no cliff
+    assert con.sql(
+        "SELECT CAST(2000000000 AS DECIMAL(19,0))"
+        " * CAST(2000000000 AS DECIMAL(18,0))"
+    ).fetchone()[0] == 4000000000000000000
+    # SUM accumulates HUGEINT: a >1e18 total over width-18 inputs
+    assert con.sql(
+        "SELECT SUM(CAST(900000000000000000 AS DECIMAL(18,0)))"
+        " FROM range(10)"
+    ).fetchone()[0] == 9000000000000000000
+    # BIGINT sums promote too (the count-weight disposition)
+    assert con.sql(
+        "SELECT SUM(CAST(4000000000000000000 AS BIGINT)) FROM range(4)"
+    ).fetchone()[0] == 16000000000000000000
+    # DECIMAL×BIGINT types as width 31+ (hugeint) — the w-weight rule
+    assert str(con.sql(
+        "SELECT typeof(CAST(1.5 AS DECIMAL(12,2)) * CAST(1 AS BIGINT))"
+    ).fetchone()[0]) == "DECIMAL(31,2)"
