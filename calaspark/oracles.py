@@ -5818,3 +5818,95 @@ WITH sup AS (
 SELECT * FROM agg UNION ALL SELECT * FROM un
 ORDER BY match_len DESC, matched_prefix
 """
+
+# q192: linear-interpolation gap fill — q57's spine and hourly CTEs
+# verbatim, then the exact rational bracket interpolation: bracket
+# values/hours via LAST/FIRST_VALUE IGNORE NULLS over preceding/
+# following frames, DECIMAL(14,2)×DECIMAL(18,0) exact products, ONE
+# double division per gap row (observed rows short-circuit on the
+# integer h_next = h_prev test and emit the stored decimal exactly).
+
+ORACLES["q192"] = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h_ep,
+         SUM(CAST(value AS DECIMAL(14,2))) AS sum_value
+  FROM events
+  WHERE user_id < 8
+  GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(MIN(h_ep), MAX(h_ep), 3600)) AS h_ep
+  FROM hourly
+  GROUP BY user_id
+), j AS (
+  SELECT s.user_id, s.h_ep, h.sum_value
+  FROM spine s LEFT JOIN hourly h USING (user_id, h_ep)
+), f AS (
+  SELECT user_id, h_ep, sum_value,
+    LAST_VALUE(sum_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h_ep
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN h_ep END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h_ep
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    FIRST_VALUE(sum_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h_ep
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN h_ep END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h_ep
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT
+  user_id,
+  h_ep,
+  CAST(sum_value IS NOT NULL AS INTEGER) AS observed,
+  CAST(CASE WHEN nh = ph THEN CAST(pv AS DOUBLE)
+       ELSE CAST(pv * CAST(nh - h_ep AS DECIMAL(18,0))
+                 + nv * CAST(h_ep - ph AS DECIMAL(18,0)) AS DOUBLE)
+            / CAST(nh - ph AS DOUBLE)
+       END AS DOUBLE) AS lin_sum_value
+FROM f
+"""
+
+# q193: deterministic contrastive negative sampling — the same md5
+# folds, bucket index, and two-slice address arithmetic as the
+# engine (ops/split.py's 8-hex 32-bit fold): candidate bucket =
+# fold(doc_id) % 64 with a bucket-local row_number rank; draw
+# address = fold(doc_id ':' slot) split into bucket (% 64) and rank
+# (// 64 % bucket_count); self-hits dropped (declared). All integer
+# codegen — the hash proves the distributed bucket-index plan
+# computes the textbook single-table form exactly.
+
+ORACLES["q193"] = r"""
+WITH idx AS (
+  SELECT doc_id AS neg_doc_id,
+         CAST(len(regexp_extract_all(text, E'[^\t\n\f\r ]+')) AS BIGINT)
+           AS neg_n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 64 AS bkt,
+         row_number() OVER (
+           PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) AS BIGINT) % 64
+           ORDER BY doc_id) - 1 AS rn
+  FROM documents
+), cnt AS (
+  SELECT bkt, COUNT(*) AS c FROM idx GROUP BY bkt
+), anchors AS (
+  SELECT d.doc_id, s.slot,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                 || CAST(s.slot AS VARCHAR)), 1, 8)
+              AS BIGINT) AS f2
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) s
+), probe AS (
+  SELECT a.doc_id, a.slot, a.f2 % 64 AS tbkt, (a.f2 // 64) % c.c AS li
+  FROM anchors a JOIN cnt c ON c.bkt = a.f2 % 64
+)
+SELECT p.doc_id,
+       CAST(p.slot AS INTEGER) AS slot,
+       i.neg_doc_id,
+       i.neg_n_tokens
+FROM probe p JOIN idx i ON i.bkt = p.tbkt AND i.rn = p.li
+WHERE i.neg_doc_id <> p.doc_id
+"""

@@ -99,6 +99,12 @@ QUERIES: dict[str, QueryFn] = {
     # window first next round; this round it carries the local
     # oracle sweep + vanilla-session evidence.
     "q191": extensions.q191_prefix_match_join,
+    # q192/q193 are NEW this round (linear-interpolation gap fill —
+    # q57's resample completion — and deterministic contrastive
+    # negative sampling); below-cut head so they rotate into the
+    # hash window next round, local-sweep + vanilla evidence now.
+    "q192": breadth.q192_gap_fill_linear,
+    "q193": breadth.q193_negative_sampling,
     # q165 is rows-only (no oracle) — held below the cut by policy;
     # its pytest twin proves the PAVA fit (see §2.6).
     "q165": advanced.q165_isotonic_calibration,

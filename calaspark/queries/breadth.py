@@ -145,6 +145,190 @@ def q57_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- Q192
+
+
+def q192_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR interpolation (E3/E7 — the
+    resample completion of q57's LOCF: LOCF answers "what was the
+    last known state", interpolation answers "what was the level
+    mid-gap", the form a feature pipeline wants for slowly-varying
+    signals).
+
+    Same per-user hourly spine as q57 (integer epoch `sequence`, so
+    both engines generate identical rows). Each missing hour takes
+    the exact rational interpolation between its bracketing
+    observations::
+
+        v(h) = (v_prev·(h_next − h) + v_next·(h − h_prev))
+               / (h_next − h_prev)
+
+    Determinism (§2.6): v_prev/v_next are exact DECIMAL(14,2) hourly
+    sums; the second gaps are BIGINTs cast to DECIMAL(18,0) so both
+    products are exact decimals (unscaled ≤ 10^13 here — far inside
+    both engines' wide-decimal paths and double's 2^53 exact-integer
+    range); ONE double division per row in identical written order,
+    emitted RAW with no rounding step (the q152/q153 convention —
+    identical operands give a bit-identical IEEE quotient, while
+    ROUND's tie handling diverges between engines exactly on the
+    x.xxxx5 values this rational produces; a ROUND(.,4) variant
+    hash-flaked on 18.27125 at sf0.01). Observed rows short-circuit
+    on the integer test h_next = h_prev (both brackets are the row
+    itself) and emit the stored decimal exactly — no division
+    touches them. The spine is
+    bounded by each user's min/max observed hour, so every gap row
+    has both brackets by construction (no extrapolation semantics to
+    declare).
+
+    100 TB shape: identical to q57 — the hourly pre-aggregation
+    shrinks the fact first and is MATERIALIZED for its two consumers
+    (spine bounds + probe side); the bracket search is two window
+    passes (last/first ignorenulls, preceding + following frames)
+    over ONE user_id shuffle — Spark evaluates both frames in a
+    single WindowExec, and no per-gap join or explode ever touches
+    data grain.
+    """
+    from ..ops.materialize import materialize
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = e.groupBy(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_ep"),
+    ).agg(F.sum(dec("value", "decimal(14,2)")).alias("sum_value"))
+    hourly = materialize(hourly)
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h_ep").alias("h0"), F.max("h_ep").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h_ep"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "h_ep"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h_ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h_ep")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("sum_value").isNotNull(), F.col("h_ep"))
+    pv = F.last("sum_value", ignorenulls=True).over(w_prev)
+    ph = F.last(obs_h, ignorenulls=True).over(w_prev)
+    nv = F.first("sum_value", ignorenulls=True).over(w_next)
+    nh = F.first(obs_h, ignorenulls=True).over(w_next)
+    d18 = "decimal(18,0)"
+    num = pv * (nh - F.col("h_ep")).cast(d18) + nv * (
+        F.col("h_ep") - ph
+    ).cast(d18)
+    lin = F.when(nh == ph, pv.cast("double")).otherwise(
+        num.cast("double") / (nh - ph).cast("double")
+    )
+    return j.select(
+        "user_id",
+        "h_ep",
+        F.col("sum_value").isNotNull().cast("int").alias("observed"),
+        lin.cast("double").alias("lin_sum_value"),
+    )
+
+
+# ---------------------------------------------------------------- Q193
+
+
+def q193_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive NEGATIVE SAMPLING (E13/E19 pipeline
+    op — the random-negatives stage of contrastive/embedding
+    training: per anchor document, K pseudo-uniform negatives drawn
+    from the corpus, reproducible across reruns, repartitioning, and
+    engines — never ``rand()``, the q67/q107/q131 md5-fold law).
+
+    Draw function: ``f2 = md5-fold(doc_id ':' slot)`` (the 8-hex
+    32-bit fold of ops/split.py); the negative is addressed in two
+    decorrelated slices of f2 — target bucket ``f2 % B`` and
+    within-bucket rank ``(f2 div B) % count(bucket)`` — against a
+    bucket-local index of the corpus (md5 bucket of the CANDIDATE's
+    doc_id, ``row_number`` within bucket). Declared semantics: draws
+    are with-replacement (two slots of one anchor may repeat a
+    negative) and self-hits are DROPPED (an anchor drawing itself —
+    expected K/N rows — is filtered, not remapped), so the output is
+    a pure deterministic function of the corpus.
+
+    100 TB shape: no global order anywhere — the corpus index is a
+    bucket-PARTITIONED ``row_number`` (one shuffle on the md5 bucket;
+    B scales with the corpus so a bucket's sort stays executor-sized
+    — B=64 feeds 32 local cores, a 1000-executor corpus would set
+    B ≈ corpus/256 MB), the bucket-count dim is B rows (BROADCAST —
+    model-sized by construction), and the probe is a plain hash
+    equi-join on (bucket, rank). Anchor fan-out is a bounded ×K
+    explode. Everything is integer/md5 codegen — zero Python, zero
+    libm, hash-gate exact.
+    """
+    from ..ops.split import hash_bucket
+    from ..ops.text import token_count
+
+    K, B = 4, 64
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("bkt").orderBy("doc_id")
+    idx = (
+        d.withColumn("bkt", hash_bucket(F.col("doc_id"), B))
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .select(
+            F.col("bkt"),
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("n_tokens").alias("neg_n_tokens"),
+        )
+    )
+    cnt = idx.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    f2 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    anchors = (
+        d.select("doc_id")
+        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+        .withColumn("f2", f2)
+        .withColumn("tbkt", F.col("f2") % B)
+    )
+    probe = anchors.join(
+        F.broadcast(cnt), anchors["tbkt"] == cnt["bkt"]
+    ).select(
+        "doc_id",
+        "slot",
+        "tbkt",
+        (F.expr("f2 div 64") % F.col("c")).alias("li"),
+    )
+    return (
+        probe.join(
+            idx,
+            (probe["tbkt"] == idx["bkt"]) & (probe["li"] == idx["rn"]),
+        )
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.col("slot").cast("int").alias("slot"),
+            "neg_doc_id",
+            "neg_n_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------- Q58
 
 

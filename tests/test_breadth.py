@@ -128,3 +128,111 @@ def test_mixture_sample_rates(spark):
     assert {k: (v["n_docs_kept"], v["n_tokens_kept"]) for k, v in rows.items()} == {
         k: (v["n_docs_kept"], v["n_tokens_kept"]) for k, v in again.items()
     }
+
+
+def test_gap_fill_linear_brackets_and_endpoints(spark):
+    """q192 invariants the hash gate can't express: the spine is
+    dense, each user's endpoints are observed rows, observed rows
+    reproduce the exact hourly decimal sum, and every interpolated
+    value lies within its bracketing observations (linearity bound —
+    a convex combination can never leave [min, max] of the
+    brackets)."""
+    from pyspark.sql import Window
+
+    g = breadth.q192_gap_fill_linear(spark, SF)
+    w = Window.partitionBy("user_id").orderBy("h_ep")
+    step = g.select(
+        "user_id", (F.col("h_ep") - F.lag("h_ep").over(w)).alias("step")
+    )
+    assert (
+        step.filter(F.col("step").isNotNull() & (F.col("step") != 3600)).count()
+        == 0
+    )
+    ends = g.groupBy("user_id").agg(
+        F.min("h_ep").alias("h0"), F.max("h_ep").alias("h1")
+    )
+    end_rows = g.join(
+        ends,
+        (g["user_id"] == ends["user_id"])
+        & ((g["h_ep"] == ends["h0"]) | (g["h_ep"] == ends["h1"])),
+    )
+    assert end_rows.filter(F.col("observed") != 1).count() == 0
+    # bracket bound on every gap row, via LOCF/NOCB of observed values
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_v = F.when(F.col("observed") == 1, F.col("lin_sum_value"))
+    b = g.select(
+        "observed",
+        "lin_sum_value",
+        F.last(obs_v, ignorenulls=True).over(wp).alias("pv"),
+        F.first(obs_v, ignorenulls=True).over(wn).alias("nv"),
+    ).filter(F.col("observed") == 0)
+    out_of_band = b.filter(
+        (F.col("lin_sum_value") < F.least("pv", "nv") - 1e-9)
+        | (F.col("lin_sum_value") > F.greatest("pv", "nv") + 1e-9)
+    )
+    assert out_of_band.count() == 0
+    # observed rows carry the exact hourly decimal sum
+    hourly = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 8)
+        .groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_ep"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    j = g.filter(F.col("observed") == 1).join(hourly, ["user_id", "h_ep"])
+    assert j.filter(F.col("lin_sum_value") != F.col("v")).count() == 0
+
+
+def test_negative_sampling_is_the_pure_md5_function(spark):
+    """q193 cross-checked against a from-scratch Python recomputation
+    of the declared draw function (bucket index + two-slice address),
+    plus the contract invariants: no self-hits, exactly K rows per
+    anchor minus dropped self-draws, deterministic across runs."""
+    import hashlib
+
+    K, B = 4, 64
+    got = {
+        (r["doc_id"], r["slot"]): (r["neg_doc_id"], r["neg_n_tokens"])
+        for r in breadth.q193_negative_sampling(spark, SF).collect()
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def fold(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    buckets: dict[int, list[int]] = {}
+    for did in sorted(docs):
+        buckets.setdefault(fold(str(did)) % B, []).append(did)
+    expected = {}
+    n_self = 0
+    for did in docs:
+        for slot in range(K):
+            f2 = fold(f"{did}:{slot}")
+            members = buckets[f2 % B]
+            neg = members[(f2 // B) % len(members)]
+            if neg == did:
+                n_self += 1
+                continue
+            ntok = len(docs[neg].split())
+            expected[(did, slot)] = (neg, ntok)
+    assert got == expected
+    assert len(got) == K * len(docs) - n_self
+    assert all(k[0] != v[0] for k, v in got.items())
+    again = {
+        (r["doc_id"], r["slot"]): (r["neg_doc_id"], r["neg_n_tokens"])
+        for r in breadth.q193_negative_sampling(spark, SF).collect()
+    }
+    assert again == got
