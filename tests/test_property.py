@@ -475,3 +475,82 @@ def test_bpe_apply_merges_matches_reference(spark, words, data):
     enc.unpersist()
     for w in words:
         assert got[w] == _ref_apply(w, merges), (w, merges, got[w])
+
+
+@st.composite
+def _gap_fill_series(draw):
+    """Up to 8 per-user hour→cents series (q192 reads user_id < 8).
+
+    Cents are multiples of 25 so every double value is exact and the
+    DECIMAL(14,2) cast in the query cannot round — the property then
+    demands BIT-EXACT equality with the pure-Python interpolation.
+    Series of length 1 (spine = one observed row, no gaps) and dense
+    series (adjacent hours, no interpolation) are deliberately in
+    range — the corners the fixture data may not contain.
+    """
+    n_users = draw(st.integers(1, 8))
+    series = {}
+    for u in range(n_users):
+        hours = draw(
+            st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True)
+        )
+        series[u] = {
+            h: draw(st.integers(0, 400)) * 25 for h in sorted(hours)
+        }
+    return series
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(series=_gap_fill_series())
+def test_gap_fill_linear_matches_reference(spark, series):
+    """q192's spine + bracket interpolation ≡ a pure-Python exact
+    rational reference on arbitrary synthetic series, bit-for-bit:
+    observed rows return the stored decimal exactly and gap rows
+    return float(num_cents/100) / float(gap) with the same single
+    IEEE division the engine performs."""
+    import tempfile
+    from fractions import Fraction
+
+    from calaspark.queries.breadth import q192_gap_fill_linear
+
+    base = 1_700_000_000  # any positive epoch-hour-aligned base
+    base -= base % 3600
+    rows = [
+        (u, (base + h * 3600 + 17) * 1_000_000, cents / 100.0)
+        for u, hs in series.items()
+        for h, cents in hs.items()
+    ]
+    tmp = tempfile.mkdtemp(prefix="gapfill_")
+    (
+        spark.createDataFrame(rows, "user_id long, us long, value double")
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/events.parquet")
+    )
+    got = {
+        (r["user_id"], r["h_ep"]): (r["observed"], r["lin_sum_value"])
+        for r in q192_gap_fill_linear(spark, tmp).collect()
+    }
+
+    expected = {}
+    for u, hs in series.items():
+        obs = sorted(hs)
+        for h in range(obs[0], obs[-1] + 1):
+            ep = base + h * 3600
+            if h in hs:
+                expected[(u, ep)] = (1, float(Fraction(hs[h], 100)))
+            else:
+                ph = max(o for o in obs if o < h)
+                nh = min(o for o in obs if o > h)
+                num_cents = hs[ph] * (nh - h) + hs[nh] * (h - ph)
+                num = float(Fraction(num_cents, 100) * 3600)
+                expected[(u, ep)] = (0, num / float((nh - ph) * 3600))
+    assert got == expected
