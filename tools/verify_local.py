@@ -133,17 +133,27 @@ def main() -> int:
     failures = []
     for qid in ids:
         t0 = time.time()
+        # Rows-only ids (no oracle) need only a count — never collect
+        # them: some are deliberately data-sized demos
+        # (lsh_minhash_pairs is 7.4M pairs at sf0.1) and a full
+        # toArrow() of one of those OOMed the default-1-GiB vanilla
+        # JVM mid-sweep, killing the gateway for every query after it
+        # (round-14 find, first vanilla×sf0.1 combined sweep). The
+        # driver's own rows-only check is likewise count-based.
         try:
             sdf = QUERIES[qid](spark, args.sf)
-            s_tbl = sdf.toArrow()
+            if qid not in ORACLES:
+                n_rows = sdf.count()
+            else:
+                s_tbl = sdf.toArrow()
         except Exception as e:
             failures.append(qid)
             print(f"{qid:18s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
             continue
         if qid not in ORACLES:
-            print(f"{qid:18s} rows-only    rows={s_tbl.num_rows:7d}  "
+            print(f"{qid:18s} rows-only    rows={n_rows:7d}  "
                   f"({time.time()-t0:5.1f}s)")
-            if not s_tbl.num_rows:
+            if not n_rows:
                 failures.append(qid)
             continue
         try:
