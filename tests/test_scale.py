@@ -359,3 +359,31 @@ def test_pkg_zip_content_addressed_and_self_healing():
     assert p2 == p1
     names = zipfile.ZipFile(p2).namelist()  # valid zip again
     assert any(n.endswith("calaspark/session.py") for n in names)
+
+
+def test_verify_spool_fetch_is_type_identical_to_collect(spark):
+    """tools/verify_local._spool_to_arrow (the driver-memory-free
+    fetch for data-sized oracled results, round-14) must be
+    indistinguishable from ``toArrow`` at the comparison layer:
+    same sorted column names, same canonical logical types, same
+    row multiset — across every type family the oracle contract
+    emits (bigint, double incl. specials, decimal, string+NULL,
+    date, timestamp_ntz)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from verify_local import _spool_to_arrow, _table_info
+
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, 1.5D, CAST(12.34 AS DECIMAL(14,2)), 'a',
+           DATE'2001-02-03', TIMESTAMP_NTZ'2001-02-03 04:05:06'),
+          (2L, CAST('NaN' AS DOUBLE), CAST(-0.01 AS DECIMAL(14,2)),
+           CAST(NULL AS STRING),
+           DATE'1999-12-31', TIMESTAMP_NTZ'1999-12-31 23:59:59')
+        AS t(i, d, m, s, dt, ts)
+        """
+    )
+    assert _table_info(_spool_to_arrow(df)) == _table_info(df.toArrow())
