@@ -154,8 +154,16 @@ def _prev_bench(here: Path) -> tuple[str, dict] | None:
         payload = d if d.get("queries") else (d.get("parsed") or {})
         q = payload.get("queries")
         if isinstance(q, str) and payload.get("queries_enc") == "kv":
-            # tier-3 packed line (armed round 14): "k:v k2:v2 ..."
-            q = _kv_decode(q)
+            # tier-3 packed line (armed round 14): "k:v k2:v2 ...".
+            # A malformed pair in an OLD file must degrade to "no
+            # prior data from this file", not kill the whole bench
+            # run after all queries were already timed (round-14
+            # review find — this loop is the only consumer of
+            # untrusted historical payloads).
+            try:
+                q = _kv_decode(q)
+            except (ValueError, TypeError):
+                continue
         if isinstance(q, dict) and q and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), p.name, payload, q)
     if best is None:

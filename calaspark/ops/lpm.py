@@ -86,6 +86,24 @@ def prefix_match_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # Name hygiene up front: a payload column shadowing a lookup
+    # column would make the bare-string output select ambiguous
+    # after the join, and a caller column named like an internal
+    # alias would break the (_pfx, _plen) join resolution — both
+    # surface as confusing AnalysisExceptions deep in the plan, so
+    # fail fast with the actual contract instead.
+    internal = {"_pfx", "_plen", "_hit", "_rn", "_arm"}
+    clash = internal & set(lookup.columns) | internal & set(payload or [])
+    if clash:
+        raise ValueError(f"reserved column names in inputs: {sorted(clash)}")
+    overlap = set(payload or []) & set(lookup.columns)
+    if overlap:
+        raise ValueError(
+            f"payload columns shadow lookup columns: {sorted(overlap)} — "
+            "alias them in `routes` first"
+        )
+    from .materialize import materialize
+
     r = (
         routes.select(
             F.col(prefix_col).alias("_pfx"),
@@ -95,6 +113,11 @@ def prefix_match_join(
         .dropDuplicates(["_pfx"])
         .withColumn("_hit", F.lit(1))
     )
+    # Two consumers read `r` — the distinct-lengths collect below and
+    # the probe equi-join — so cut the lineage once (the q192/round-9
+    # repeated-scan discipline): without this the routes subtree
+    # (scan + explode + dropDuplicates) executes twice.
+    r = materialize(r)
     lengths = sorted(
         x["_plen"] for x in r.select("_plen").distinct().collect()
     )
@@ -174,7 +197,12 @@ def cidr_to_prefix(cidr):
         + octets[3]
     )
     bits = F.lpad(F.conv(ip.cast("string"), 10, 2), 32, "0")
-    valid = masklen.isNotNull() & (masklen >= 0) & (masklen <= 32)
+    # exactly a.b.c.d/m — 5 split parts; without this check an input
+    # like '1.2.3.4.5/16' or '10.0.0.0/8.5' reinterprets segments
+    # (octet 5 read as the mask) and emits a WRONG short prefix that
+    # then steals longest-prefix matches (round-14 review find)
+    valid = (F.size(parts) == 5) & masklen.isNotNull()
+    valid = valid & (masklen >= 0) & (masklen <= 32)
     for o in octets:
         valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
     return F.when(valid, F.substring(bits, 1, masklen).cast("string"))

@@ -4006,18 +4006,22 @@ WITH c AS (
          -- operands promoted to DECIMAL(19,0) so DuckDB takes the
          -- HUGEINT path (round-14 overflow audit, §2.6 rule 6): the
          -- int64 fast path wraps t^3 past t ≈ 2.09e6 ties and
-         -- d1·2·prefix past N ≈ 2.1e9 rows; values identical.
+         -- d1·2·prefix past N ≈ 2.1e9 rows; values identical. The
+         -- sums stay DECIMAL(38,0) into the output — a BIGINT cast
+         -- here would reimpose the int64 bound at the boundary
+         -- (round-14 review find; Spark pins the same type).
          CAST(SUM(CAST(d1 AS DECIMAL(19,0)) * (2 * prefix + t + 1))
-              AS BIGINT) AS ra2,
-         CAST(SUM(CAST(t AS DECIMAL(19,0)) * t * t - t) AS BIGINT)
-           AS tie_term
+              AS DECIMAL(38,0)) AS ra2,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * t * t - t)
+              AS DECIMAL(38,0)) AS tie_term
   FROM r
 )
 SELECT n1, n2,
-       CAST(ra2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
+         / 2.0 AS u1,
        tie_term,
        ROUND(
-         ((CAST(ra2 - n1 * (n1 + 1) AS DOUBLE)
+         ((CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
          / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
@@ -4026,7 +4030,7 @@ SELECT n1, n2,
                         * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
          6) AS z,
        CASE WHEN ABS(
-         ((CAST(ra2 - n1 * (n1 + 1) AS DOUBLE)
+         ((CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
          / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)

@@ -4043,19 +4043,24 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single tie block spans the whole column, so t^3 wraps a LONG
         # past t ≈ 2.09e6 and d1·2·prefix wraps past N ≈ 2.1e9 rows —
         # reachable at 100 TB with degenerate (constant-price) data.
-        # Decimal(38) arithmetic moves the horizon out of reach; the
-        # summed value is identical and the final cast("long") keeps
-        # the output schema (the oracle widens the same terms).
+        # The sums STAY decimal(38,0) all the way into the output —
+        # a final cast("long") would reimpose the identical int64
+        # bound at the output boundary (round-14 review find: ANSI
+        # Spark throws CAST_OVERFLOW and DuckDB ConversionException
+        # at exactly the degenerate data the widening targets). The
+        # oracle pins the same DECIMAL(38,0) output type.
         F.sum(
             F.col("d1").cast("decimal(19,0)")
             * (2 * F.col("prefix") + F.col("t") + 1)
-        ).cast("long").alias("_ra2"),
+        ).cast("decimal(38,0)").alias("_ra2"),
         F.sum(
             F.col("t").cast("decimal(19,0)") * F.col("t") * F.col("t")
             - F.col("t")
-        ).cast("long").alias("tie_term"),
+        ).cast("decimal(38,0)").alias("tie_term"),
     )
-    u1_2 = F.col("_ra2") - F.col("n1") * (F.col("n1") + 1)
+    u1_2 = F.col("_ra2") - F.col("n1").cast("decimal(19,0)") * (
+        F.col("n1") + 1
+    )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")

@@ -312,7 +312,7 @@ def q193_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "slot",
         "tbkt",
-        (F.expr("f2 div 64") % F.col("c")).alias("li"),
+        (F.expr(f"f2 div {B}") % F.col("c")).alias("li"),
     )
     return (
         probe.join(

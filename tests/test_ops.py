@@ -1638,3 +1638,55 @@ def test_prefix_match_join_ip_routing(spark):
         3: ("lan", 16),
         4: ("default", 0),
     }
+
+
+def test_cidr_to_prefix_rejects_malformed_shapes(spark):
+    """Round-14 review find: inputs that split into the wrong number
+    of segments ('1.2.3.4.5/16', '10.0.0.0/8.5', '10.1.2.3/16/24')
+    must yield NULL per the documented try-cast contract — before the
+    size(parts)==5 check they were silently reinterpreted (octet 5
+    read as the mask) into WRONG short prefixes that then steal
+    longest-prefix matches from every key under them."""
+    from calaspark.ops.lpm import cidr_to_prefix
+
+    cases = [
+        ("10.1.0.0/16", "0000101000000001"),   # well-formed control
+        ("0.0.0.0/0", ""),                     # default route control
+        ("1.2.3.4.5/16", None),
+        ("10.0.0.0/8.5", None),
+        ("10.1.2.3/16/24", None),
+        ("10.0.0.0", None),                    # no mask at all
+        ("/16", None),
+        ("300.0.0.0/8", None),                 # octet out of range
+        ("10.0.0.0/33", None),                 # mask out of range
+        ("not-a-route", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "cidr string")
+    got = {
+        r["cidr"]: r["p"]
+        for r in df.select("cidr", cidr_to_prefix("cidr").alias("p")).collect()
+    }
+    for cidr, want in cases:
+        assert got[cidr] == want, (cidr, got[cidr], want)
+
+
+def test_prefix_match_join_rejects_colliding_names(spark):
+    """Round-14 review find: payload columns shadowing lookup columns
+    and caller columns named like the operator's internal aliases
+    must fail fast with the contract, not as an AnalysisException
+    deep inside the join."""
+    import pytest
+
+    from calaspark.ops.lpm import prefix_match_join
+
+    routes = spark.createDataFrame(
+        [("ab", "x")], "prefix string, k string"
+    )
+    lk = spark.createDataFrame([(1, "abc")], "rid int, k string")
+    with pytest.raises(ValueError, match="shadow"):
+        prefix_match_join(lk, routes, key_col="k", row_key="rid",
+                          payload=["k"])
+    lk2 = spark.createDataFrame([(1, "abc", 9)],
+                                "rid int, k string, _plen int")
+    with pytest.raises(ValueError, match="reserved"):
+        prefix_match_join(lk2, routes, key_col="k", row_key="rid")

@@ -103,6 +103,25 @@ def _table_info(tbl: pa.Table):
 _SPOOLED = {"q33"}
 
 
+def _count_full_eval(sdf) -> int:
+    """Row count that still EVALUATES every output column: a plain
+    ``count()`` lets Catalyst prune the final projections, so a
+    rows-only demo whose output expression throws at runtime (ANSI
+    cast overflow, a crashing pandas UDF) would pass green (round-14
+    review find). The ``noop`` sink materializes every column on the
+    executors — the same device bench.py uses — and the Observation
+    rides that single job for the exact count; nothing reaches the
+    driver."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    sdf.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return obs.get["n"]
+
+
 def _spool_to_arrow(sdf) -> pa.Table:
     """Fetch a DataFrame as Arrow without driver-JVM materialization:
     distributed parquet write, then a local pyarrow read (parquet
@@ -172,7 +191,7 @@ def main() -> int:
         try:
             sdf = QUERIES[qid](spark, args.sf)
             if qid not in ORACLES:
-                n_rows = sdf.count()
+                n_rows = _count_full_eval(sdf)
             elif qid in _SPOOLED:
                 s_tbl = _spool_to_arrow(sdf)
             else:
