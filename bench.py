@@ -100,7 +100,19 @@ def _fingerprint(df) -> str:
 
     Each is normalized by its full generated-name pattern (never bare
     ``\\w+_\\d+`` — real column names like ``h_1`` must keep their
-    digits so genuinely different plans still hash apart)."""
+    digits so genuinely different plans still hash apart).
+
+    KNOWN RESIDUAL CLASS (round 14, root-caused by plan-text diff):
+    queries with several ``COUNT(DISTINCT col)`` over different
+    columns (q90's profile report) can flip fingerprints with NO
+    code change — ``RewriteDistinctAggregates`` orders its distinct
+    groups from a hash-keyed collection whose iteration order moves
+    with the session's accumulated expression ids, permuting the
+    Expand/Aggregate column lists cosmetically (same shape, same
+    grouping SET). Not normalized away: sorting bracketed lists by
+    regex could mask real plan changes, and the class is recognized
+    instead — a fingerprint delta on a multi-distinct query with a
+    near-zero time delta and no code change is this."""
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
