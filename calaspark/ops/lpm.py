@@ -96,6 +96,18 @@ def prefix_match_join(
     clash = internal & set(lookup.columns) | internal & set(payload or [])
     if clash:
         raise ValueError(f"reserved column names in inputs: {sorted(clash)}")
+    # The OUTPUT aliases are reserved too: a lookup/payload column
+    # named matched_prefix or match_len would silently duplicate an
+    # output column name — the same confusing-failure class as the
+    # internal aliases above.
+    out_clash = {"matched_prefix", "match_len"} & (
+        set(lookup.columns) | set(payload or [])
+    )
+    if out_clash:
+        raise ValueError(
+            f"output column names shadowed by inputs: {sorted(out_clash)} — "
+            "alias them in `lookup`/`routes` first"
+        )
     overlap = set(payload or []) & set(lookup.columns)
     if overlap:
         raise ValueError(

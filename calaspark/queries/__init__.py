@@ -19,96 +19,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # NOTE on ordering: the round driver's correctness sweep verifies
     # exactly ``list(QUERIES)[:50]`` in registration order (observed
-    # in CORRECTNESS_r02-r13: keyset == first 50 keys).  Round-14
+    # in CORRECTNESS_r02-r14: keyset == first 50 keys).  Round-15
     # window, by recorded-evidence staleness (computed by folding all
     # CORRECTNESS_r*.json: latest driver-green round per id) —
-    # exactly 50, per the round-13 verdict's ask 1:
-    # (1) the FULL 46-id cohort whose newest driver evidence is
-    #     round 10: q05-q07, q44-q48, q166-q180, q67-q89;
-    # (2) q08-q11 from the round-11 cohort head to fill 50.
-    # After this window lands, NO oracled id's driver evidence is
-    # older than round 11 and the rotation reaches steady state
-    # (every cohort re-proven within ~4 rounds).  q165 is rows-only
-    # and BY POLICY stays below the window
-    # (test_registry_oracle_consistency) — a rows-only id in the
-    # window would spend a hash slot on the weaker check.  The cut
-    # falls after q11; the r11 cohort remainder leads the below-cut
-    # block and rotates in next round, then the r12 cohort, then the
-    # r13-window cohort (freshest: q190, q147-q164, q27-q43,
-    # q56/q61/q64, the seven companions, q01-q04 — all driver-green
-    # in CORRECTNESS_r13).
+    # exactly 50, per the round-14 verdict's ask 1:
+    # (1) q191/q192/q193 — the only oracled ids NEVER driver-gated
+    #     (they landed below the cut in round 14 with local 2x3
+    #     sweeps + vanilla evidence);
+    # (2) the FULL 46-id cohort whose newest driver evidence is
+    #     round 11: q181-q186, q113-q141, q12-q22;
+    # (3) q100 from the round-12 cohort head to fill 50.
+    # After this window lands, EVERY oracled id has been driver-gated
+    # at least once and no oracled id's evidence is older than
+    # round 12 — the rotation's steady state (every cohort re-proven
+    # within ~4 rounds).  q165 is rows-only and BY POLICY stays below
+    # the window (test_registry_oracle_consistency) — a rows-only id
+    # in the window would spend a hash slot on the weaker check.  The
+    # cut falls after q100; the r12 cohort remainder leads the
+    # below-cut block and rotates in next round, then the r13 cohort,
+    # then the r14-window cohort (freshest: q05-q07, q44-q48,
+    # q166-q180, q67-q89, q08-q11 — all driver-green in
+    # CORRECTNESS_r14).
     # Everything below the cut is re-verified every round by
     # tools/verify_local.py (full-keyset sweep) and pytest until it
     # rotates back in.
     # Ordering is registration metadata only; no plan changes.
-    # ---- last recorded driver-green: round 10 (full cohort, 46 ids)
-    "q05": relational.q05_groupby_agg,
-    "q06": relational.q06_groupby_having,
-    "q07": relational.q07_join_multiway,
-    "q44": extensions.q44_grouping_sets,
-    "q45": extensions.q45_array_funcs,
-    "q46": extensions.q46_map_funcs,
-    "q47": extensions.q47_histogram_bins,
-    "q48": extensions.q48_calendar_spine,
-    "q166": advanced.q166_spearman_corr,
-    "q167": advanced.q167_boilerplate_prefixes,
-    "q168": advanced.q168_shard_balance,
-    "q169": advanced.q169_poisson_bootstrap,
-    "q170": advanced.q170_ngram_novelty,
-    "q171": advanced.q171_assoc_matrix,
-    "q172": advanced.q172_tail_share,
-    "q173": advanced.q173_rank_stability,
-    "q174": advanced.q174_cusum_changepoint,
-    "q175": advanced.q175_kruskal_wallis,
-    "q176": advanced.q176_fk_audit,
-    "q177": advanced.q177_pit_enrichment,
-    "q178": advanced.q178_dedup_keeper_report,
-    "q179": advanced.q179_mixture_plan,
-    "q180": advanced.q180_cluster_safe_split,
-    "q67": breadth.q67_dataset_split,
-    "q68": breadth.q68_substring_dup_capped,
-    "q69": breadth.q69_sequence_packing,
-    "q70": breadth.q70_mixture_sample,
-    "q71": breadth.q71_ann_batch_topk,
-    "q72": breadth.q72_fuzzy_name_pairs,
-    "q73": breadth.q73_embedding_dup_pairs,
-    "q74": breadth.q74_salted_skew_agg,
-    "q75": breadth.q75_skew_kurtosis,
-    "q76": breadth.q76_decontaminate_report,
-    "q77": breadth.q77_bpe_pair_counts,
-    "q78": breadth.q78_tree_rollup,
-    "q79": advanced.q79_scd2_history,
-    "q80": advanced.q80_pagerank_exact,
-    "q81": advanced.q81_markov_transitions,
-    "q82": advanced.q82_rolling_time_window,
-    "q83": advanced.q83_islands_gaps,
-    "q84": advanced.q84_consistent_sample,
-    "q85": advanced.q85_skyline,
-    "q86": advanced.q86_interval_overlap,
-    "q87": advanced.q87_zscore_outliers,
-    "q88": advanced.q88_tfidf_cosine_pairs,
-    "q89": advanced.q89_correlation_matrix,
-    # ---- round-11 cohort head (fills the window to 50)
-    "q08": relational.q08_join_left_nullfill,
-    "q09": relational.q09_join_semi,
-    "q10": relational.q10_join_anti,
-    "q11": relational.q11_join_broadcast_dim,
-    # ---- driver cut (first 50 ids above) ----
-    # q191 is NEW this round (longest-prefix-match join, verdict ask
-    # 5) and leads the below-cut block so it rotates into the hash
-    # window first next round; this round it carries the local
-    # oracle sweep + vanilla-session evidence.
+    # ---- never driver-gated (landed round 14, local evidence only)
     "q191": extensions.q191_prefix_match_join,
-    # q192/q193 are NEW this round (linear-interpolation gap fill —
-    # q57's resample completion — and deterministic contrastive
-    # negative sampling); below-cut head so they rotate into the
-    # hash window next round, local-sweep + vanilla evidence now.
     "q192": breadth.q192_gap_fill_linear,
     "q193": breadth.q193_negative_sampling,
-    # q165 is rows-only (no oracle) — held below the cut by policy;
-    # its pytest twin proves the PAVA fit (see §2.6).
-    "q165": advanced.q165_isotonic_calibration,
-    # r11 cohort remainder (rotates in next round)
+    # ---- last recorded driver-green: round 11 (full cohort, 46 ids)
     "q181": extensions.q181_stream_tumbling_drain,
     "q182": advanced.q182_token_rarity,
     "q183": extensions.q183_stream_sliding_drain,
@@ -155,7 +95,13 @@ QUERIES: dict[str, QueryFn] = {
     "q20": relational.q20_set_ops,
     "q21": etl.q21_string_funcs,
     "q22": etl.q22_regex_clean_fingerprint,
-    # ---- r12 cohort
+    # ---- round-12 cohort head (fills the window to 50)
+    "q100": advanced.q100_vocab_coverage,
+    # ---- driver cut (first 50 ids above) ----
+    # q165 is rows-only (no oracle) — held below the cut by policy;
+    # its pytest twin proves the PAVA fit (see §2.6).
+    "q165": advanced.q165_isotonic_calibration,
+    # r12 cohort remainder (rotates in next round)
     "q187": extensions.q187_stream_session_drain,
     "q188": extensions.q188_stream_stream_join_drain,
     "q189": advanced.q189_bpe_encode,
@@ -188,7 +134,6 @@ QUERIES: dict[str, QueryFn] = {
     "q97": advanced.q97_grouped_percentiles,
     "q98": advanced.q98_weighted_median,
     "q99": advanced.q99_snapshot_diff,
-    "q100": advanced.q100_vocab_coverage,
     "q101": advanced.q101_largest_remainder,
     "q102": advanced.q102_group_mode,
     "q103": advanced.q103_ratio_to_report,
@@ -206,7 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     "q144": advanced.q144_tvd_drift,
     "q145": advanced.q145_mannwhitney_u,
     "q146": advanced.q146_containment_decontam,
-    # ---- r13-window cohort (freshest: all driver-green in r13)
+    # ---- r13-window cohort (driver-green in r13)
     "q190": extensions.q190_stream_heavy_hitters_drain,
     "q147": advanced.q147_hop_distance,
     "q148": advanced.q148_benford_test,
@@ -257,6 +202,57 @@ QUERIES: dict[str, QueryFn] = {
     "q02": relational.q02_filter_project,
     "q03": relational.q03_sort_multikey,
     "q04": relational.q04_limit_offset,
+    # ---- r14-window cohort (freshest: all driver-green in r14)
+    "q05": relational.q05_groupby_agg,
+    "q06": relational.q06_groupby_having,
+    "q07": relational.q07_join_multiway,
+    "q44": extensions.q44_grouping_sets,
+    "q45": extensions.q45_array_funcs,
+    "q46": extensions.q46_map_funcs,
+    "q47": extensions.q47_histogram_bins,
+    "q48": extensions.q48_calendar_spine,
+    "q166": advanced.q166_spearman_corr,
+    "q167": advanced.q167_boilerplate_prefixes,
+    "q168": advanced.q168_shard_balance,
+    "q169": advanced.q169_poisson_bootstrap,
+    "q170": advanced.q170_ngram_novelty,
+    "q171": advanced.q171_assoc_matrix,
+    "q172": advanced.q172_tail_share,
+    "q173": advanced.q173_rank_stability,
+    "q174": advanced.q174_cusum_changepoint,
+    "q175": advanced.q175_kruskal_wallis,
+    "q176": advanced.q176_fk_audit,
+    "q177": advanced.q177_pit_enrichment,
+    "q178": advanced.q178_dedup_keeper_report,
+    "q179": advanced.q179_mixture_plan,
+    "q180": advanced.q180_cluster_safe_split,
+    "q67": breadth.q67_dataset_split,
+    "q68": breadth.q68_substring_dup_capped,
+    "q69": breadth.q69_sequence_packing,
+    "q70": breadth.q70_mixture_sample,
+    "q71": breadth.q71_ann_batch_topk,
+    "q72": breadth.q72_fuzzy_name_pairs,
+    "q73": breadth.q73_embedding_dup_pairs,
+    "q74": breadth.q74_salted_skew_agg,
+    "q75": breadth.q75_skew_kurtosis,
+    "q76": breadth.q76_decontaminate_report,
+    "q77": breadth.q77_bpe_pair_counts,
+    "q78": breadth.q78_tree_rollup,
+    "q79": advanced.q79_scd2_history,
+    "q80": advanced.q80_pagerank_exact,
+    "q81": advanced.q81_markov_transitions,
+    "q82": advanced.q82_rolling_time_window,
+    "q83": advanced.q83_islands_gaps,
+    "q84": advanced.q84_consistent_sample,
+    "q85": advanced.q85_skyline,
+    "q86": advanced.q86_interval_overlap,
+    "q87": advanced.q87_zscore_outliers,
+    "q88": advanced.q88_tfidf_cosine_pairs,
+    "q89": advanced.q89_correlation_matrix,
+    "q08": relational.q08_join_left_nullfill,
+    "q09": relational.q09_join_semi,
+    "q10": relational.q10_join_anti,
+    "q11": relational.q11_join_broadcast_dim,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,

@@ -172,7 +172,13 @@ def q192_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands give a bit-identical IEEE quotient, while
     ROUND's tie handling diverges between engines exactly on the
     x.xxxx5 values this rational produces; a ROUND(.,4) variant
-    hash-flaked on 18.27125 at sf0.01). Observed rows short-circuit
+    hash-flaked on 18.27125 at sf0.01). One dependency this buys:
+    the hash now pins the exact bit pattern of a decimal→double cast
+    followed by one division, so a future Spark/DuckDB change to
+    decimal→double cast rounding would flake it — acceptable because
+    both operands are exact decimals ≤ 10^13, inside double's 2^53
+    exact-integer range, where the cast is value-exact in any
+    rounding mode. Observed rows short-circuit
     on the integer test h_next = h_prev (both brackets are the row
     itself) and emit the stored decimal exactly — no division
     touches them. The spine is
@@ -252,9 +258,16 @@ def q193_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local index of the corpus (md5 bucket of the CANDIDATE's
     doc_id, ``row_number`` within bucket). Declared semantics: draws
     are with-replacement (two slots of one anchor may repeat a
-    negative) and self-hits are DROPPED (an anchor drawing itself —
-    expected K/N rows — is filtered, not remapped), so the output is
-    a pure deterministic function of the corpus.
+    negative); self-hits are DROPPED (an anchor drawing itself —
+    expected K/N rows — is filtered, not remapped); and a slot whose
+    target bucket holds NO corpus docs is likewise DROPPED — the
+    probe's inner join against the B-row bucket-count dim has no
+    matching row, so the slot silently vanishes rather than being
+    remapped via a second fold (possible only when the corpus is
+    small relative to B; at B=64 an sf0.001 corpus already fills
+    every bucket, and at scale B grows with the corpus so empties
+    never occur).  The output is therefore a pure deterministic
+    function of the corpus.
 
     100 TB shape: no global order anywhere — the corpus index is a
     bucket-PARTITIONED ``row_number`` (one shuffle on the md5 bucket;

@@ -254,6 +254,55 @@ def test_stdout_line_headroom_at_250_ids():
     assert bench._kv_decode(packed) == decoded
 
 
+def test_bench_host_canary_and_normalizer(tmp_path):
+    """Round-15 verdict item 2: the host-speed canary must (a) be a
+    real positive measurement, (b) only pair with a previous sidecar
+    written by the run that produced the newest BENCH_r file (totals
+    match within stdout's 2-dp rounding), and (c) normalize a uniform
+    host slowdown to ~0 delta while leaving a real per-query
+    regression visible."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    c = bench._cpu_canary()
+    assert 0.001 < c < 60  # a measurement, not a constant fold
+
+    side = {
+        "value": 239.022,
+        "host_canary": {"cpu_loop_sec": 0.5},
+        "plan_fingerprints": {"q05": "aaa"},
+    }
+    (tmp_path / "BENCH_full_local.json").write_text(json.dumps(side))
+    # totals match within 2-dp stdout rounding → accepted
+    assert bench._prev_sidecar(tmp_path, 239.02)["host_canary"][
+        "cpu_loop_sec"
+    ] == 0.5
+    # mismatched totals → some other run's sidecar, rejected
+    assert bench._prev_sidecar(tmp_path, 194.30) == {}
+    assert bench._prev_sidecar(tmp_path, None) == {}
+
+    # normalization arithmetic: host got 1.4x slower uniformly
+    prev_times = {"q05": 1.0, "q33": 4.0}
+    scale = 0.7 / 0.5  # canary_now / canary_prev
+    now_times = {"q05": 1.0 * scale, "q33": 4.0 * scale + 2.1}
+    norm = {
+        qid: round(t / scale - prev_times[qid], 3)
+        for qid, t in now_times.items()
+    }
+    assert norm["q05"] == 0.0  # uniform slowdown normalizes away
+    assert norm["q33"] == 1.5  # the real regression survives (2.1/1.4)
+
+    # the noise list rides the sidecar so diffs can auto-annotate
+    assert set(bench._KNOWN_FINGERPRINT_NOISE) == {"q18", "q90", "q171"}
+
+
 def test_bench_fingerprint_invariant_to_session_counters(spark):
     """bench.py's plan fingerprint must not move when session-global
     JVM counters advance (round-12 advisory: 53 ids churned across

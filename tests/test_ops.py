@@ -1690,3 +1690,16 @@ def test_prefix_match_join_rejects_colliding_names(spark):
                                 "rid int, k string, _plen int")
     with pytest.raises(ValueError, match="reserved"):
         prefix_match_join(lk2, routes, key_col="k", row_key="rid")
+    # Round-15 (round-14 ADVICE): the OUTPUT aliases are reserved too
+    # — a lookup column named match_len would silently duplicate an
+    # output column name.
+    lk3 = spark.createDataFrame([(1, "abc", 9)],
+                                "rid int, k string, match_len int")
+    with pytest.raises(ValueError, match="output column"):
+        prefix_match_join(lk3, routes, key_col="k", row_key="rid")
+    routes2 = spark.createDataFrame(
+        [("ab", "x")], "prefix string, matched_prefix string"
+    )
+    with pytest.raises(ValueError, match="output column"):
+        prefix_match_join(lk, routes2, key_col="k", row_key="rid",
+                          payload=["matched_prefix"])
