@@ -52,6 +52,20 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
+#: Adjudicated divergence reports that are NOT live hash exposures —
+#: still printed, but excluded from the exit-code verdict so the tool
+#: works as a regression gate. Each entry documents why (see §2.6
+#: rule 8's audit note for the full analysis).
+_KNOWN_BENIGN = {
+    "q02": "decimal-typed site: the audit UDF's DOUBLE signature "
+    "coerces a DECIMAL(19,6) argument; both engines round the "
+    "DECIMAL identically (rule 1) — harness false positive",
+    "q175": "intermediate fragment ROUND(s2^2/4n, 6) reaches 1.7e14 "
+    "at sf0.1 where DuckDB's multiply-round-divide is lossy; the "
+    "wobble is divided by nn(nn+1)~2e10 before the output's own "
+    "ROUND — ~2e-12 of grain, sub-tie",
+}
+
 _ARGS: set[tuple[float, int]] = set()
 _CAP = 2_000_000  # distinct-arg guard; loud overflow, never silent
 
@@ -144,10 +158,13 @@ def main() -> None:
             f"{len(rep)} with Spark/DuckDB ROUND divergence"
         )
         for qid, hits in sorted(rep.items()):
-            clean = False
+            benign = qid in _KNOWN_BENIGN
+            if not benign:
+                clean = False
+            tag = " [known-benign]" if benign else ""
             for h in hits:
-                print(f"  {qid}: {h}")
-    print("CLEAN" if clean else "DIVERGENT")
+                print(f"  {qid}{tag}: {h}")
+    print("CLEAN (known-benign only)" if clean else "DIVERGENT")
     sys.exit(0 if clean else 1)
 
 
