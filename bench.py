@@ -46,8 +46,9 @@ query change) at bench start and end; the sidecar records it under
 ``delta_vs_prev_normalized`` divides this run's times by the canary
 ratio before differencing — a uniform host slowdown then reads ~0
 while a real per-query regression survives normalization. Until a
-prior canary exists the q05 steady-state ratio is the fallback
-normalizer (``normalizer.kind`` records which was used).
+prior canary exists the registry-median time ratio is the bootstrap
+normalizer (``normalizer.kind`` records which was used; see the
+fallback's in-line caveat).
 """
 
 from __future__ import annotations
@@ -85,8 +86,12 @@ def _sf_of(sf_dir: str) -> float:
 #: column lists cosmetically (root-caused round 14; see
 #: _fingerprint's KNOWN RESIDUAL CLASS note). Recorded in the sidecar
 #: so a round-over-round diff auto-annotates these ids instead of
-#: re-deriving the class.
-_KNOWN_FINGERPRINT_NOISE = ["q18", "q90", "q171"]
+#: re-deriving the class. q180 joined the list in round 15 after its
+#: r14→r15 flip was reproduced in controlled session states: the
+#: Expand gid labels of its two-distinct audit aggregate
+#: (k_cluster/k_doc) swap 1↔2 with session history — same shape,
+#: same semantics.
+_KNOWN_FINGERPRINT_NOISE = ["q18", "q90", "q171", "q180"]
 
 
 def _cpu_canary() -> float:
@@ -528,15 +533,29 @@ def main() -> None:
             "kind": "cpu_loop",
             "scale": round(canary_now / prev_canary, 4),
         }
-    elif prev and prev[1].get("q05"):
-        # Fallback until a prior canary exists: q05 is a plain
-        # scan+hash-agg whose plan has been fingerprint-stable for
-        # the whole build — its steady-state ratio is the best
-        # available host proxy (verdict ask 2).
-        normalizer = {
-            "kind": "q05_ratio",
-            "scale": round(times["q05"] / prev[1]["q05"], 4),
-        }
+    elif prev:
+        # Bootstrap fallback until a prior canary exists (one round):
+        # the MEDIAN time ratio over all common ids. Robust to any
+        # minority of real movers, and strictly better than a single
+        # query's ratio — q05 was first tried and immediately proved
+        # unusable (its own r14→r15 ratio was 0.44 against a 1.07
+        # registry median; it is one of the documented
+        # fingerprint-identical 2x host movers). Caveat by
+        # construction: a uniform CODE regression across >50% of the
+        # registry would read as host movement under this bootstrap —
+        # the cpu_loop canary exists precisely to close that hole
+        # from the next round on.
+        common = [q for q in times if q in prev[1] and prev[1][q] > 0]
+        if common:
+            normalizer = {
+                "kind": "median_ratio",
+                "scale": round(
+                    statistics.median(
+                        sorted(times[q] / prev[1][q] for q in common)
+                    ),
+                    4,
+                ),
+            }
     norm_deltas = (
         {
             qid: round(t / normalizer["scale"] - prev[1][qid], 3)
