@@ -554,3 +554,70 @@ def test_gap_fill_linear_matches_reference(spark, series):
                 num = float(Fraction(num_cents, 100) * 3600)
                 expected[(u, ep)] = (0, num / float((nh - ph) * 3600))
     assert got == expected
+
+
+@st.composite
+def _asof_case(draw):
+    # keys 0..3 and ts 0..30 so equal-ts ties and dup (key, ts) right
+    # rows are dense; payload values include None to exercise the
+    # struct-atomicity contract (a legitimately-NULL payload column in
+    # the matched row must NOT be back-filled from an older right row)
+    lefts = draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 30)),
+            min_size=1, max_size=25,
+        )
+    )
+    rights = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.integers(0, 30),
+                st.one_of(st.none(), st.integers(-99, 99)),
+            ),
+            min_size=0, max_size=25,
+        )
+    )
+    return lefts, rights
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_asof_case())
+def test_asof_join_matches_naive_reference(spark, case):
+    """ops/asof.py's union-sentinel plan ≡ the naive per-left-row
+    argmax reference on arbitrary small tables: backward semantics
+    (right.ts <= left.ts), right-before-left at equal ts, latest
+    tiebreak wins among duplicate (key, ts) right rows, unmatched
+    left rows keep an all-NULL payload, and a NULL payload value in
+    the matched row stays NULL (atomic struct, not per-column
+    back-fill)."""
+    from calaspark.ops.asof import asof_join
+
+    lefts, rights = case
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(lefts)]
+    rrows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "lid int, k int, ts int")
+    right = spark.createDataFrame(rrows, "k int, ts int, val int, seq int")
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload=["val", "seq"], tiebreak="seq",
+    )
+    got = {r["lid"]: (r["val"], r["seq"]) for r in out.collect()}
+
+    expected = {}
+    for lid, k, ts in lrows:
+        cand = [
+            (rts, seq, v)
+            for (rk, rts, v, seq) in rrows
+            if rk == k and rts <= ts
+        ]
+        if cand:
+            rts, seq, v = max(cand, key=lambda c: (c[0], c[1]))
+            expected[lid] = (v, seq)
+        else:
+            expected[lid] = (None, None)
+    assert got == expected
