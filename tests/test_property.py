@@ -621,3 +621,75 @@ def test_asof_join_matches_naive_reference(spark, case):
         else:
             expected[lid] = (None, None)
     assert got == expected
+
+
+@st.composite
+def _lpm_case(draw):
+    # binary alphabet → dense prefix relationships; unique routes so
+    # the payload attachment is deterministic (duplicate prefixes
+    # collapse to an arbitrary row's payload by documented contract)
+    routes = draw(
+        st.lists(
+            st.text(alphabet="01", min_size=1, max_size=6),
+            min_size=0, max_size=15, unique=True,
+        )
+    )
+    keys = draw(
+        st.lists(
+            st.text(alphabet="01", min_size=1, max_size=8),
+            min_size=1, max_size=20,
+        )
+    )
+    return routes, keys
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_lpm_case())
+def test_prefix_match_join_left_and_payload_property(spark, case):
+    """ops/lpm.prefix_match_join over random binary route/key sets ≡
+    the naive longest-startswith scan — BOTH join modes in one draw:
+    inner drops unmatched keys, left keeps them as (NULL, 0) with a
+    NULL payload, matched rows attach the matched route's payload
+    (its own length here, so payload correctness is checkable
+    per-row), and the empty-route-set draw exercises the
+    stable-schema early path."""
+    from calaspark.ops.lpm import prefix_match_join
+
+    routes, keys = case
+    rdf = spark.createDataFrame(
+        [(p, len(p)) for p in routes], "prefix string, plen_payload int"
+    )
+    ldf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "rid int, k string"
+    )
+
+    want_inner = {}
+    for i, k in enumerate(keys):
+        m = [p for p in routes if k.startswith(p)]
+        if m:
+            best = max(m, key=len)
+            want_inner[i] = (best, len(best), len(best))
+
+    inner = {
+        r["rid"]: (r["matched_prefix"], r["match_len"], r["plen_payload"])
+        for r in prefix_match_join(
+            ldf, rdf, key_col="k", row_key="rid",
+            payload=["plen_payload"],
+        ).collect()
+    }
+    assert inner == want_inner, (routes, keys)
+
+    left = {
+        r["rid"]: (r["matched_prefix"], r["match_len"], r["plen_payload"])
+        for r in prefix_match_join(
+            ldf, rdf, key_col="k", row_key="rid",
+            payload=["plen_payload"], how="left",
+        ).collect()
+    }
+    assert left == {
+        i: want_inner.get(i, (None, 0, None)) for i in range(len(keys))
+    }, (routes, keys)
