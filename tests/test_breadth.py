@@ -248,3 +248,28 @@ def test_negative_sampling_is_the_pure_md5_function(spark):
         for r in breadth.q193_negative_sampling(spark, SF).collect()
     }
     assert again == got
+
+
+def test_negative_sampling_invariant_to_shuffle_partitioning(spark):
+    """q193's docstring claims reproducibility across REPARTITIONING,
+    not just reruns: the corpus index is a bucket-partitioned
+    row_number ordered by the unique doc_id (a total order within
+    every bucket), so the draw must be a pure function of the data
+    no matter how many shuffle partitions the planner uses. Prove it
+    by re-running under a deliberately mismatched shuffle-partition
+    count and comparing the full result map."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    base = {
+        (r["doc_id"], r["slot"]): (r["neg_doc_id"], r["neg_n_tokens"])
+        for r in breadth.q193_negative_sampling(spark, SF).collect()
+    }
+    try:
+        spark.conf.set(key, "7")
+        alt = {
+            (r["doc_id"], r["slot"]): (r["neg_doc_id"], r["neg_n_tokens"])
+            for r in breadth.q193_negative_sampling(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set(key, before)
+    assert alt == base
