@@ -98,9 +98,19 @@ def _cpu_canary() -> float:
     """Fixed pure-Python LCG loop — a host-speed probe with zero
     dependence on Spark, the JVM, or any code under benchmark. The
     work (2M 64-bit LCG steps + xor-fold) is constant by
-    construction, so the measured seconds move ONLY with host speed
-    (CPU clock, load, interpreter); the ratio between two rounds'
-    canaries is the host-speed scale between them."""
+    construction, so the measured seconds move only with host speed
+    as seen by ONE python thread (CPU clock, core contention on the
+    canary's core, interpreter). KNOWN LIMITATION (round-16 advice):
+    the probe is single-threaded while the bench is a 32-thread JVM,
+    so host effects that hit ONLY parallel/JVM throughput — thermal
+    throttling that kicks in under all-core load, noisy neighbors
+    pinned to other cores, IO contention — can move the bench
+    without moving the canary, and delta_vs_prev_normalized can then
+    misattribute host movement as a per-query regression. The
+    sidecar therefore also records os.getloadavg() at start/end
+    (``loadavg_1m_*``) for triage; a residual mover on a loaded host
+    still needs the isolated fresh-session protocol before it is
+    called a regression (SURVEY movers protocol)."""
     t0 = time.perf_counter()
     x, acc, mask = 0x9E3779B97F4A7C15, 0, (1 << 64) - 1
     for _ in range(2_000_000):
@@ -169,9 +179,20 @@ def _fingerprint(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
-def _prev_bench(here: Path) -> tuple[str, dict, float | None] | None:
+def _prev_bench(here: Path) -> tuple[str, dict, dict] | None:
     """Most recent BENCH_r*.json that actually carries query times,
-    with keys translated back to FULL query ids.
+    with keys translated back to FULL query ids — returned as
+    ``(filename, full_times, paired_sidecar)``.
+
+    PAIRING (round-16 advice — one gate, one place): the on-disk
+    sidecar describes SOME past run; its key map, canary and plan
+    fingerprints apply only if it was written by the same run that
+    produced the newest BENCH_r file. Same-run is decided here, once:
+    by ``run_id`` equality when both files carry one (written into
+    the stdout line and the sidecar since round 16), else by the
+    legacy total-match gate (|value diff| < 0.011, stdout's 2-dp
+    rounding). ``paired_sidecar`` is ``{}`` when the gate fails —
+    callers must not read canary/fingerprints from an unpaired file.
 
     Driver BENCH files store the stdout dict, whose keys are the
     SHORT forms since round 9 (base36 / abbreviations) — comparing
@@ -228,41 +249,24 @@ def _prev_bench(here: Path) -> tuple[str, dict, float | None] | None:
     if best is None:
         return None
     _, name, payload, q = best
-    # The recorded map applies only if it was written by the run that
-    # produced this file (same total, within stdout's 2-dp rounding).
-    use_recorded = (
-        recorded
-        and isinstance(payload.get("value"), (int, float))
-        and isinstance(recorded, dict)
-        and abs(float(payload["value"]) - float(side.get("value", -1))) < 0.011
-    )
+    # The single same-run gate (see docstring): run_id when both
+    # sides carry one, else the legacy 2-dp total match.
+    if payload.get("run_id") and side.get("run_id"):
+        paired = payload["run_id"] == side["run_id"]
+    else:
+        paired = (
+            isinstance(payload.get("value"), (int, float))
+            and isinstance(side.get("value"), (int, float))
+            and abs(float(payload["value"]) - float(side["value"])) < 0.011
+        )
+    use_recorded = bool(recorded) and isinstance(recorded, dict) and paired
     scale = 0.1 if payload.get("queries_unit") == "ds" else 1.0
     full = {}
     for k, v in q.items():
         qid = (recorded.get(k) if use_recorded else None) or inv.get(k, k)
         if qid in QUERIES:
             full[qid] = v * scale
-    pv = payload.get("value")
-    return (name, full, float(pv) if isinstance(pv, (int, float)) else None)
-
-
-def _prev_sidecar(here: Path, prev_value: float | None) -> dict:
-    """The on-disk sidecar, but ONLY if it was written by the same
-    run that produced the newest BENCH_r file (totals match within
-    stdout's 2-dp rounding — the use_recorded condition). Otherwise
-    its canary/fingerprints describe some other run and comparing
-    against them would attribute deltas to the wrong baseline."""
-    try:
-        side = json.loads((here / "BENCH_full_local.json").read_text())
-    except (OSError, json.JSONDecodeError):
-        return {}
-    if (
-        prev_value is not None
-        and isinstance(side.get("value"), (int, float))
-        and abs(float(side["value"]) - prev_value) < 0.011
-    ):
-        return side
-    return {}
+    return (name, full, side if paired else {})
 
 
 #: Fixed stdout abbreviations for the non-numeric query ids — the
@@ -357,7 +361,7 @@ def _short_key(qid: str) -> str:
     return _STDOUT_ABBREV[qid]  # non-numeric ids MUST be in the map
 
 
-def _stdout_payload(times: dict, sf) -> tuple[dict, str]:
+def _stdout_payload(times: dict, sf, run_id: str) -> tuple[dict, str]:
     """Build the driver stdout line: ONLY the fields the driver
     needs, compact — its capture keeps a bounded tail (2000 bytes
     TOTAL including any preceding stderr), and extras overflowed it
@@ -388,6 +392,10 @@ def _stdout_payload(times: dict, sf) -> tuple[dict, str]:
         "value": round(total, 2),
         "unit": "sec",
         "sf": sf,
+        # written into BOTH the stdout line (→ the driver's BENCH_r
+        # file) and the sidecar, so _prev_bench can pair them exactly
+        # instead of by total-coincidence (round-16 advice)
+        "run_id": run_id,
         # ALWAYS explicit (round-10 verdict: r10's ds line next to
         # r9's unit-less seconds line read as a phantom 10× regression
         # to any tool that diffed the raw dicts)
@@ -441,6 +449,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     _validate_stdout_keys(QUERIES)  # fail fast, before any timing
+    # unique per process start: pairs this run's stdout line (the
+    # driver's BENCH_r file) with the sidecar it writes at the end
+    run_id = hashlib.md5(
+        f"{time.time_ns()}-{os.getpid()}".encode()
+    ).hexdigest()[:10]
+    loadavg_start = tuple(round(v, 2) for v in os.getloadavg())
     canary_start = _cpu_canary()
     spark = get_spark("calaspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -525,7 +539,7 @@ def main() -> None:
     # the canary ratio before differencing, so a uniform host
     # slowdown reads ~0 and only per-query movement survives.
     canary_now = round((canary_start + canary_end) / 2, 4)
-    prev_side = _prev_sidecar(here, prev[2] if prev else None)
+    prev_side = prev[2] if prev else {}
     prev_canary = (prev_side.get("host_canary") or {}).get("cpu_loop_sec")
     normalizer: dict = {"kind": None, "scale": None}
     if isinstance(prev_canary, (int, float)) and prev_canary > 0:
@@ -579,7 +593,7 @@ def main() -> None:
         if qid in prev_plans and prev_plans[qid] != fp
     }
 
-    out, line = _stdout_payload(times, _sf_of(sf_dir))
+    out, line = _stdout_payload(times, _sf_of(sf_dir), run_id)
     if len(line) > 1950:
         print(
             f"WARNING: stdout line {len(line)} bytes — approaching the "
@@ -612,6 +626,11 @@ def main() -> None:
             "cpu_loop_sec_start": canary_start,
             "cpu_loop_sec_end": canary_end,
             "q05_sec": times.get("q05"),
+            # triage for parallel-only host effects the single-thread
+            # loop cannot see (see _cpu_canary's KNOWN LIMITATION)
+            "loadavg_1m_start": loadavg_start[0],
+            "loadavg_start": list(loadavg_start),
+            "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         },
         "normalizer": normalizer,
         "delta_vs_prev_normalized": norm_deltas,
@@ -628,7 +647,15 @@ def main() -> None:
         "min_runs": MIN_RUNS,
         "slow_cutoff_s": SLOW_CUTOFF_S,
     }
-    (here / "BENCH_full_local.json").write_text(json.dumps(sidecar, indent=1))
+    # Local experiment runs must not clobber the DRIVER-paired
+    # sidecar: the round-16 cpu_loop normalization goes live only if
+    # the on-disk sidecar still pairs with the newest BENCH_r file at
+    # driver bench time (see _prev_bench's pairing note). Builder-side
+    # refreshes set CALASPARK_BENCH_SIDECAR to write elsewhere.
+    side_path = os.environ.get(
+        "CALASPARK_BENCH_SIDECAR", str(here / "BENCH_full_local.json")
+    )
+    Path(side_path).write_text(json.dumps(sidecar, indent=1))
     spark.stop()
 
 

@@ -237,8 +237,9 @@ def test_stdout_line_headroom_at_250_ids():
     times = {q: 2.5 for q in ids}
     for q in list(ids)[::10][:25]:
         times[q] = 42.3
-    out, line = bench._stdout_payload(times, 0.1)
+    out, line = bench._stdout_payload(times, 0.1, "ab12cd34ef")
     assert len(line) < 1950, len(line)
+    assert out["run_id"] == "ab12cd34ef"  # the sidecar-pairing key
     # the projected line must have fallen through to a denser tier
     # and stay self-describing + decodable
     assert out["queries_unit"] == "ds"
@@ -255,12 +256,13 @@ def test_stdout_line_headroom_at_250_ids():
 
 
 def test_bench_host_canary_and_normalizer(tmp_path):
-    """Round-15 verdict item 2: the host-speed canary must (a) be a
-    real positive measurement, (b) only pair with a previous sidecar
-    written by the run that produced the newest BENCH_r file (totals
-    match within stdout's 2-dp rounding), and (c) normalize a uniform
-    host slowdown to ~0 delta while leaving a real per-query
-    regression visible."""
+    """Round-15 verdict item 2 + round-16 advice 4: the host-speed
+    canary must (a) be a real positive measurement, (b) only pair
+    with a previous sidecar written by the run that produced the
+    newest BENCH_r file — by run_id when both files carry one, else
+    by the legacy 2-dp total match, decided in ONE place
+    (_prev_bench) — and (c) normalize a uniform host slowdown to ~0
+    delta while leaving a real per-query regression visible."""
     import importlib.util
     import json
     from pathlib import Path
@@ -274,19 +276,42 @@ def test_bench_host_canary_and_normalizer(tmp_path):
     c = bench._cpu_canary()
     assert 0.001 < c < 60  # a measurement, not a constant fold
 
+    def write_pair(bench_payload, side):
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"parsed": bench_payload})
+        )
+        (tmp_path / "BENCH_full_local.json").write_text(json.dumps(side))
+
+    payload = {
+        "value": 239.02,
+        "queries_unit": "s",
+        "queries": {bench._short_key("q05"): 239.02},
+    }
     side = {
         "value": 239.022,
         "host_canary": {"cpu_loop_sec": 0.5},
         "plan_fingerprints": {"q05": "aaa"},
     }
-    (tmp_path / "BENCH_full_local.json").write_text(json.dumps(side))
-    # totals match within 2-dp stdout rounding → accepted
-    assert bench._prev_sidecar(tmp_path, 239.02)["host_canary"][
+    # legacy files (no run_id): totals within 2-dp rounding → paired
+    write_pair(payload, side)
+    name, full, paired = bench._prev_bench(tmp_path)
+    assert full == {"q05": 239.02}
+    assert paired["host_canary"]["cpu_loop_sec"] == 0.5
+    # mismatched totals → some other run's sidecar, rejected
+    write_pair(dict(payload, value=194.30), dict(side, value=194.0))
+    assert bench._prev_bench(tmp_path)[2] == {}
+    # run_id on both sides wins over the total gate, in BOTH
+    # directions: equal ids pair even with drifted totals …
+    write_pair(
+        dict(payload, run_id="r16aaa", value=500.0),
+        dict(side, run_id="r16aaa"),
+    )
+    assert bench._prev_bench(tmp_path)[2]["host_canary"][
         "cpu_loop_sec"
     ] == 0.5
-    # mismatched totals → some other run's sidecar, rejected
-    assert bench._prev_sidecar(tmp_path, 194.30) == {}
-    assert bench._prev_sidecar(tmp_path, None) == {}
+    # … and different ids reject even when totals coincide
+    write_pair(dict(payload, run_id="r16aaa"), dict(side, run_id="r16bbb"))
+    assert bench._prev_bench(tmp_path)[2] == {}
 
     # normalization arithmetic: host got 1.4x slower uniformly
     prev_times = {"q05": 1.0, "q33": 4.0}

@@ -387,3 +387,33 @@ def test_verify_spool_fetch_is_type_identical_to_collect(spark):
         """
     )
     assert _table_info(_spool_to_arrow(df)) == _table_info(df.toArrow())
+
+
+def test_round_tie_audit_benign_gate_is_per_divergence():
+    """tools/round_tie_audit's allowlist must match the SPECIFIC
+    adjudicated divergence class, not the query id (round-16 advice):
+    a fresh divergence class — or an ERR / ARG-CAP-OVERFLOW — in
+    q02/q175 must flip the gate even though those ids carry benign
+    entries."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from round_tie_audit import _is_benign, spark_emu
+
+    # the adjudicated classes still pass
+    assert _is_benign("q02", ("div", 8285.425, 2, 8285.43, 8285.42))
+    assert _is_benign("q175", ("div", 1.7e14, 6, 1.7e14, 1.7e14))
+    # a NEW class in the same ids fails: wrong scale, wrong magnitude,
+    # or an argument that is not a 6-dp decimal (q02's site emits
+    # exact DECIMAL(*,6) products only)
+    assert not _is_benign("q02", ("div", 8285.425, 3, 0.0, 0.0))
+    assert not _is_benign("q02", ("div", 0.1234567, 2, 0.12, 0.13))
+    assert not _is_benign("q175", ("div", 123.4565, 6, 0.0, 0.0))
+    # ERR and overflow are never benign, in any id
+    assert not _is_benign("q02", ("err", "ERR: boom"))
+    assert not _is_benign("q175", ("overflow",))
+    # an unlisted id is never benign
+    assert not _is_benign("q192", ("div", 18.27125, 4, 18.2713, 18.2712))
+    # the emulation the gate is built on: the canonical q192 find
+    assert spark_emu(18.27125, 4) == 18.2713
