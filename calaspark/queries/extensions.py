@@ -1062,6 +1062,25 @@ def q55_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q181
 
 
+def _state_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """Size a drain gate's streaming-state partitioning to the
+    bounded backfill's volume (see drain_snapshot's state_partitions
+    note for the measured rationale): parquet footer row count /
+    25k rows per state partition, clamped to [2, session shuffle
+    default]. The count() is footer metadata (parquet row-group
+    counts — no column data read). On a production continuous stream
+    the operator sizes this to expected in-horizon state instead; for
+    an availableNow drain the source's total row count IS that
+    bound."""
+    import math
+
+    n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(cur, math.ceil(n / 25_000)))
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared file-source stream over the events table for the
     q181/q183/q184/q185/q187/q188 true-streaming gates: declared
@@ -1119,7 +1138,7 @@ def q181_stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     available at start). ns→µs normalization is load_table's exact
     expression, applied to the declared-schema stream.
     """
-    from ..streaming.windows import run_available_now
+    from ..streaming.windows import drain_snapshot
 
     # Stream setup (declared schema, directory glob, ns→µs, LTZ event
     # time under the UTC session) is the shared _events_stream helper
@@ -1146,9 +1165,12 @@ def q181_stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q181_drain_{next(_Q181_SEQ)}"
-    q = run_available_now(agg, name, output_mode="complete")
-    assert q.lastProgress is not None  # a StreamingQuery really ran
-    return spark.table(name)
+    return drain_snapshot(
+        agg,
+        name,
+        output_mode="complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- Q183
@@ -1179,12 +1201,15 @@ def q183_stream_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    from ..streaming.windows import run_available_now
+    from ..streaming.windows import drain_snapshot
 
     name = f"q183_drain_{next(_Q183_SEQ)}"
-    q = run_available_now(agg, name, output_mode="complete")
-    assert q.lastProgress is not None
-    return spark.table(name)
+    return drain_snapshot(
+        agg,
+        name,
+        output_mode="complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- Q184
@@ -1219,12 +1244,15 @@ def q184_stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    from ..streaming.windows import run_available_now
+    from ..streaming.windows import drain_snapshot
 
     name = f"q184_drain_{next(_Q184_SEQ)}"
-    q = run_available_now(deduped, name, output_mode="append")
-    assert q.lastProgress is not None
-    return spark.table(name)
+    return drain_snapshot(
+        deduped,
+        name,
+        output_mode="append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- Q185
@@ -1326,7 +1354,7 @@ def q187_stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     events — per-key bounded state at any throughput, the same
     contract as the batch twin's single user_id shuffle.
     """
-    from ..streaming.windows import run_available_now
+    from ..streaming.windows import drain_snapshot
 
     stream = _events_stream(spark, sf_dir)
     ev = stream.select(
@@ -1347,9 +1375,12 @@ def q187_stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "sess_start", "sess_end", "n_events")
     )
     name = f"q187_drain_{next(_Q187_SEQ)}"
-    q = run_available_now(agg, name, output_mode="complete")
-    assert q.lastProgress is not None  # a StreamingQuery really ran
-    return spark.table(name)
+    return drain_snapshot(
+        agg,
+        name,
+        output_mode="complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- Q188
@@ -1389,7 +1420,7 @@ def q188_stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     throughput at any scale, which is exactly why
     interval_join_stream refuses an unbounded condition.
     """
-    from ..streaming.windows import interval_join_stream, run_available_now
+    from ..streaming.windows import drain_snapshot, interval_join_stream
 
     clicks = (
         _events_stream(spark, sf_dir)
@@ -1429,9 +1460,12 @@ def q188_stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
     )
     name = f"q188_drain_{next(_Q188_SEQ)}"
-    q = run_available_now(out, name, output_mode="append")
-    assert q.lastProgress is not None  # a StreamingQuery really ran
-    return spark.table(name)
+    return drain_snapshot(
+        out,
+        name,
+        output_mode="append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- Q190
@@ -1486,7 +1520,7 @@ def q190_stream_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFra
     from ..ops.text import tokens
     from ..session import prepare
     from ..streaming.stateful import heavy_hitters_stream
-    from ..streaming.windows import run_available_now
+    from ..streaming.windows import drain_snapshot
 
     prepare(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -1496,11 +1530,13 @@ def q190_stream_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.explode(tokens("text")).alias("tok"))
     )
     name = f"q190_drain_{next(_Q190_SEQ)}"
-    q = run_available_now(
-        heavy_hitters_stream(tok_stream), name, output_mode="update"
+    sink = drain_snapshot(
+        heavy_hitters_stream(tok_stream),
+        name,
+        output_mode="update",
+        state_partitions=_state_partitions(spark, sf_dir, "documents"),
     )
-    assert q.lastProgress is not None  # a StreamingQuery really ran
-    cands = spark.table(name).select("tok").distinct()
+    cands = sink.select("tok").distinct()
     items = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )

@@ -14,8 +14,10 @@ from .sinks import foreach_batch_upsert, merge_upsert, read_upsert_table
 
 from .windows import (
     dedup_stream,
+    drain_snapshot,
     interval_join_stream,
     read_stream,
+    release_stream_state,
     run_available_now,
     session_counts,
     sliding_counts,
@@ -30,7 +32,7 @@ __all__ = [
     "running_totals_tws",
     "tws_available",
     "foreach_batch_upsert", "merge_upsert", "read_upsert_table",
-    "dedup_stream", "interval_join_stream", "read_stream",
-    "run_available_now",
+    "dedup_stream", "drain_snapshot", "interval_join_stream",
+    "read_stream", "release_stream_state", "run_available_now",
     "session_counts", "sliding_counts", "tumbling_counts",
 ]

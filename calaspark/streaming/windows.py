@@ -114,6 +114,88 @@ def run_available_now(
     return q
 
 
+def release_stream_state(spark) -> None:
+    """Release executor-side state-store providers left by TERMINATED
+    streaming queries (round-16 q188 root cause).
+
+    The executor JVM caches every loaded ``StateStoreProvider`` (for a
+    stream-stream join: the FULL both-sides buffered state — an
+    availableNow drain of a bounded source runs as one batch whose
+    starting watermark is 0, so nothing was evicted) and only unloads
+    a terminated query's providers when the 60 s maintenance tick
+    notices the coordinator deactivated them. Back-to-back drains —
+    bench runs each drain query 2-3×, and seven drain gates run in
+    one bench session — stack dead state on the heap faster than
+    maintenance clears it; measured on q188 at sf0.1: runs grew
+    9.1 → 13.3 → 16.5 → 21.9 s within one session, and stopped
+    growing with an explicit unload between runs. ``StateStore.stop``
+    unloads all providers and stops the maintenance task; the next
+    streaming query's first store load restarts maintenance
+    (``StateStore.get`` → ``startMaintenanceIfNeeded``), so this is
+    safe between queries — guarded to a no-op while any query is
+    still ACTIVE, and failure-tolerant (a Spark-internal rename turns
+    this into a perf regression, never an error)."""
+    try:
+        if spark.streams.active:
+            return
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        spark.streams.resetTerminated()
+    except Exception:  # noqa: BLE001 — perf hygiene only, never fatal
+        pass
+
+
+def drain_snapshot(
+    agg: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a bounded stream and return a SELF-CONTAINED batch
+    snapshot of its memory-sink table, releasing the run's references
+    (round-16): the sink's temp view is dropped (complete/append
+    memory sinks pin their whole output on the driver heap for the
+    session lifetime otherwise) and the terminated query's
+    state-store providers are unloaded. The snapshot is
+    lineage-cut via :func:`calaspark.ops.materialize.materialize`,
+    so the returned DataFrame does not reference the dropped view.
+    Drain outputs are aggregate/key-grain by contract (each drain
+    gate's docstring argues its own bound), so the snapshot is
+    model-sized — never a data-grain copy.
+
+    ``state_partitions`` sizes the stream's STATE partitioning: a
+    streaming plan pins its stateful-exchange partition count from
+    ``spark.sql.shuffle.partitions`` at query start (no AQE inside a
+    stateful stream), and that count should track STATE VOLUME, not
+    the session's batch shuffle default — each state partition pays
+    fixed per-batch store open/commit/maintenance cost, so 32
+    near-empty stores cost far more than they buy in parallelism
+    (measured on the q188 stream-stream join at the sf0.01 gate:
+    12.4 s → 2.5 s going 32 → 4, identical 874-row output). The conf
+    is set around query START only and restored immediately —
+    batch-plan behavior is untouched. Every drain gate's output is
+    partition-count invariant (aggregate / join-pair-set / distinct
+    semantics; each gate's docstring carries its own argument), so
+    this is a pure physical knob. On a production continuous stream
+    the same knob is sized to expected in-horizon state instead."""
+    spark = agg.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        if state_partitions is not None:
+            spark.conf.set(key, str(int(state_partitions)))
+        q = run_available_now(agg, name, output_mode=output_mode)
+    finally:
+        spark.conf.set(key, prev)
+    assert q.lastProgress is not None  # a StreamingQuery really ran
+    from ..ops.materialize import materialize
+
+    snap = materialize(spark.table(name))
+    spark.catalog.dropTempView(name)
+    release_stream_state(spark)
+    return snap
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,
