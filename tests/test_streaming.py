@@ -832,3 +832,73 @@ def test_q190_drain_matches_batch_heavy_hitters(spark):
     got = {tuple(r) for r in q190_stream_heavy_hitters_drain(spark, sf).collect()}
     want = {tuple(r) for r in q113_heavy_hitters(spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_drain_snapshot_releases_and_preserves(spark, events_dir):
+    """drain_snapshot (round 16) must return a snapshot equal to the
+    memory-sink contents while (a) dropping the sink's temp view —
+    the round-16 q188 root cause was drained tables pinned on the
+    heap for the session lifetime, (b) restoring the session's
+    shuffle-partition conf after sizing the stream's state exchange,
+    and (c) leaving the snapshot fully usable after the drop
+    (lineage-cut — no reference to the dropped view)."""
+    from calaspark.streaming import drain_snapshot, read_stream
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    agg = (
+        read_stream(spark, events_dir, SCHEMA)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    snap = drain_snapshot(agg, "drain_snap_t1", "complete", state_partitions=3)
+    # conf restored
+    assert spark.conf.get(key) == before
+    # sink view gone
+    assert not any(
+        t.name == "drain_snap_t1" for t in spark.catalog.listTables()
+    )
+    # snapshot matches the batch twin and survives the view drop
+    batch = (
+        spark.read.schema(SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    assert sorted(map(tuple, snap.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # the state exchange really ran at the requested partition count:
+    # the drained aggregation is partition-count invariant (same rows
+    # at 3 as the session default) — the q193-style invariance the
+    # gates rely on
+    snap2 = drain_snapshot(agg, "drain_snap_t2", "complete")
+    assert sorted(map(tuple, snap2.collect())) == sorted(
+        map(tuple, snap.collect())
+    )
+
+
+def test_release_stream_state_noop_while_active(spark, events_dir):
+    """release_stream_state must refuse to unload providers while ANY
+    streaming query is active (unloading live state would force
+    reload-from-checkpoint mid-query at best), and must be callable
+    on a quiet session without error."""
+    from calaspark.streaming import read_stream, release_stream_state
+
+    stream = read_stream(spark, events_dir, SCHEMA)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("release_guard_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # may or may not still be active when we get here; the call
+        # must be safe either way
+        release_stream_state(spark)
+    finally:
+        q.awaitTermination()
+    spark.catalog.dropTempView("release_guard_t")
+    release_stream_state(spark)  # quiet session: full release path
