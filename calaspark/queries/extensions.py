@@ -1310,6 +1310,13 @@ def q185_stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     assert q.lastProgress is not None  # a StreamingQuery really ran
+    # The checkpoint exists only to drive this one bounded drain —
+    # delete it so repeated calls don't accumulate dirs (round-16
+    # drain hygiene; the TARGET dir must outlive the call: the
+    # returned DataFrame reads its published generation lazily).
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     out = read_upsert_table(spark, target)
     assert out is not None  # at least one generation committed
     return out.select("user_id", "ep", "event_id", "event_type", "value")
