@@ -902,3 +902,84 @@ def test_release_stream_state_noop_while_active(spark, events_dir):
         q.awaitTermination()
     spark.catalog.dropTempView("release_guard_t")
     release_stream_state(spark)  # quiet session: full release path
+
+
+def test_drain_snapshot_unloads_state_machinery(spark, events_dir):
+    """Mechanism regression test for the round-16 q188 root cause —
+    not timing-based (timings flake), but the observable the fix
+    changes: after drain_snapshot returns on a quiet session, the
+    JVM's state-store maintenance task must be STOPPED (providers
+    unloaded via StateStore.stop — dead drains no longer hold their
+    state on the heap), and a SUBSEQUENT stateful drain must restart
+    the machinery transparently and produce correct results."""
+    from calaspark.streaming import drain_snapshot, read_stream
+
+    ss = spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore
+
+    def drain(name):
+        agg = (
+            read_stream(spark, events_dir, SCHEMA)
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return drain_snapshot(agg, name, "complete", state_partitions=2)
+
+    first = drain("unload_t1")
+    assert not ss.isMaintenanceRunning()  # providers released
+    # the machinery restarts for the next stateful query
+    second = drain("unload_t2")
+    assert not ss.isMaintenanceRunning()
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
+
+
+def test_drain_partition_count_invariance_property(spark, tmp_path):
+    """Property: a drained stateful aggregation is invariant to the
+    state-partition count (the q193-style invariance every drain
+    gate's state_partitions sizing relies on) — over a randomized
+    event table (seeded), the drained complete-mode result is
+    IDENTICAL at 2, 3, and 8 state partitions and equals the batch
+    twin."""
+    import random as _random
+
+    from calaspark.streaming import drain_snapshot, read_stream
+
+    rng = _random.Random(0xC16)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(0, 86400)),
+            rng.randrange(0, 7),
+            float(rng.randrange(-100, 100)),
+        )
+        for i in range(500)
+    ]
+    path = str(tmp_path / "rand_events")
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+
+    def agg_of(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("ts").alias("first_ts"),
+        )
+
+    results = []
+    for i, nparts in enumerate((2, 3, 8)):
+        snap = drain_snapshot(
+            agg_of(
+                read_stream(spark, path, SCHEMA).withWatermark("ts", "2 hours")
+            ),
+            f"inv_prop_t{i}",
+            "complete",
+            state_partitions=nparts,
+        )
+        results.append(sorted(map(tuple, snap.collect())))
+    assert results[0] == results[1] == results[2]
+    batch = sorted(
+        map(tuple, agg_of(spark.read.schema(SCHEMA).parquet(path)).collect())
+    )
+    assert results[0] == batch
