@@ -4020,15 +4020,17 @@ SELECT n1, n2,
        CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
          / 2.0 AS u1,
        tie_term,
-       ROUND(
-         ((CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
-           - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
-         / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
-                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
-                   - CAST(tie_term AS DOUBLE)
-                     / (CAST(n1 + n2 AS DOUBLE)
-                        * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
-         6) AS z,
+       -- raw IEEE quotient, no ROUND: §2.6 rule 8 (identical exact
+       -- operands + fixed op order => bit-identical double in both
+       -- engines; a ROUND(double, 6) only adds a repr degree of
+       -- freedom — the r16 driver red row motivated dropping it)
+       ((CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+       / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+              * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                 - CAST(tie_term AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z,
        CASE WHEN ABS(
          ((CAST(ra2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE)
            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)

@@ -3983,7 +3983,13 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2·U_a = ra2 − n_a·(n_a+1)`` are exact integers, as is the tie
     term ``T = Σ(t³ − t)``. The z statistic then costs exactly one
     subtraction, three divisions and one IEEE-correctly-rounded
-    sqrt, written in the same order in both engines; ROUND 6.
+    sqrt, written in the same order in both engines — so z is
+    emitted as the RAW IEEE quotient with no rounding (§2.6 rule 8,
+    the q152/q153/q192 convention: identical exact operands through
+    a fixed IEEE op order give a bit-identical double, and a
+    ROUND(double, 6) step only ADDS a representation degree of
+    freedom; the r16 driver hash fail on this query was the sole
+    red row whose output still carried one).
 
     Plan (the q140/ops-quantile prefix discipline): one (cents)
     hash agg off the fact scan; the cumulative count before each
@@ -4078,7 +4084,7 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         (u1_2.cast("double") / F.lit(2.0)).alias("u1"),
         "tie_term",
-        F.round(z, 6).alias("z"),
+        z.alias("z"),
         (F.abs(z) > F.lit(1.959963984540054)).cast("int").alias("reject_05"),
     )
 
