@@ -189,10 +189,16 @@ def _prev_bench(here: Path) -> tuple[str, dict, dict] | None:
     fingerprints apply only if it was written by the same run that
     produced the newest BENCH_r file. Same-run is decided here, once:
     by ``run_id`` equality when both files carry one (written into
-    the stdout line and the sidecar since round 16), else by the
-    legacy total-match gate (|value diff| < 0.011, stdout's 2-dp
-    rounding). ``paired_sidecar`` is ``{}`` when the gate fails —
-    callers must not read canary/fingerprints from an unpaired file.
+    the stdout line and the sidecar since round 16); when exactly ONE
+    side carries a run_id the files are from different eras BY
+    CONSTRUCTION (both files of one post-r16 run always carry it), so
+    mixed-era is UNPAIRED — falling back to the total gate there
+    could pair a sidecar from a different run on a 2-dp total
+    coincidence (round-17 advice closure). Only when NEITHER side has
+    a run_id (both pre-r16) does the legacy total-match gate apply
+    (|value diff| < 0.011, stdout's 2-dp rounding). ``paired_sidecar``
+    is ``{}`` when the gate fails — callers must not read
+    canary/fingerprints from an unpaired file.
 
     Driver BENCH files store the stdout dict, whose keys are the
     SHORT forms since round 9 (base36 / abbreviations) — comparing
@@ -250,9 +256,12 @@ def _prev_bench(here: Path) -> tuple[str, dict, dict] | None:
         return None
     _, name, payload, q = best
     # The single same-run gate (see docstring): run_id when both
-    # sides carry one, else the legacy 2-dp total match.
+    # sides carry one; mixed-era (exactly one side) is unpaired;
+    # the legacy 2-dp total match only when neither has one.
     if payload.get("run_id") and side.get("run_id"):
         paired = payload["run_id"] == side["run_id"]
+    elif payload.get("run_id") or side.get("run_id"):
+        paired = False
     else:
         paired = (
             isinstance(payload.get("value"), (int, float))

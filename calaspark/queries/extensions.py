@@ -1063,7 +1063,10 @@ def q55_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _state_partitions(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    est_rows: int | None = None,
 ) -> int:
     """Size a drain gate's streaming-state partitioning to the
     bounded backfill's volume (see drain_snapshot's state_partitions
@@ -1073,12 +1076,52 @@ def _state_partitions(
     counts — no column data read). On a production continuous stream
     the operator sizes this to expected in-horizon state instead; for
     an availableNow drain the source's total row count IS that
-    bound."""
+    bound.
+
+    ``est_rows`` overrides the footer row count when the stateful
+    exchange's row grain differs from the source table's (round-17
+    advice closure): q190 explodes documents to tokens BEFORE its
+    stateful groupBy, so the rows flowing through the state exchange
+    outnumber documents by the avg-tokens factor — see
+    :func:`_token_volume_estimate`."""
     import math
 
-    n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    n = (
+        int(est_rows)
+        if est_rows is not None
+        else spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    )
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(2, min(cur, math.ceil(n / 25_000)))
+
+
+def _token_volume_estimate(sf_dir: str, table: str = "documents") -> int:
+    """Footer-only estimate of a text table's EXPLODED token volume,
+    for sizing a token-grain stateful exchange (q190 — round-17
+    advice closure). The text column's total UNCOMPRESSED byte size
+    sits in the parquet column-chunk metadata (no data pages read —
+    the same cost class as the footer row count); at ~6 bytes per
+    whitespace token (five letters + one separator, the English
+    average) bytes/6 is an order-of-magnitude row estimate — which is
+    all state sizing needs, since the partition count moves in 25k-row
+    steps and is clamped to the bucket-count ceiling at the call
+    site. Falls back to the row count (document grain) if the footer
+    can't be read the pyarrow way (e.g. a multi-file table)."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        md = pq.ParquetFile(path).metadata
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == "text":
+                tot = sum(
+                    md.row_group(g).column(i).total_uncompressed_size
+                    for g in range(md.num_row_groups)
+                )
+                return max(1, tot // 6)
+        return md.num_rows
+    except Exception:  # noqa: BLE001 — sizing heuristic, never fatal
+        return 1
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1301,25 @@ def q184_stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q185
 
 
+_EXIT_DIRS: list[str] = []
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Register a temp dir for end-of-process removal (q185's upsert
+    target — must outlive the call, must not outlive the process).
+    One atexit hook, registered lazily on first use, sweeps the
+    accumulated list; ignore_errors because cleanup is hygiene, not
+    correctness."""
+    import atexit
+    import shutil
+
+    if not _EXIT_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _EXIT_DIRS]
+        )
+    _EXIT_DIRS.append(path)
+
+
 def q185_stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming CDC MERGE sink under the hash gate (E16 × E23):
     the events stream drains through a real ``writeStream
@@ -1296,6 +1358,13 @@ def q185_stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = tempfile.mkdtemp(prefix="q185_cdc_")
     ckpt = tempfile.mkdtemp(prefix="q185_ckpt_")
+    # The TARGET dir must outlive this call (the returned DataFrame
+    # reads its published generation lazily) but not the process:
+    # each generation holds a full copy of the upsert table, so
+    # repeated bench/driver calls would otherwise accumulate dirs
+    # for the host lifetime (round-17 advice closure). atexit is the
+    # narrowest hook that is still after every possible read.
+    _cleanup_at_exit(target)
     q = (
         stream.writeStream.foreachBatch(
             foreach_batch_upsert(
@@ -1537,11 +1606,27 @@ def q190_stream_heavy_hitters_drain(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.explode(tokens("text")).alias("tok"))
     )
     name = f"q190_drain_{next(_Q190_SEQ)}"
+    # State sizing (round-17 advice closure): this gate's stateful
+    # exchange carries one row per EXPLODED token — orders of
+    # magnitude more than the documents row count the other gates
+    # size by — so the volume estimate is the text column's footer
+    # byte size / 6 (see _token_volume_estimate). The ceiling is the
+    # Misra-Gries BUCKET count: the stateful groupBy keys on the
+    # 8-way hash bucket, so partitions beyond 8 are empty by
+    # construction no matter the token volume.
     sink = drain_snapshot(
         heavy_hitters_stream(tok_stream),
         name,
         output_mode="update",
-        state_partitions=_state_partitions(spark, sf_dir, "documents"),
+        state_partitions=min(
+            8,
+            _state_partitions(
+                spark,
+                sf_dir,
+                "documents",
+                est_rows=_token_volume_estimate(sf_dir),
+            ),
+        ),
     )
     cands = sink.select("tok").distinct()
     items = load_table(spark, sf_dir, "documents").select(

@@ -134,7 +134,22 @@ def release_stream_state(spark) -> None:
     (``StateStore.get`` → ``startMaintenanceIfNeeded``), so this is
     safe between queries — guarded to a no-op while any query is
     still ACTIVE, and failure-tolerant (a Spark-internal rename turns
-    this into a perf regression, never an error)."""
+    this into a perf regression, never an error).
+
+    SINGLE-SESSION ASSUMPTION (round-17 advice closure): the
+    active-query guard checks THIS session's ``spark.streams``, but
+    ``StateStore.stop()`` is JVM-global — a sibling ``newSession()``
+    / separately-built session in the same JVM with its own ACTIVE
+    stateful query would have its live providers unloaded mid-query
+    (checkpointed queries reload the store from the checkpoint on
+    the next batch — a latency hit; a checkpoint-less memory-sink
+    drain in flight could fail its batch). No public JVM-wide
+    active-query enumeration exists (each session owns its
+    ``StreamingQueryManager``), so the guard cannot be widened
+    cheaply; callers running concurrent multi-session streaming in
+    one JVM must skip this call. Every in-repo caller goes through
+    :func:`drain_snapshot`, which this engine runs strictly
+    sequentially within one session (gate + bench contract)."""
     try:
         if spark.streams.active:
             return
@@ -177,7 +192,19 @@ def drain_snapshot(
     partition-count invariant (aggregate / join-pair-set / distinct
     semantics; each gate's docstring carries its own argument), so
     this is a pure physical knob. On a production continuous stream
-    the same knob is sized to expected in-horizon state instead."""
+    the same knob is sized to expected in-horizon state instead.
+
+    NOT THREAD-SAFE (round-17 advice closure): the override mutates
+    the session-global ``spark.sql.shuffle.partitions`` for the
+    start-the-query window, so a batch query PLANNED concurrently in
+    another thread of the same session would silently pick up the
+    drain's state-partition count. The engine's gates and bench run
+    strictly sequentially, where this is sound; a concurrent caller
+    must serialize drains against batch planning (scoping the
+    override via a cloned ``spark.newSession()`` does not work here:
+    the memory sink registers its temp view in the session that
+    starts the query, and the snapshot must be read from — and the
+    view dropped in — that same session)."""
     spark = agg.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)

@@ -312,6 +312,14 @@ def test_bench_host_canary_and_normalizer(tmp_path):
     # … and different ids reject even when totals coincide
     write_pair(dict(payload, run_id="r16aaa"), dict(side, run_id="r16bbb"))
     assert bench._prev_bench(tmp_path)[2] == {}
+    # mixed-era (run_id on exactly one side) is UNPAIRED even with
+    # coinciding totals — both files of one post-r16 run carry the
+    # id, so one-sided presence proves different eras (round-17
+    # advice closure), in both directions
+    write_pair(dict(payload, run_id="r16aaa"), side)
+    assert bench._prev_bench(tmp_path)[2] == {}
+    write_pair(payload, dict(side, run_id="r16bbb"))
+    assert bench._prev_bench(tmp_path)[2] == {}
 
     # normalization arithmetic: host got 1.4x slower uniformly
     prev_times = {"q05": 1.0, "q33": 4.0}
