@@ -19,86 +19,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # NOTE on ordering: the round driver's correctness sweep verifies
     # exactly ``list(QUERIES)[:50]`` in registration order (observed
-    # in CORRECTNESS_r02-r15: keyset == first 50 keys).  Round-16
+    # in CORRECTNESS_r02-r16: keyset == first 50 keys).  Round-17
     # window, by recorded-evidence staleness (computed by folding all
     # CORRECTNESS_r*.json: latest driver-green round per id) —
-    # exactly 50, per the round-15 verdict's ask 1:
+    # exactly 50, per the round-16 verdict's asks 1 and 3:
     # (1) the FULL 49-id cohort whose newest driver evidence is
-    #     round 12: q101-q112, q142-q146, q187-q189, q23-q26,
-    #     q49-q55, q57-q60, q62/q63/q65/q66, q90-q99;
-    # (2) q190 from the round-13 cohort head to fill 50.
+    #     round 13: q147-q164, q27-q43, q56/q61/q64, the seven
+    #     variants (q13_latest, q18_distinct_rows, q25_monthly,
+    #     q29_doc_distinct, q32_keyed, q38_right, q38_cross),
+    #     q01-q04;
+    # (2) q145, FORCED in ahead of its cohort in place of the q05
+    #     filler: it is the registry's only red driver row
+    #     (CORRECTNESS_r16 hash-only fail, locally bit-identical in
+    #     four configurations), re-gated this round after the rule-8
+    #     raw-IEEE z fix — the staleness rotation alone would not
+    #     revisit it for ~3 rounds.
     # After this window lands, no oracled id's driver evidence is
-    # older than round 13 — the final leg of the rotation's steady
-    # state (every cohort re-proven within ~4 rounds).  q165 is
-    # rows-only and BY POLICY stays below the window
-    # (test_registry_oracle_consistency) — a rows-only id in the
-    # window would spend a hash slot on the weaker check.  The cut
-    # falls after q190; the r13 cohort remainder leads the below-cut
-    # block and rotates in next round, then the r14-window cohort,
-    # then the r15-window cohort (freshest: q191-q193, q181-q186,
-    # q113-q141, q12-q22, q100 — all driver-green in
-    # CORRECTNESS_r15).
+    # older than round 14.  q165 is rows-only and BY POLICY stays
+    # below the window (test_registry_oracle_consistency) — a
+    # rows-only id in the window would spend a hash slot on the
+    # weaker check.  The cut falls after q145; the r14-window cohort
+    # leads the below-cut block and rotates in next round, then the
+    # r15-window cohort, then the r16-window cohort (freshest:
+    # q101-q112, q142-q144, q146, q187-q190, q23-q26, q49-q55,
+    # q57-q60, q62/q63/q65/q66, q90-q99 — all driver-green in
+    # CORRECTNESS_r16 except q145, which re-gates now).
     # Everything below the cut is re-verified every round by
     # tools/verify_local.py (full-keyset sweep) and pytest until it
     # rotates back in.
     # Ordering is registration metadata only; no plan changes.
-    # ---- last recorded driver-green: round 12 (full cohort, 49 ids)
-    "q101": advanced.q101_largest_remainder,
-    "q102": advanced.q102_group_mode,
-    "q103": advanced.q103_ratio_to_report,
-    "q104": advanced.q104_skew_report,
-    "q105": calaccess.q105_calaccess_latest,
-    "q106": advanced.q106_triangle_count,
-    "q107": advanced.q107_priority_sample,
-    "q108": advanced.q108_funnel,
-    "q109": advanced.q109_retention_cohorts,
-    "q110": advanced.q110_cdc_chunks,
-    "q111": advanced.q111_merkle_diff,
-    "q112": calaccess.q112_amendment_deltas,
-    "q142": advanced.q142_ewma_signal,
-    "q143": advanced.q143_chi_squared,
-    "q144": advanced.q144_tvd_drift,
-    "q145": advanced.q145_mannwhitney_u,
-    "q146": advanced.q146_containment_decontam,
-    "q187": extensions.q187_stream_session_drain,
-    "q188": extensions.q188_stream_stream_join_drain,
-    "q189": advanced.q189_bpe_encode,
-    "q23": etl.q23_math_funcs,
-    "q24": etl.q24_date_parse,
-    "q25": etl.q25_date_funcs,
-    "q26": etl.q26_null_semantics,
-    "q49": extensions.q49_string_agg,
-    "q50": extensions.q50_bit_bool_aggs,
-    "q51": extensions.q51_local_supplier_volume,
-    "q52": extensions.q52_interval_join,
-    "q53": extensions.q53_small_order_revenue,
-    "q54": extensions.q54_token_stats,
-    "q55": extensions.q55_quality_counts,
-    "q57": breadth.q57_gap_fill_locf,
-    "q58": breadth.q58_doc_chunking,
-    "q59": breadth.q59_repetition_quality,
-    "q60": breadth.q60_pii_redact,
-    "q62": breadth.q62_stats_moments,
-    "q63": breadth.q63_explode_outer,
-    "q65": breadth.q65_pipeline_counts,
-    "q66": breadth.q66_media_meta,
-    "q90": advanced.q90_profile_report,
-    "q91": advanced.q91_jaccard_prefix_filter,
-    "q92": advanced.q92_text_quality,
-    "q93": advanced.q93_langid_confusion,
-    "q94": advanced.q94_simhash_pairs,
-    "q95": advanced.q95_minhash_lsh_pairs,
-    "q96": advanced.q96_components_rollup,
-    "q97": advanced.q97_grouped_percentiles,
-    "q98": advanced.q98_weighted_median,
-    "q99": advanced.q99_snapshot_diff,
-    # ---- round-13 cohort head (fills the window to 50)
-    "q190": extensions.q190_stream_heavy_hitters_drain,
-    # ---- driver cut (first 50 ids above) ----
-    # q165 is rows-only (no oracle) — held below the cut by policy;
-    # its pytest twin proves the PAVA fit (see §2.6).
-    "q165": advanced.q165_isotonic_calibration,
-    # r13 cohort remainder (rotates in next round)
+    # ---- last recorded driver-green: round 13 (full cohort, 49 ids)
     "q147": advanced.q147_hop_distance,
     "q148": advanced.q148_benford_test,
     "q149": advanced.q149_golden_record,
@@ -148,6 +98,12 @@ QUERIES: dict[str, QueryFn] = {
     "q02": relational.q02_filter_project,
     "q03": relational.q03_sort_multikey,
     "q04": relational.q04_limit_offset,
+    # ---- q145: forced re-gate (see NOTE (2) above)
+    "q145": advanced.q145_mannwhitney_u,
+    # ---- driver cut (first 50 ids above) ----
+    # q165 is rows-only (no oracle) — held below the cut by policy;
+    # its pytest twin proves the PAVA fit (see §2.6).
+    "q165": advanced.q165_isotonic_calibration,
     # ---- r14-window cohort (driver-green in r14)
     "q05": relational.q05_groupby_agg,
     "q06": relational.q06_groupby_having,
@@ -250,6 +206,56 @@ QUERIES: dict[str, QueryFn] = {
     "q21": etl.q21_string_funcs,
     "q22": etl.q22_regex_clean_fingerprint,
     "q100": advanced.q100_vocab_coverage,
+    # ---- r16-window cohort (driver-green in r16; q145 excepted — re-gating)
+    "q101": advanced.q101_largest_remainder,
+    "q102": advanced.q102_group_mode,
+    "q103": advanced.q103_ratio_to_report,
+    "q104": advanced.q104_skew_report,
+    "q105": calaccess.q105_calaccess_latest,
+    "q106": advanced.q106_triangle_count,
+    "q107": advanced.q107_priority_sample,
+    "q108": advanced.q108_funnel,
+    "q109": advanced.q109_retention_cohorts,
+    "q110": advanced.q110_cdc_chunks,
+    "q111": advanced.q111_merkle_diff,
+    "q112": calaccess.q112_amendment_deltas,
+    "q142": advanced.q142_ewma_signal,
+    "q143": advanced.q143_chi_squared,
+    "q144": advanced.q144_tvd_drift,
+    "q146": advanced.q146_containment_decontam,
+    "q187": extensions.q187_stream_session_drain,
+    "q188": extensions.q188_stream_stream_join_drain,
+    "q189": advanced.q189_bpe_encode,
+    "q23": etl.q23_math_funcs,
+    "q24": etl.q24_date_parse,
+    "q25": etl.q25_date_funcs,
+    "q26": etl.q26_null_semantics,
+    "q49": extensions.q49_string_agg,
+    "q50": extensions.q50_bit_bool_aggs,
+    "q51": extensions.q51_local_supplier_volume,
+    "q52": extensions.q52_interval_join,
+    "q53": extensions.q53_small_order_revenue,
+    "q54": extensions.q54_token_stats,
+    "q55": extensions.q55_quality_counts,
+    "q57": breadth.q57_gap_fill_locf,
+    "q58": breadth.q58_doc_chunking,
+    "q59": breadth.q59_repetition_quality,
+    "q60": breadth.q60_pii_redact,
+    "q62": breadth.q62_stats_moments,
+    "q63": breadth.q63_explode_outer,
+    "q65": breadth.q65_pipeline_counts,
+    "q66": breadth.q66_media_meta,
+    "q90": advanced.q90_profile_report,
+    "q91": advanced.q91_jaccard_prefix_filter,
+    "q92": advanced.q92_text_quality,
+    "q93": advanced.q93_langid_confusion,
+    "q94": advanced.q94_simhash_pairs,
+    "q95": advanced.q95_minhash_lsh_pairs,
+    "q96": advanced.q96_components_rollup,
+    "q97": advanced.q97_grouped_percentiles,
+    "q98": advanced.q98_weighted_median,
+    "q99": advanced.q99_snapshot_diff,
+    "q190": extensions.q190_stream_heavy_hitters_drain,
     # Rows-only demos (no oracle; driver records the weaker check —
     # SURVEY.md §2.6 rows-only list).
     "lsh_minhash_pairs": demos.lsh_minhash_pairs,
