@@ -140,6 +140,50 @@ def _spool_to_arrow(sdf) -> pa.Table:
         shutil.rmtree(tmpd, ignore_errors=True)
 
 
+def _dump_columns(dump_dir: str, qid: str, s_tbl: pa.Table, d_tbl: pa.Table):
+    """Per-column Arrow divergence dump (round-16 verdict missing
+    item 3): when the DRIVER's value hash disagrees with this
+    comparator (q145, r16 — locally bit-identical, driver red,
+    nothing to localize it with), the round record needs WHICH column
+    and WHICH representation diverged. Writes one JSON per id with
+    both engines' exact Arrow types and values — floats carried as
+    (repr, IEEE-754 hex) pairs so a last-bit difference is visible,
+    decimals as strings. Full values for model-sized results
+    (≤ 1000 rows); larger results keep a per-column sha256 over the
+    sorted normalized values plus the first 10, so the dump stays
+    readable for data-sized outputs."""
+    import hashlib
+    import json
+    import struct
+    from pathlib import Path as _P
+
+    def cell(v):
+        v = _norm(v)
+        if isinstance(v, float):
+            return [repr(v), struct.pack(">d", v).hex()]
+        if isinstance(v, tuple):
+            return [cell(x) for x in v]
+        return v
+
+    out = {"qid": qid, "rows": {"spark": s_tbl.num_rows, "duck": d_tbl.num_rows}}
+    for side, tbl in (("spark", s_tbl), ("duck", d_tbl)):
+        cols = {}
+        for f in tbl.schema:
+            vals = sorted(tbl.column(f.name).to_pylist(), key=repr)
+            entry = {"arrow_type": str(f.type), "canon_type": _canon_type(f.type)}
+            if tbl.num_rows <= 1000:
+                entry["values"] = [cell(v) for v in vals]
+            else:
+                entry["sha256"] = hashlib.sha256(
+                    repr([cell(v) for v in vals]).encode()
+                ).hexdigest()
+                entry["head"] = [cell(v) for v in vals[:10]]
+            cols[f.name] = entry
+        out[side] = cols
+    _P(dump_dir).mkdir(parents=True, exist_ok=True)
+    (_P(dump_dir) / f"{qid}.json").write_text(json.dumps(out, indent=1))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -148,6 +192,14 @@ def main() -> int:
         action="store_true",
         help="driver simulation: bare SparkSession + __spark_entry__ "
         "contract instead of the tuned session",
+    )
+    ap.add_argument(
+        "--dump",
+        default=None,
+        metavar="DIR",
+        help="write a per-column Arrow divergence dump (types + "
+        "bit-exact values) for every compared oracled id into DIR — "
+        "the localization artifact for a driver-red hash",
     )
     ap.add_argument("ids", nargs="*", default=None)
     args = ap.parse_args()
@@ -213,6 +265,8 @@ def main() -> int:
             print(f"{qid:18s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
             continue
 
+        if args.dump:
+            _dump_columns(args.dump, qid, s_tbl, d_tbl)
         s_names, s_types, s_rows = _table_info(s_tbl)
         d_names, d_types, d_rows = _table_info(d_tbl)
         status, detail = "OK", ""
