@@ -235,7 +235,12 @@ def test_stdout_line_headroom_at_250_ids():
     # pessimistic: 2.5 s everywhere (today's mean is ~0.9 s), 25
     # heavy ids at 42.3 s (3-digit deciseconds)
     times = {q: 2.5 for q in ids}
-    for q in list(ids)[::10][:25]:
+    # derive the heavy/light witnesses from the sampled set instead
+    # of hardcoding ids: window rotations reorder the registry every
+    # round, so "q05 is heavy" broke in r17 when the cut moved
+    heavy_ids = list(ids)[::10][:25]
+    light_id = next(q for q in ids if q not in heavy_ids)
+    for q in heavy_ids:
         times[q] = 42.3
     out, line = bench._stdout_payload(times, 0.1, "ab12cd34ef")
     assert len(line) < 1950, len(line)
@@ -247,8 +252,8 @@ def test_stdout_line_headroom_at_250_ids():
         decoded = bench._kv_decode(out["queries"])
     else:
         decoded = out["queries"]
-    assert decoded[bench._short_key("q06")] == 25  # 2.5 s → 25 ds
-    assert decoded[bench._short_key("q05")] == 423  # heavy id → 3-digit ds
+    assert decoded[bench._short_key(light_id)] == 25  # 2.5 s → 25 ds
+    assert decoded[bench._short_key(heavy_ids[0])] == 423  # 3-digit ds
     assert len(decoded) == len(ids)
     # tier-3 decode is the exact inverse of the packing
     packed = " ".join(f"{k}:{v}" for k, v in decoded.items())
