@@ -693,3 +693,81 @@ def test_prefix_match_join_left_and_payload_property(spark, case):
     assert left == {
         i: want_inner.get(i, (None, 0, None)) for i in range(len(keys))
     }, (routes, keys)
+
+
+@st.composite
+def _quantile_case(draw):
+    # (group, val, weight) rows: vals dense in a small range so
+    # within-group duplicates and exact den*cum == num*tot ties are
+    # common; negatives exercise floor() bucketing below zero
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.integers(-40, 40),
+                st.integers(1, 9),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    den = draw(st.sampled_from([2, 4, 10]))
+    nums = sorted(
+        {min(draw(st.integers(1, 10)), den) for _ in range(draw(st.integers(1, 3)))}
+    )
+    # width 2 forces the two-level multi-bucket search path; 1024
+    # collapses every group into one (possibly negative) bucket
+    width = draw(st.sampled_from([2.0, 7.0, 1024.0]))
+    return rows, nums, den, width
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_quantile_case())
+def test_exact_quantiles_bucketed_matches_naive_reference(spark, case):
+    """ops/quantile.py's two-level bucket search must equal the naive
+    per-group scan implementing the declared contract — the smallest
+    value whose cumulative weight satisfies den*cum >= num*tot — for
+    every requested fraction, on random weighted tables with
+    duplicate values, negative values, boundary ties, and both
+    multi-bucket and single-bucket widths."""
+    from collections import defaultdict
+
+    from calaspark.ops.quantile import exact_quantiles_bucketed
+
+    rows, nums, den, width = case
+
+    # pure-Python reference at the declared (group, val) grain
+    agg: dict[tuple[int, int], int] = defaultdict(int)
+    for g, v, w in rows:
+        agg[(g, v)] += w
+    per_group: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (g, v), w in agg.items():
+        per_group[g].append((v, w))
+    want = {}
+    for g, vw in per_group.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        for num in nums:
+            cum = 0
+            for v, w in vw:
+                cum += w
+                if den * cum >= num * tot:
+                    want[(g, num)] = (v, tot)
+                    break
+
+    grain = (
+        spark.createDataFrame(rows, "g int, v int, w int")
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    got = {
+        (r["g"], r["_num"]): (r["q"], r["tot"])
+        for r in exact_quantiles_bucketed(
+            grain, "g", "v", "w", nums, den, bucket_width=width
+        ).collect()
+    }
+    assert got == want, (rows, nums, den, width)
