@@ -1095,7 +1095,7 @@ def _state_partitions(
     return max(2, min(cur, math.ceil(n / 25_000)))
 
 
-def _token_volume_estimate(sf_dir: str, table: str = "documents") -> int:
+def _token_volume_estimate(sf_dir: str, table: str = "documents") -> int | None:
     """Footer-only estimate of a text table's EXPLODED token volume,
     for sizing a token-grain stateful exchange (q190 — round-17
     advice closure). The text column's total UNCOMPRESSED byte size
@@ -1105,8 +1105,13 @@ def _token_volume_estimate(sf_dir: str, table: str = "documents") -> int:
     average) bytes/6 is an order-of-magnitude row estimate — which is
     all state sizing needs, since the partition count moves in 25k-row
     steps and is clamped to the bucket-count ceiling at the call
-    site. Falls back to the row count (document grain) if the footer
-    can't be read the pyarrow way (e.g. a multi-file table)."""
+    site. Returns ``None`` when the single-file pyarrow read fails
+    (e.g. a MULTI-FILE table — exactly the shape a large corpus has):
+    ``est_rows=None`` makes :func:`_state_partitions` fall back to
+    the Spark footer row count, which reads multi-file directories
+    natively and stays volume-proportional — a constant floor here
+    would quietly collapse a big table's token-grain state onto 2
+    partitions."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
@@ -1121,7 +1126,7 @@ def _token_volume_estimate(sf_dir: str, table: str = "documents") -> int:
                 return max(1, tot // 6)
         return md.num_rows
     except Exception:  # noqa: BLE001 — sizing heuristic, never fatal
-        return 1
+        return None
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
