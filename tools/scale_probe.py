@@ -20,9 +20,17 @@ Replication is SHAPE-PRESERVING, not copy-paste:
   more data" workload near-dup throughput must be judged on; naive
   duplication would instead create mult-sized artificial cliques and
   quadratic pair growth). doc_id shifts by r*OFF; n_chars recomputed.
-- embeddings: vec_id shifts; dimension 0 perturbed by r*1e-4 so
-  replicas are near-identical-but-distinct points (ANN structures
-  see a denser space, not degenerate exact ties).
+- embeddings: vec_id shifts; each replica applies a PER-REPLICA
+  ISOMETRY (circular coordinate shift by r plus an r-parity sign
+  flip): within-replica cosines are preserved EXACTLY, so the
+  near-dup/ANN structure of every replica is isomorphic to the
+  original corpus, while cross-replica cosines decorrelate to noise
+  — true pair volume scales exactly *mult. (A small additive
+  perturbation instead piles all replicas of a vector into one grid
+  cell and grows the TRUE near-dup output quadratically — measured
+  on q73: 21x time at 16x data, all of it genuine output volume,
+  none of it engine; the isometry design is what "same shape, k
+  times more data" means in cosine space.)
 - events: event_id AND user_id shift — the user universe grows with
   volume, so per-key streaming state parallelism is stressed the way
   a real higher-rate stream stresses it; the time horizon is kept,
@@ -63,7 +71,8 @@ OFF = 10_000_000
 
 
 def build_scaled_dir(spark, sf_dir: str, mult: int) -> str:
-    out = Path(f"/tmp/calaspark_scale_{Path(sf_dir).name}_x{mult}")
+    # v2: embedding replication switched to the per-replica isometry
+    out = Path(f"/tmp/calaspark_scale_{Path(sf_dir).name}_x{mult}_v2")
     marker = out / "_SCALED_OK"
     if marker.exists():
         return str(out)
@@ -98,16 +107,30 @@ def build_scaled_dir(spark, sf_dir: str, mult: int) -> str:
     )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(
+        e.select("embedding").head()["embedding"]
+    )  # model-sized peek: one row
+    # circular shift by (r mod dim), then flip the sign of every
+    # other coordinate for odd r — an exact isometry per replica
+    shift = F.pmod(F.col("_rep"), F.lit(dim))
+    shifted = F.when(shift == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), shift + 1, F.lit(dim) - shift),
+            F.slice(F.col("embedding"), 1, shift),
+        )
+    )
+    iso = F.transform(
+        shifted,
+        lambda x, i: F.when(
+            (F.pmod(F.col("_rep"), F.lit(2)) == 1) & (F.pmod(i, F.lit(2)) == 1),
+            (-x).cast("float"),
+        ).otherwise(x),
+    )
     (
         e.crossJoin(reps)
         .select(
             (F.col("vec_id") + F.col("_rep") * OFF).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: F.when(
-                    i == 0, (x + F.col("_rep") * F.lit(1e-4)).cast("float")
-                ).otherwise(x),
-            ).alias("embedding"),
+            iso.alias("embedding"),
             "label",
         )
         .repartition(max(4, mult))
