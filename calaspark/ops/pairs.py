@@ -67,15 +67,36 @@ def triangle_block_pairs(
     )
 
 
+def auto_block_dims(n: int, base: int = 3, cap: int = 6) -> int:
+    """Density-adaptive grid dimensionality for
+    :func:`grid_cosine_pairs`: one extra blocked dimension per ~64x
+    corpus growth past 8k rows.
+
+    The trade: each extra dimension multiplies the exploded side's
+    replication by 3 but divides dense cells' candidate volume by
+    the per-axis cell selectivity — so the right ``block_dims``
+    GROWS with corpus density. Measured on a 64-dim near-uniform
+    corpus (round-17 scale probes): at 4k rows bd=3 ≈ bd=4 (wash),
+    at 64k rows bd=4 is ~32% faster than bd=3 (40 s → 26 s) and
+    bd=5 already over-replicates (29 s) — hence thresholds at
+    8k, 8k*64, 8k*64^2, ... capped at ``cap``."""
+    bd, t = base, 8000
+    while n > t and bd < cap:
+        bd += 1
+        t *= 64
+    return bd
+
+
 def grid_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
     threshold: float = 0.95,
-    block_dims: int = 3,
+    block_dims: int | None = 3,
     prefilter_dims: int = 16,
     slack: float = 1e-6,
     n_salts: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine near-dup pairs (sim ≥ ``threshold``)
     via guaranteed-recall grid blocking — the exact twin of
@@ -104,7 +125,10 @@ def grid_cosine_pairs(
     near-uniform corpus the normalized coordinates concentrate near
     0 and the grid degrades gracefully toward banded all-pairs —
     still shuffle-balanced, never a cartesian. ``block_dims`` trades
-    replication against cell selectivity.
+    replication against cell selectivity; pass ``block_dims=None``
+    to derive it from corpus size via :func:`auto_block_dims`
+    (supply ``n_rows`` — e.g. a parquet footer count — to avoid the
+    one count() job the derivation otherwise runs).
 
     ``prefilter_dims``: the same triangle bound, applied as a CHEAP
     necessary-condition conjunct before the O(dim) verify — a
@@ -130,6 +154,9 @@ def grid_cosine_pairs(
     flops) are what to optimize next on a degraded corpus.
     """
     import math
+
+    if block_dims is None:
+        block_dims = auto_block_dims(n_rows if n_rows is not None else emb.count())
 
     def _dot(x, y):
         return F.aggregate(

@@ -1114,11 +1114,20 @@ def q73_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
     pert = F.zip_with("e", rot, lambda a, b: a + F.lit(0.02) * b)
     dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
+    # block_dims derives from the corpus size (2x the footer row
+    # count — the perturbed-twin union): 3 at every gate SF (plan
+    # unchanged there), one more dimension per ~64x growth past 8k
+    # rows, where denser cells make the extra 3x replication win
+    # (round-17 scale probes: 40 s -> 26 s at a 64k corpus). The
+    # count() below is parquet footer metadata, not a scan.
+    n_corpus = 2 * spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     pairs = grid_cosine_pairs(
         materialize(e.unionAll(dup)),
         id_col="vec_id",
         vec_col="e",
-        threshold=0.95
+        threshold=0.95,
+        block_dims=None,
+        n_rows=n_corpus,
     )
     return pairs.select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")

@@ -670,6 +670,33 @@ def test_grid_cosine_pairs_equals_brute_force(spark):
         ).collect()
     }
     assert got == expected
+    # the auto path (block_dims=None) must be exact too — recall is
+    # guaranteed at ANY block_dims by the triangle bound, the auto
+    # rule only moves the replication/selectivity trade
+    got_auto = {
+        (r["id_a"], r["id_b"])
+        for r in grid_cosine_pairs(
+            df, id_col="vec_id", vec_col="e", threshold=tau,
+            block_dims=None, prefilter_dims=4, n_rows=len(base),
+        ).collect()
+    }
+    assert got_auto == expected
+
+
+def test_auto_block_dims_thresholds():
+    """The density ladder: 3 through the gate SFs (so every gate
+    plan is unchanged by the auto rule), +1 per 64x past 8k, capped."""
+    from calaspark.ops.pairs import auto_block_dims
+
+    assert auto_block_dims(0) == 3
+    assert auto_block_dims(4000) == 3  # q73 corpus at sf0.1
+    assert auto_block_dims(8000) == 3
+    assert auto_block_dims(8001) == 4
+    assert auto_block_dims(64000) == 4  # the measured 40s -> 26s point
+    assert auto_block_dims(8000 * 64) == 4
+    assert auto_block_dims(8000 * 64 + 1) == 5
+    assert auto_block_dims(8000 * 64 * 64 + 1) == 6
+    assert auto_block_dims(10**12) == 6  # capped
 
 
 def test_pointer_jump_depths_chain_and_forest(spark):
