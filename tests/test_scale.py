@@ -417,3 +417,73 @@ def test_round_tie_audit_benign_gate_is_per_divergence():
     assert not _is_benign("q192", ("div", 18.27125, 4, 18.2713, 18.2712))
     # the emulation the gate is built on: the canonical q192 find
     assert spark_emu(18.27125, 4) == 18.2713
+
+
+def test_scale_probe_replication_invariants(spark):
+    """tools/scale_probe.build_scaled_dir must produce the documented
+    shape-preserving replication: exact row multiples with re-keyed
+    ids, DISJOINT per-replica token universes for documents, an exact
+    ISOMETRY per embedding replica (norms agree to 1e-6 — float
+    re-association, not bit drift), a grown events user universe;
+    unscaled tables symlink."""
+    import math
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import scale_probe
+
+    sf = "/root/testdata/sf0.001"
+    scaled = scale_probe.build_scaled_dir(spark, sf, 2)
+
+    import pyspark.sql.functions as F
+
+    d0 = spark.read.parquet(f"{sf}/documents.parquet")
+    d2 = spark.read.parquet(f"{scaled}/documents.parquet")
+    n0 = d0.count()
+    assert d2.count() == 2 * n0
+    # replica ids occupy disjoint ranges
+    assert d2.filter(F.col("doc_id") >= scale_probe.OFF).count() == n0
+    # token universes are disjoint across replicas
+    toks = d2.select(
+        (F.col("doc_id") >= scale_probe.OFF).alias("rep1"),
+        F.explode(F.split("text", r"[\t\n\f\r ]")).alias("t"),
+    ).filter(F.length("t") > 0)
+    both = (
+        toks.groupBy("t")
+        .agg(F.countDistinct("rep1").alias("nrep"))
+        .filter(F.col("nrep") > 1)
+        .count()
+    )
+    assert both == 0
+
+    e0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e2 = spark.read.parquet(f"{scaled}/embeddings.parquet")
+    assert e2.count() == 2 * e0.count()
+    # isometry: norm of every replica-1 vector equals its source's
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    src = {r["vec_id"]: r["n"] for r in e0.select("vec_id", norm.alias("n")).collect()}
+    rep = {
+        r["vec_id"] - scale_probe.OFF: r["n"]
+        for r in e2.filter(F.col("vec_id") >= scale_probe.OFF)
+        .select("vec_id", norm.alias("n"))
+        .collect()
+    }
+    assert set(src) == set(rep)
+    assert all(math.isclose(src[k], rep[k], rel_tol=1e-6) for k in src)
+
+    ev2 = spark.read.parquet(f"{scaled}/events.parquet")
+    from calaspark.tables import load_table
+
+    ev0 = load_table(spark, sf, "events")
+    assert ev2.count() == 2 * ev0.count()
+    u0 = ev0.select("user_id").distinct().count()
+    assert ev2.select("user_id").distinct().count() == 2 * u0
+    # unscaled tables symlink to the originals
+    assert (Path(scaled) / "orders.parquet").is_symlink()
