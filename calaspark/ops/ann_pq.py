@@ -143,18 +143,26 @@ def _adc_score(model: PqModel, probe_unit: "np.ndarray"):
     ``element_at`` lookups — whole-stage-codegen, no Python."""
     books = model.books
     m, _, dsub = books.shape
-    dot_terms = None
-    nrm_terms = None
+
+    def lut_sql(vals) -> str:
+        # repr doubles parse correctly rounded → bit-identical to the
+        # former F.lit path (round-17 expression-build fix: the two
+        # m×ksub literal LUTs cost ~300 py4j round-trips ≈ 0.7 s of
+        # driver time per build as Column trees; ONE parse now).
+        return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    dot_parts, nrm_parts = [], []
     for j in range(m):
         qj = probe_unit[j * dsub : (j + 1) * dsub]
-        lut_dot = F.array(*[F.lit(float(c @ qj)) for c in books[j]])
-        lut_nrm = F.array(*[F.lit(float(c @ c)) for c in books[j]])
-        code_j = F.element_at("codes", j + 1) + F.lit(1)  # 1-based
-        td = F.element_at(lut_dot, code_j)
-        tn = F.element_at(lut_nrm, code_j)
-        dot_terms = td if dot_terms is None else dot_terms + td
-        nrm_terms = tn if nrm_terms is None else nrm_terms + tn
-    nrm = F.sqrt(nrm_terms)
+        code_j = f"(element_at(`codes`, {j + 1}) + 1)"  # 1-based
+        dot_parts.append(
+            f"element_at({lut_sql([c @ qj for c in books[j]])}, {code_j})"
+        )
+        nrm_parts.append(
+            f"element_at({lut_sql([c @ c for c in books[j]])}, {code_j})"
+        )
+    dot_terms = F.expr(" + ".join(dot_parts))
+    nrm = F.sqrt(F.expr(" + ".join(nrm_parts)))
     return dot_terms / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
 
 
@@ -187,7 +195,9 @@ def pq_topk(
     vec = F.col(vec_col)
     nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
     exact = F.round(
-        _dot_probe(vec, qu) / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm), 4
+        _dot_probe(vec_col, qu)
+        / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
+        4,
     )
     return (
         emb.join(pool.select(id_col), id_col, "left_semi")
@@ -274,7 +284,9 @@ def ivfpq_topk(
     vec = F.col(vec_col)
     nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
     exact = F.round(
-        _dot_probe(vec, qu) / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm), 4
+        _dot_probe(vec_col, qu)
+        / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
+        4,
     )
     return (
         emb.join(pool.select(id_col), id_col, "left_semi")

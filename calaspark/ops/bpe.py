@@ -185,8 +185,18 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(_chars(F.col("w")).alias("syms"), "n")
     ).persist()
-    dict_df.count()  # materialize the corpus scan once
     merges: list[tuple[int, str, str, int]] = []
+    # ONE Spark job per round (round-17 job fusion): each round's
+    # argmax collect is the round's only action — it materializes the
+    # (lazily persisted) current dictionary generation as a side
+    # effect, so the former per-round `count()` job and the final
+    # round's never-consumed merge rewrite are gone (8 rounds: 17
+    # jobs → 9). The parent generation stays cached until the child
+    # HAS been materialized by the next collect (unpersisting it
+    # earlier would force the child's first action to recompute the
+    # whole merge chain from the corpus scan), hence the
+    # two-generation `prev` window.
+    prev = None  # cached parent generation backing dict_df's lineage
     try:
         for r in range(1, n_merges + 1):
             pairs = (
@@ -213,19 +223,24 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # dict_df's partitions are cached now — release the parent
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not pairs:
                 break
             best = pairs[0]
             merges.append((r, best["l"], best["r"], int(best["c"])))
-            nxt = dict_df.select(
-                _merge_pair(F.col("syms"), best["l"], best["r"]).alias(
-                    "syms"
-                ),
-                "n",
-            ).persist()
-            nxt.count()
-            dict_df.unpersist()
-            dict_df = nxt
+            if r < n_merges:  # the final merge is never consumed
+                nxt = dict_df.select(
+                    _merge_pair(F.col("syms"), best["l"], best["r"]).alias(
+                        "syms"
+                    ),
+                    "n",
+                ).persist()
+                prev, dict_df = dict_df, nxt
     finally:
         dict_df.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges

@@ -118,6 +118,13 @@ def connected_components(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # NO distinct here (round-17: one Exchange per round removed):
+        # duplicate (u, v) rows — two centers re-attaching the same
+        # neighbor to the same min — change neither mins2's MIN nor
+        # the e2 set, because the small-star groupBy dedups map-side
+        # and e2 keeps its own distinct. Volume is bounded by |sym|
+        # (each sym row emits ≤ 1 row), so the multiset never exceeds
+        # what the removed shuffle itself had to carry.
         e1 = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -125,7 +132,6 @@ def connected_components(
                 F.col("v").alias("u"),
                 F.least("mn", F.col("u")).alias("v"),
             )
-            .distinct()
         )
         # ---- small-star: per source n (all targets below n), emit
         # (t, m) for t ∈ targets(n) ∪ {n}, t ≠ m, m = min target.
@@ -163,14 +169,14 @@ def connected_components(
             stacklevel=2,
         )
     # Final stars: source → root; roots and isolated vertices (e.g.
-    # self-pair input) label themselves. The min-aggregate is a
-    # no-op on a converged star set (one target per source) but
-    # keeps the unconverged partial result one-row-per-vertex.
-    star = (
-        e.select(F.col("u").alias("v"), F.col("v").alias("comp"))
-        .groupBy("v")
-        .agg(F.min("comp").alias("comp"))
-    )
+    # self-pair input) label themselves. On a CONVERGED star set the
+    # probe has just proven one target per source, so the
+    # min-aggregate is skipped outright (round-17: one shuffle per
+    # call removed); it is kept only for the unconverged partial
+    # result, where it keeps the output one-row-per-vertex.
+    star = e.select(F.col("u").alias("v"), F.col("v").alias("comp"))
+    if not converged:
+        star = star.groupBy("v").agg(F.min("comp").alias("comp"))
     return verts.join(star, "v", "left").select(
         F.col("v").alias("vertex"),
         F.coalesce("comp", F.col("v")).alias("comp"),

@@ -37,6 +37,35 @@ from .materialize import materialize
 _I64_MAX = (1 << 63) - 1
 
 
+def _f64_sql(x: float) -> str:
+    """Exact SQL double literal: ``repr`` is the shortest decimal that
+    round-trips, and Spark parses double literals correctly rounded,
+    so the parsed value is BIT-IDENTICAL to ``F.lit(float(x))``
+    (verified incl. -0.0 / denormals / max double)."""
+    return f"{float(x)!r}D"
+
+
+def _f64_array_sql(xs) -> str:
+    """SQL text of a literal double array.
+
+    ONE py4j round-trip regardless of length — the optimization-round
+    fix for the measured driver cost of ``F.array(*[F.lit(x) ...])``
+    (~1 ms/py4j call × dim × planes: ann_recall spent 9 s of its
+    12 s building expression trees; guide §1 "measure first" + §7.3
+    driver-side work)."""
+    return "array(" + ",".join(_f64_sql(x) for x in xs) + ")"
+
+
+def _dot_lit_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of the index-ordered double dot product of an array
+    column with a literal plane vector — same fold expression
+    :func:`_dot_lit` built column-by-column."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_f64_array_sql(plane)}, "
+        f"(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def _dot_lit(e: Column, plane: list[float]) -> Column:
     """Index-ordered double dot product of an array column with a
     literal plane vector."""
@@ -155,17 +184,18 @@ def minhash_signatures(
       win every lane), so band hashes collide across barely-similar
       docs and the candidate set explodes (7× slower at t=0.5).
     """
-    def lane(i: int) -> Column:
-        # closure-bind i: PySpark derives the JVM lambda's arity from
-        # the Python signature, so the fold fn must take exactly 2 args
-        return F.aggregate(
-            F.col(tokens_col),
-            F.lit(_I64_MAX),
-            lambda acc, t: F.least(acc, F.xxhash64(F.lit(i), t)),
-        )
-
-    sig = F.array(*[lane(i) for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    # The whole signature array is ONE parsed expression (single py4j
+    # round-trip) instead of num_hashes Column-built folds (~50 ms of
+    # driver time per build, paid on every bench run and every
+    # consumer — the round-17 expression-build fix; semantics
+    # unchanged: int literal seed + L-suffixed long init match the
+    # former F.lit types exactly).
+    lanes = ",".join(
+        f"aggregate(`{tokens_col}`, {_I64_MAX}L, "
+        f"(acc, t) -> least(acc, xxhash64({i}, t)))"
+        for i in range(num_hashes)
+    )
+    return docs.select(F.col(id_col), F.expr(f"array({lanes})").alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -197,21 +227,22 @@ def minhash_candidate_pairs(
     from .materialize import materialize
 
     assert bands * rows_per_band <= 64  # keep within a demo signature
+    # One parsed expression for the whole band array (expression-build
+    # fix, see minhash_signatures): `sig[i]` is GetArrayItem exactly
+    # like .getItem(i), the int seed literal matches F.lit(j).
     band = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band_id"),
-                    F.xxhash64(
-                        F.lit(j),
-                        *[
-                            F.col("sig").getItem(j * rows_per_band + r)
-                            for r in range(rows_per_band)
-                        ],
-                    ).alias("band_hash"),
+        F.expr(
+            "array("
+            + ",".join(
+                f"struct({j} AS band_id, xxhash64({j}, "
+                + ",".join(
+                    f"`sig`[{j * rows_per_band + r}]"
+                    for r in range(rows_per_band)
                 )
+                + ") AS band_hash)"
                 for j in range(bands)
-            ]
+            )
+            + ")"
         )
     )
     b = materialize(
@@ -381,13 +412,19 @@ def hyperplane_buckets(
     probability; bucket cardinality ≈ n / 2^nbits controls candidate
     volume. Pure projection — the planes are plan literals."""
     planes = _planes(dim, nbits, seed)
-    bucket = None
-    for i, p in enumerate(planes):
-        bit = F.when(_dot_lit(F.col(vec_col), p) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    # The whole bucket expression parses as ONE py4j round-trip
+    # (expression-build fix): previously nbits × (dim F.lit calls +
+    # fold construction) ≈ 2.6 s of pure driver time per build for
+    # nbits=12/dim=64 (measured via cProfile in ann_recall). CASE WHEN
+    # mirrors F.when/otherwise; bare int literals match F.lit's types.
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(f'`{vec_col}`', p)} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket).alias("bucket")
+    )
 
 
 def ann_topk_lsh(
@@ -494,19 +531,20 @@ def simhash64(
     h = docs.select(F.col(id_col), F.explode(tokens_col).alias("t")).select(
         id_col, F.xxhash64("t").alias("h")
     )
-    votes = [
-        F.sum(
-            F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{i}")
+    # All 64 vote sums AND the fingerprint assembly in ONE parsed
+    # aggregate expression (expression-build fix — the Column-built
+    # form cost ~500 py4j round-trips ≈ 0.6 s of driver time per
+    # build). shiftleft(bit, i) equals bit·2^i for i < 63 and the
+    # two's-complement negative weight at i = 63 (1L<<63 is the min
+    # long), so every term matches the former bit·F.lit(±2^i)
+    # bit for bit; the plan fuses assembly into the aggregate's
+    # result projection — same shuffle (64 int partials per id).
+    terms = " + ".join(
+        "shiftleft(CASE WHEN sum(((shiftright(`h`, {i}) & 1) * 2) - 1) > 0 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, {i})".format(i=i)
         for i in range(64)
-    ]
-    v = h.groupBy(id_col).agg(*votes)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = bit * F.lit(-(1 << 63) if i == 63 else 1 << i)
-        sim = term if sim is None else sim + term
-    return v.select(F.col(id_col), sim.alias("simhash"))
+    )
+    return h.groupBy(id_col).agg(F.expr(terms).alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -629,7 +629,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = qrows[probe]
         qn = math.sqrt(sum(x * x for x in qv)) or 1.0
         qu = np.asarray([x / qn for x in qv], dtype="float64")
-        sim = _dot_probe(F.col("e"), qu) / F.when(
+        sim = _dot_probe("e", qu) / F.when(
             F.col("nrm") == 0.0, F.lit(1.0)
         ).otherwise(F.col("nrm"))
         exact_branches.append(
@@ -637,13 +637,6 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(10)
         )
-    exact_by_probe: dict[int, set] = {p: set() for p in probes}
-    if exact_branches:
-        u = exact_branches[0]
-        for b in exact_branches[1:]:
-            u = u.unionAll(b)
-        for r in u.collect():
-            exact_by_probe[r["probe"]].add(r["vec_id"])
 
     # Round-8 (verdict #5): IVF is measured across the nprobe
     # OPERATING CURVE — recall@10 vs scan_frac (= nprobe/n_cells,
@@ -692,7 +685,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
         )
         sim = F.round(
-            _dot_probe(F.col("e"), qu)
+            _dot_probe("e", qu)
             / F.when(vnrm == 0.0, F.lit(1.0)).otherwise(vnrm),
             4,
         )
@@ -710,17 +703,105 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcell = _W.partitionBy("probe", "cell").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
-    cell_top = [
-        r
-        for r in u2.withColumn("rk", F.row_number().over(wcell))
+    cells_df = (
+        u2.withColumn("rk", F.row_number().over(wcell))
         .filter(F.col("rk") <= 10)
-        .collect()
+        .select("probe", "vec_id", "cell", "sim")
+    )
+
+    # ONE collect for EVERY candidate list the harness compares
+    # (round-17 job fusion, guide §2.6 overlap-independent-jobs): the
+    # per-probe exact top-10s, the per-(probe, cell) top-10s, and the
+    # six per-(probe, family) top-10s used to run as NINE sequential
+    # collect jobs (~1 s fixed cost each on the measured profile —
+    # job-sum 2 s vs 9 s wall, the rest driver+scheduling); they are
+    # independent branches by construction, so a tagged union computes
+    # them all in a single Spark job with identical per-branch plans.
+    def _tag(kind: str, meth: str | None, probe: int, df, with_cells=False):
+        return df.select(
+            F.lit(kind).alias("k"),
+            (F.lit(meth) if meth is not None else F.lit(None)).cast(
+                "string"
+            ).alias("m"),
+            F.lit(probe).alias("p"),
+            F.col("vec_id"),
+            (F.col("cell") if with_cells else F.lit(None).cast("int")).alias(
+                "cell"
+            ),
+            (F.col("sim") if with_cells else F.lit(None).cast("double")).alias(
+                "sim"
+            ),
+        )
+
+    all_branches = [
+        _tag("exact", None, probe, b)
+        for probe, b in zip(probes, exact_branches)
     ]
+    all_branches.append(
+        cells_df.select(
+            F.lit("cell").alias("k"),
+            F.lit(None).cast("string").alias("m"),
+            F.col("probe").alias("p"),
+            "vec_id",
+            "cell",
+            "sim",
+        )
+    )
+    for probe in probes:
+        all_branches.append(
+            _tag("fam", "lsh", probe, ann_topk_lsh(e, probe_id=probe, k=10))
+        )
+        all_branches.append(
+            _tag(
+                "fam",
+                "pq",
+                probe,
+                pq_topk(
+                    e,
+                    pq_codes,
+                    pq_model,
+                    np.asarray(qrows[probe], "float64"),
+                    k=10,
+                ),
+            )
+        )
+        all_branches.append(
+            _tag(
+                "fam",
+                "ivfpq",
+                probe,
+                ivfpq_topk(
+                    ipq_cc,
+                    e,
+                    ipq_model,
+                    ipq_cents,
+                    np.asarray(qrows[probe], "float64"),
+                    k=10,
+                    nprobe=4,
+                ),
+            )
+        )
+    mega = all_branches[0]
+    for b in all_branches[1:]:
+        mega = mega.unionAll(b)
+    collected = mega.collect()
+    exact_by_probe: dict[int, set] = {p: set() for p in probes}
+    fam_sets: dict[tuple, set] = {
+        (m, p): set() for p in probes for m in ("lsh", "pq", "ivfpq")
+    }
+    cell_top = []
+    for r in collected:
+        if r["k"] == "exact":
+            exact_by_probe[r["p"]].add(r["vec_id"])
+        elif r["k"] == "cell":
+            cell_top.append(r)
+        else:
+            fam_sets[(r["m"], r["p"])].add(r["vec_id"])
 
     rows = []
     for probe in probes:
         exact = exact_by_probe[probe]
-        mine = [r for r in cell_top if r["probe"] == probe]
+        mine = [r for r in cell_top if r["p"] == probe]
         for nprobe in (1, 2, 4, 8, 16):
             chosen = set(cell_order[probe][:nprobe])
             merged = sorted(
@@ -731,30 +812,11 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(
                 ("ivf", probe, nprobe, nprobe / n_cells, len(exact & ivf))
             )
-        lsh = {
-            r["vec_id"]
-            for r in ann_topk_lsh(e, probe_id=probe, k=10).collect()
-        }
+        lsh = fam_sets[("lsh", probe)]
         rows.append(("lsh", probe, None, None, len(exact & lsh)))
-        pq = {
-            r["vec_id"]
-            for r in pq_topk(
-                e, pq_codes, pq_model, np.asarray(qrows[probe], "float64"), k=10
-            ).collect()
-        }
+        pq = fam_sets[("pq", probe)]
         rows.append(("pq", probe, None, None, len(exact & pq)))
-        ivfpq = {
-            r["vec_id"]
-            for r in ivfpq_topk(
-                ipq_cc,
-                e,
-                ipq_model,
-                ipq_cents,
-                np.asarray(qrows[probe], "float64"),
-                k=10,
-                nprobe=4,
-            ).collect()
-        }
+        ivfpq = fam_sets[("ivfpq", probe)]
         rows.append(("ivfpq", probe, 4, 4 / n_cells, len(exact & ivfpq)))
         # SELF-RETRIEVAL gates (round-10 verdict #6, made scale-free):
         # the probe vector is IN the corpus, so every family must
