@@ -41,6 +41,13 @@ def triangle_block_pairs(
     orientation follows bucket order — callers wanting a canonical
     (lo, hi) id pair use ``least``/``greatest``.
     """
+    # Explicit user repartition on the group key (round-17, guide
+    # §2.5): the bucketed rows are tiny, so AQE's byte-based
+    # coalescing would collapse the quadratic compare stage onto one
+    # task (measured on q33's twin of this plan: one 3.15 s task while
+    # 31 cores idled). User-specified partitioning is never coalesced;
+    # 4× the group count spreads groups nearly collision-free.
+    n_parts = 4 * (n_buckets * (n_buckets + 1) // 2)
     bucketed = df.withColumn(
         "_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     )
@@ -49,6 +56,7 @@ def triangle_block_pairs(
             "_pj", F.explode(F.sequence(F.col("_bkt"), F.lit(n_buckets - 1)))
         )
         .withColumnRenamed("_bkt", "_pi")
+        .repartition(n_parts, "_pi", "_pj")
         .alias("a")
     )
     b = (
@@ -56,6 +64,7 @@ def triangle_block_pairs(
             "_pi", F.explode(F.sequence(F.lit(0), F.col("_bkt")))
         )
         .withColumnRenamed("_bkt", "_pj")
+        .repartition(n_parts, "_pi", "_pj")
         .alias("b")
     )
     return a.join(
@@ -209,22 +218,39 @@ def grid_cosine_pairs(
     # exploded across all S — each unordered pair still meets in
     # exactly one (cells, salt) group, candidates are unchanged, and
     # the pair-enumeration work fans out S× wider.
-    a = narrow.withColumn("_off", F.explode(offsets)).select(
-        F.col("_id").alias("id_a"),
-        F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_salt"),
-        *[
-            (F.col(f"_c{i}") + F.col("_off")[f"d{i}"]).alias(f"_g{i}")
-            for i in range(block_dims)
-        ],
-        *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
+    # Both candidate-join sides are explicitly repartitioned on the
+    # full equi key (cells + salt) with a PINNED count (round-17):
+    # the narrow projections are a few MB, so AQE's byte-based
+    # coalescing squeezed the pair-enumeration join onto ~2 tasks at
+    # sf0.1 (measured: two 1.2 s tasks carrying all ~7.8M candidate
+    # comparisons). User repartition is never coalesced; the count
+    # scales with the session's core count, not a constant.
+    n_parts = 4 * emb.sparkSession.sparkContext.defaultParallelism
+    grid_keys = ["_salt"] + [f"_g{i}" for i in range(block_dims)]
+    a = (
+        narrow.withColumn("_off", F.explode(offsets))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_salt"),
+            *[
+                (F.col(f"_c{i}") + F.col("_off")[f"d{i}"]).alias(f"_g{i}")
+                for i in range(block_dims)
+            ],
+            *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
+        )
+        .repartition(n_parts, *grid_keys)
     )
-    b = narrow.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
-    ).select(
-        F.col("_id").alias("id_b"),
-        "_salt",
-        *[F.col(f"_c{i}").alias(f"_g{i}") for i in range(block_dims)],
-        *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
+    b = (
+        narrow.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        .select(
+            F.col("_id").alias("id_b"),
+            "_salt",
+            *[F.col(f"_c{i}").alias(f"_g{i}") for i in range(block_dims)],
+            *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
+        )
+        .repartition(n_parts, *grid_keys)
     )
     # One explicit condition, cheap-to-expensive: equi cells (become
     # hash keys), id order, then the codegen partial-distance

@@ -85,6 +85,13 @@ def semdedup_pairs(
             for i in range(prefilter_dims)
         ],
     )
+    # NOTE (round-17): an explicit pinned repartition on the
+    # (salt, cell) equi key — the grid_cosine_pairs fix — was tried
+    # here and MEASURED WORSE (4.8 s → 8.3 s at sf0.1): this
+    # operator's materialized input already carries enough partitions
+    # that the compare join parallelizes, so the forced shuffle of
+    # both prefilter-column sides plus the inflated downstream
+    # partition counts only added cost. Reverted; left alone.
     a = narrow.select(
         F.col("_id").alias("id_a"),
         F.col("_cell").alias("_ca"),

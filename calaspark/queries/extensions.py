@@ -235,6 +235,20 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale raise B so groups ≥ cores (work per group shrinks
     # as B², replication only linearly).
     n_buckets = 8
+    # Pin the join's partitioning EXPLICITLY (round-17, guide §2.5):
+    # the bucketed sides are a few hundred KB, so AQE's byte-based
+    # partition coalescing collapsed the whole B(B+1)/2-group compare
+    # stage onto ONE task (measured: a single 3.15 s task computing
+    # all ~12.5M popcount comparisons at sf0.1 while 31 cores idled —
+    # AQE sizes by bytes and cannot see quadratic compute density).
+    # An explicit repartition on the group key is user-specified
+    # partitioning, which AQE never coalesces; 4× the group count
+    # spreads the 36 groups nearly collision-free (guide: use more
+    # partitions than distinct keys when keys are few), and empty
+    # partitions cost microseconds. Pair set and values unchanged —
+    # partitioning is physical only.
+    n_groups = n_buckets * (n_buckets + 1) // 2
+    n_parts = 4 * n_groups
     bucketed = side.withColumn(
         "_bkt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
     )
@@ -243,6 +257,7 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_pj", F.explode(F.sequence(F.col("_bkt"), F.lit(n_buckets - 1)))
         )
         .withColumnRenamed("_bkt", "_pi")
+        .repartition(n_parts, "_pi", "_pj")
         .alias("a")
     )
     b = (
@@ -250,6 +265,7 @@ def q33_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_pi", F.explode(F.sequence(F.lit(0), F.col("_bkt")))
         )
         .withColumnRenamed("_bkt", "_pj")
+        .repartition(n_parts, "_pi", "_pj")
         .alias("b")
     )
     pairs = (
