@@ -4991,11 +4991,20 @@ def q159_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never re-scanned); one 3-row final agg."""
     from ..ops.quantile import exact_quantiles_bucketed
 
+    from ..ops.materialize import materialize
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", dec("l_extendedprice").alias("price")
     )
-    grain = li.groupBy("l_returnflag", "price").agg(
-        F.count(F.lit(1)).cast("long").alias("w")
+    # (flag, price) grain feeds THREE consumers (the quantile search's
+    # bucket pass + in-bucket pass, and the clamp aggregation below) —
+    # materialized so the single-row-group lineitem scan and the
+    # grain hash-agg run once instead of three times (round-17; the
+    # q127 discipline, measured ~1 s of repeated 1-core scan+agg).
+    grain = materialize(
+        li.groupBy("l_returnflag", "price").agg(
+            F.count(F.lit(1)).cast("long").alias("w")
+        )
     )
     qs = exact_quantiles_bucketed(
         grain, "l_returnflag", "price", "w", [1, 19], 20
