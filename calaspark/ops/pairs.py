@@ -324,10 +324,21 @@ def substring_dup_pairs(
     boilerplate, not duplication signal. ``max_df=None`` keeps the
     exact uncapped contract (the q64 oracle form).
     """
+    from .materialize import materialize
     from .text import tokens
+    from ..tables import spread
 
     w = window
-    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # spread() BEFORE tokenize + per-window md5 (round-17): a
+    # single-file corpus scans as one split, so the whole fingerprint
+    # projection ran on ONE task (measured ~0.7-0.9 s single-task
+    # stages on q64/q68 at sf0.1); one cheap round-robin exchange of
+    # the raw rows fans it out. The inverted index is materialized in
+    # BOTH modes now — uncapped callers (q64) consume it from two
+    # self-join sides, which re-ran the whole projection per side.
+    d = spread(df).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
     d = d.filter(F.size("toks") >= w)
     wins = F.array_distinct(
         F.transform(
@@ -335,16 +346,10 @@ def substring_dup_pairs(
             lambda i: F.md5(F.array_join(F.slice("toks", i, w), " ")),
         )
     )
-    e = d.select("doc_id", F.explode(wins).alias("wh"))
+    e = materialize(d.select("doc_id", F.explode(wins).alias("wh")))
     if max_df is not None:
-        from .materialize import materialize
-
-        # Three consumers read the inverted index when the cap is on
-        # (the df groupBy + both self-join sides) — materialize it
-        # once instead of re-tokenizing and re-hashing the corpus per
-        # consumer. (doc_id, wh) is unique after array_distinct, so
-        # COUNT(*) per wh IS the document frequency.
-        e = materialize(e)
+        # (doc_id, wh) is unique after array_distinct, so COUNT(*)
+        # per wh IS the document frequency.
         keep = (
             e.groupBy("wh")
             .agg(F.count(F.lit(1)).alias("_df"))

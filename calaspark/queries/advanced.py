@@ -1043,7 +1043,14 @@ def q98_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         dec("l_quantity").alias("q"),
     )
-    g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    from ..ops.materialize import materialize
+
+    # round-17: the quantile search reads its grain twice (bucket
+    # pass + in-bucket pass) — materialize so the fact scan and the
+    # grain hash-agg run once (the q127/q159 discipline).
+    g = materialize(
+        li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    )
     return (
         exact_quantiles_bucketed(g, "l_returnflag", "price", "w", [1], 2)
         .select(
@@ -2362,7 +2369,14 @@ def q121_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         dec("l_quantity").alias("q"),
     )
-    g = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    from ..ops.materialize import materialize
+
+    # round-17: the quantile search reads its grain twice (bucket
+    # pass + in-bucket pass) — materialize so the fact scan and the
+    # grain hash-agg run once (the q127/q159 discipline).
+    g = materialize(
+        li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    )
     hit = exact_quantiles_bucketed(
         g, "l_returnflag", "price", "w", [1, 2, 3], 4
     )
@@ -2860,7 +2874,16 @@ def q129_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").alias("price"),
     )
-    g = o.groupBy("pri", "price").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    from ..ops.materialize import materialize
+
+    # round-17: the quantile search reads its grain twice (bucket
+    # pass + in-bucket pass) — materialize so the fact scan and the
+    # grain hash-agg run once (the q127/q159 discipline).
+    g = materialize(
+        o.groupBy("pri", "price").agg(
+            F.count(F.lit(1)).cast("long").alias("w")
+        )
+    )
     hit = exact_quantiles_bucketed(
         g, "pri", "price", "w", list(range(1, 10)), 10
     )
@@ -2899,12 +2922,17 @@ def q130_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bucket search and the 10-row cumulative-share window.
     All money stays decimal until the final rounded IEEE divisions.
     """
+    from ..ops.materialize import materialize
     from ..ops.quantile import exact_quantiles_bucketed
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", dec("o_totalprice").alias("p")
     )
-    spend = o.groupBy("o_custkey").agg(F.sum("p").alias("spend"))
+    # round-17: three consumers read the customer-spend table (the
+    # quantile search's bucket + in-bucket passes via `sg`, and the
+    # banding below) — materialize so the orders scan and the
+    # customer agg run once (the q127/q159 discipline).
+    spend = materialize(o.groupBy("o_custkey").agg(F.sum("p").alias("spend")))
     sg = (
         spend.groupBy("spend")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
@@ -5327,6 +5355,11 @@ def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric", "val")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
+    # round-17: the quantile search reads its grain twice (bucket
+    # pass + in-bucket pass) — materialize the small value-grain
+    # table so the 3-way explode + hash-agg over the user table runs
+    # once (the q127/q159 discipline).
+    metric = materialize(metric)
     qs = exact_quantiles_bucketed(metric, "metric", "val", "w", [1, 2, 3, 4], 5)
     bounds = qs.groupBy("metric").pivot("_num", [1, 2, 3, 4]).min("q")
     wide = (
@@ -6352,22 +6385,32 @@ def q176_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, fk, parent, pk in edges:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
         p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
-        base = c.agg(
-            F.count(F.lit(1)).cast("long").alias("n_child"),
-            F.sum(F.col("fk").isNull().cast("long"))
-            .cast("long")
-            .alias("n_null_fk"),
-            F.count_distinct("fk").cast("long").alias("n_distinct_fk"),
-        )
-        orphans = (
-            c.filter(F.col("fk").isNotNull())
-            .join(p, F.col("fk") == F.col("pk"), "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orphan"))
+        # ONE pass per edge (round-17 job fusion — the previous shape
+        # ran a base aggregation AND a separate anti-join branch, so
+        # every child table was scanned twice; 7 edges fanned into 61
+        # AQE stage-jobs ≈ 4 s of scheduling at sf0.1): pk is the
+        # parent's PRIMARY key (unique by schema), so a LEFT join
+        # cannot duplicate child rows and `pk IS NULL` marks exactly
+        # the rows the LEFT ANTI branch counted. All counts stay
+        # exact integers — identical output.
+        base = (
+            c.join(F.broadcast(p), F.col("fk") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.col("fk").isNull().cast("long"))
+                .cast("long")
+                .alias("n_null_fk"),
+                F.count_distinct("fk").cast("long").alias("n_distinct_fk"),
+                F.count_if(
+                    F.col("fk").isNotNull() & F.col("pk").isNull()
+                )
+                .cast("long")
+                .alias("n_orphan"),
+            )
         )
         np = p.agg(F.count(F.lit(1)).cast("long").alias("n_parent"))
         row = (
-            base.crossJoin(F.broadcast(orphans))
-            .crossJoin(F.broadcast(np))
+            base.crossJoin(F.broadcast(np))
             .select(
                 F.lit(name).alias("edge"),
                 "n_child",

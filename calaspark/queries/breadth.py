@@ -403,8 +403,17 @@ def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew: grams are per-doc).
     """
     from ..ops.text import tokens
+    from ..tables import spread
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # spread() BEFORE the tokenize/gram projection (round-17): the
+    # single-row-group documents file scans as one split, so the
+    # whole tokenize + array_distinct + 2-gram explode + partial agg
+    # chain ran on ONE task (measured: a single 1.9 s task writing
+    # the 5 MB gram shuffle while the other cores idled). One cheap
+    # round-robin exchange of the raw (doc_id, text) rows fans the
+    # expensive projection across every core — the documented
+    # tables.spread hazard/remedy.
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", tokens("text").alias("toks")
     )
     d = d.filter(F.size("toks") > 1)
