@@ -66,58 +66,83 @@ BPE_FIXED_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _chars(col: Column) -> Column:
-    """String → array of single characters (codegen, no Python).
+def _sq(s: str) -> str:
+    """Python string → single-quoted Spark SQL string literal.
+
+    Backslash and quote are the two characters the lexer treats
+    specially inside a quoted literal; control characters pass
+    through raw. Production symbols come from corpus words, so this
+    must survive arbitrary text (the property test's alphabet
+    includes ``'`` and ``\\``)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _chars_sql(col_sql: str) -> str:
+    """SQL fragment → SQL for its array of single characters.
 
     The empty string needs its own branch: Spark's ``sequence(1, 0)``
     is the DESCENDING sequence [1, 0] (not empty), which would turn
     '' into ["", ""] — latent only because every caller filters empty
     words first; pinned by the encode property test.
     """
-    return F.when(
-        F.length(col) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col)),
-            lambda i: col.substr(i, F.lit(1)),
-        )
+    return (
+        f"CASE WHEN length({col_sql}) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, length({col_sql})), _ci -> "
+        f"substring({col_sql}, _ci, 1)) END"
     )
 
 
-def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+def _chars(col_sql: str) -> Column:
+    """String column (SQL fragment) → array of single characters
+    (codegen, no Python).
+
+    Takes a SQL fragment, not a Column (round-17): building the
+    ``transform`` lambda through the py4j Column API costs dozens of
+    driver round-trips per call; one parsed expression string costs
+    one.
+    """
+    return F.expr(_chars_sql(col_sql))
+
+
+#: shared accumulator-init / carry-flush fragments of the merge fold
+_MERGE_INIT = (
+    "named_struct('out', CAST(array() AS ARRAY<STRING>), "
+    "'carry', CAST(NULL AS STRING))"
+)
+_MERGE_FLUSH = "IF(acc.carry IS NOT NULL, concat(acc.out, array(acc.carry)), acc.out)"
+
+
+def _merge_pair_sql(sym_sql: str, left: str, right: str) -> str:
+    """SQL for one greedy merge fold over the symbol-array fragment
+    ``sym_sql`` — the string-composing core of :func:`_merge_pair`,
+    split out so chained merges (bpe_apply_merges) compose strings
+    and parse ONCE per block instead of paying the py4j round-trips
+    of higher-order-function Column construction per merge (round-17:
+    ~0.1 s of driver wall per lambda-built fold, measured via
+    cProfile on bpe_train_merges — 17 invocations ≈ 1.6 s of the
+    4.5 s steady run)."""
+    l, r, fused = _sq(left), _sq(right), _sq(left + right)
+    return (
+        f"aggregate({sym_sql}, {_MERGE_INIT}, "
+        f"(acc, s) -> IF(acc.carry = {l} AND s = {r}, "
+        f"named_struct('out', concat(acc.out, array({fused})), "
+        f"'carry', CAST(NULL AS STRING)), "
+        f"named_struct('out', {_MERGE_FLUSH}, 'carry', s)), "
+        f"acc -> {_MERGE_FLUSH})"
+    )
+
+
+def _merge_pair(symbols: str, left: str, right: str) -> Column:
     """Fuse left-to-right non-overlapping (left, right) adjacencies in
     a symbol array — greedy BPE application as one aggregate fold.
 
     Accumulator: (out array, carry symbol). Each step either completes
     the pair (carry==left and s==right → emit fused, clear carry) or
-    flushes the carry and holds the current symbol.
+    flushes the carry and holds the current symbol. ``symbols`` is a
+    SQL fragment (column name or nested fold), not a Column — see
+    :func:`_merge_pair_sql` for why.
     """
-    fused = F.lit(left + right)
-    init = F.struct(
-        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
-        F.lit(None).cast("string").alias("carry"),
-    )
-    step = lambda acc, s: F.when(
-        (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
-        F.struct(
-            F.concat(acc["out"], F.array(fused)).alias("out"),
-            F.lit(None).cast("string").alias("carry"),
-        ),
-    ).otherwise(
-        F.struct(
-            F.when(
-                acc["carry"].isNotNull(),
-                F.concat(acc["out"], F.array(acc["carry"])),
-            )
-            .otherwise(acc["out"])
-            .alias("out"),
-            s.alias("carry"),
-        )
-    )
-    finish = lambda acc: F.when(
-        acc["carry"].isNotNull(), F.concat(acc["out"], F.array(acc["carry"]))
-    ).otherwise(acc["out"])
-    return F.aggregate(symbols, init, step, finish)
+    return F.expr(_merge_pair_sql(symbols, left, right))
 
 
 def bpe_apply_merges(
@@ -155,10 +180,10 @@ def bpe_apply_merges(
     """
     cur, owned = dict_df, False
     for i in range(0, len(merges), chain):
-        expr = F.col(syms_col)
+        expr_sql = syms_col
         for left, right in merges[i : i + chain]:
-            expr = _merge_pair(expr, left, right)
-        nxt = cur.withColumn(syms_col, expr).persist()
+            expr_sql = _merge_pair_sql(expr_sql, left, right)
+        nxt = cur.withColumn(syms_col, F.expr(expr_sql)).persist()
         nxt.count()
         if owned:
             cur.unpersist()
@@ -183,7 +208,7 @@ def bpe_train(
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(_chars(F.col("w")).alias("syms"), "n")
+        .select(_chars("w").alias("syms"), "n")
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
     # ONE Spark job per round (round-17 job fusion): each round's
@@ -233,9 +258,7 @@ def bpe_train(
             merges.append((r, best["l"], best["r"], int(best["c"])))
             if r < n_merges:  # the final merge is never consumed
                 nxt = dict_df.select(
-                    _merge_pair(F.col("syms"), best["l"], best["r"]).alias(
-                        "syms"
-                    ),
+                    _merge_pair("syms", best["l"], best["r"]).alias("syms"),
                     "n",
                 ).persist()
                 prev, dict_df = dict_df, nxt

@@ -31,6 +31,43 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def with_rotated_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    bleed: float = 0.02,
+    id_offset: int = 100000,
+) -> DataFrame:
+    """Append a deterministically perturbed near-dup twin of every
+    vector (2% rotated-component bleed, cosine ≈ 0.999, id +
+    ``id_offset``) — the shared synthetic-duplicate corpus of
+    q73/embedding_neardup/semdedup_clusters (the raw testdata
+    embeddings are near-random, max natural cosine ≈ 0.51).
+
+    ONE pass via a 2-element struct-array explode (round-17): the
+    previous ``e.unionAll(dup)`` form computed the upstream twice and
+    summed both sides' partition counts, doubling every downstream
+    stage's task count. Per-element arithmetic is unchanged
+    (``a + bleed·b`` over the rotate-by-one lane), so the values —
+    and q73's oracled sims — are bit-identical to the union form.
+    """
+    v = F.col(vec_col)
+    rot = F.concat(F.slice(v, 2, 63), F.slice(v, 1, 1))
+    pert = F.zip_with(v, rot, lambda a, b: a + F.lit(bleed) * b)
+    both = F.explode(
+        F.array(
+            F.struct(F.col(id_col).alias("i"), v.alias("v")),
+            F.struct(
+                (F.col(id_col) + F.lit(id_offset)).alias("i"),
+                pert.alias("v"),
+            ),
+        )
+    )
+    return df.select(both.alias("_r")).select(
+        F.col("_r.i").alias(id_col), F.col("_r.v").alias(vec_col)
+    )
+
+
 def triangle_block_pairs(
     df: DataFrame, id_col: str, n_buckets: int = 8
 ) -> DataFrame:

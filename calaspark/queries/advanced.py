@@ -6917,7 +6917,7 @@ def _bpe_encoded_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
         .distinct()
-        .select("w", _chars(F.col("w")).alias("syms"))
+        .select("w", _chars("w").alias("syms"))
     )
     enc = bpe_apply_merges(dict_df, BPE_FIXED_MERGES)
     out = materialize(

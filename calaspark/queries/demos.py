@@ -432,13 +432,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come only from SimHash bucket collisions (recall < 1:
     a perturbed twin whose sign bit flips lands elsewhere)."""
     from ..ops.lsh import embedding_neardup_pairs
+    from ..ops.pairs import with_rotated_dups
 
     e = _corpus_e(spark, sf_dir).select("vec_id", "e")
-    rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
-    pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
-    dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
+    corpus = with_rotated_dups(e)
     return (
-        embedding_neardup_pairs(e.unionAll(dup), threshold=0.95)
+        embedding_neardup_pairs(corpus, threshold=0.95)
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
     )
 
@@ -963,17 +962,15 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per-cell summary (n_vecs, n_kept, n_dropped) — 16
     stable rows."""
+    from ..ops.pairs import with_rotated_dups
     from ..ops.semdedup import semdedup
 
     e = _corpus_e(spark, sf_dir).select("vec_id", "e")
-    rot = F.concat(F.slice("e", 2, 63), F.slice("e", 1, 1))
-    pert = F.zip_with("e", rot, lambda a, b: a + 0.02 * b)
-    dup = e.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("e"))
     # quantizer trains ONCE per (session, corpus) on a 1-in-4 hash
     # sample, then is reused — corpus-level model state, the ann_ivf
     # build/probe discipline (repeated pipeline runs over the same
     # snapshot retrain nothing); assignment and verify stay exact
-    corpus = e.unionAll(dup)
+    corpus = with_rotated_dups(e)
     key = (spark.sparkContext.applicationId, sf_dir)
     cents = _SEMDEDUP_CENTROIDS.get(key)
     if cents is None:

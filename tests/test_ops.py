@@ -1457,7 +1457,7 @@ def test_bpe_encode_hand_checked(spark):
     words = ["window", "the", "there", "batch", "small", "stream",
              "agg", "door", "a", "llll"]
     df = spark.createDataFrame([(w,) for w in words], "w string").select(
-        "w", _chars(F.col("w")).alias("syms")
+        "w", _chars("w").alias("syms")
     )
     enc = bpe_apply_merges(df, BPE_FIXED_MERGES)
     got = {r["w"]: r["syms"] for r in enc.collect()}
@@ -1487,7 +1487,7 @@ def test_bpe_encode_compose_train(spark):
     assert merges == [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
     words = sorted(set(corpus.split()))
     wdf = spark.createDataFrame([(w,) for w in words], "w string").select(
-        "w", _chars(F.col("w")).alias("syms")
+        "w", _chars("w").alias("syms")
     )
     enc = bpe_apply_merges(wdf, merges, chain=2)
     got = {r["w"]: r["syms"] for r in enc.collect()}

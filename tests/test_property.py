@@ -364,7 +364,7 @@ def test_ssjoin_plans_agree_on_random_corpora(spark, texts):
 
 # ---- BPE greedy merge fold (ops/bpe._merge_pair) --------------------
 
-_SYM = st.sampled_from(["a", "b", "ab", "ba", "c"])
+_SYM = st.sampled_from(["a", "b", "ab", "ba", "c", "'", "\\", "a'\\b"])
 
 
 def _merge_ref(syms: list[str], left: str, right: str) -> list[str]:
@@ -405,7 +405,7 @@ def test_bpe_merge_fold_matches_reference(spark, words, pair):
     got = {
         r["i"]: r["m"]
         for r in df.select(
-            "i", _merge_pair(F.col("syms"), left, right).alias("m")
+            "i", _merge_pair("syms", left, right).alias("m")
         ).collect()
     }
     for i, w in enumerate(words):
@@ -468,7 +468,7 @@ def test_bpe_apply_merges_matches_reference(spark, words, data):
         if fused not in symbols and len(fused) <= 8:
             symbols.append(fused)
     df = spark.createDataFrame([(w,) for w in words], "w string").select(
-        "w", _chars(F.col("w")).alias("syms")
+        "w", _chars("w").alias("syms")
     )
     enc = bpe_apply_merges(df, merges, chain=2)
     got = {r["w"]: r["syms"] for r in enc.collect()}
