@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..tables import load_table
+from ..tables import load_table, spread
 from ._util import RATE, dec
 
 
@@ -749,19 +749,26 @@ def q94_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = shingle_rows(corpus, k=3).select("doc_id", F.col("g").alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     e = e.select("doc_id", h.alias("h"))
+    # Per-bit expressions composed as SQL STRINGS parsed once each
+    # (round-17, the Batch-1/5 discipline): the previous per-bit
+    # Column construction (60 × when/bitwiseAND/alias + a 60-term
+    # Column fold) cost ~9.7k py4j round-trips ≈ 2.8 s of driver
+    # wall per build. Semantics identical: CASE WHEN mirrors
+    # F.when, literals/casts unchanged, all-integer arithmetic.
     sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS s{b}"
+        )
         for b in range(60)
     ]
     agg = e.groupBy("doc_id").agg(*sums)
-    fp = None
-    for b in range(60):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fp = F.expr(
+        " + ".join(
+            f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for b in range(60)
         )
-        fp = term if fp is None else fp + term
+    )
     from ..ops.materialize import materialize
 
     # Both band-join sides read the fingerprints — materialize the
@@ -769,20 +776,16 @@ def q94_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle explode + 60-column aggregation per side.
     fps = materialize(agg.select("doc_id", fp.alias("fp")))
 
+    # shiftright(), not the `>>` operator: inside `array(...)` the
+    # SQL parser reads `>` as a generic-type bracket and errors.
+    band_arr = ", ".join(
+        f"named_struct('k', {k}, 'bb', shiftright(fp, {15 * k}) & 32767)"
+        for k in range(4)
+    )
     bands = fps.select(
         "doc_id",
         "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.expr(f"(fp >> {15 * k}) & 32767").alias("bb"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({band_arr}))").alias("band"),
     ).select("doc_id", "fp", F.col("band.k").alias("k"), F.col("band.bb").alias("bb"))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "k", "bb"
@@ -851,31 +854,30 @@ def q95_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_MH_M),
     )
     eh = e.select("doc_id", "nt", h0.alias("h"))
+    # Permutation minima + band structs as parsed SQL strings (the
+    # q94/Batch-1 round-trip discipline; semantics unchanged —
+    # pmod/min over the same integer literals).
     mins = [
-        F.min(
-            F.pmod(F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B[k]), F.lit(_MH_M))
-        ).alias(f"m{k}")
+        F.expr(
+            f"min(pmod({_MH_A[k]} * h + {_MH_B[k]}, {_MH_M})) AS m{k}"
+        )
         for k in range(16)
     ]
     sig = materialize(eh.groupBy("doc_id").agg(F.max("nt").alias("nt"), *mins))
 
+    band_arr = ", ".join(
+        "named_struct('bk', {b}, {fields})".format(
+            b=b,
+            fields=", ".join(
+                f"'x{j}', m{4 * b + j}" for j in range(4)
+            ),
+        )
+        for b in range(4)
+    )
     bands = sig.select(
         "doc_id",
         "nt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bk"),
-                        *[
-                            F.col(f"m{4 * b + j}").alias(f"x{j}")
-                            for j in range(4)
-                        ],
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bd"),
+        F.expr(f"explode(array({band_arr}))").alias("bd"),
     ).select(
         "doc_id",
         "nt",
@@ -4260,12 +4262,21 @@ def q147_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("e.dst").alias("id"))
             .distinct()
         )
-        new = materialize(
-            nxt.join(dist.select("id"), "id", "left_anti").select(
-                "id", F.lit(h).cast("int").alias("dist")
-            )
+        new = nxt.join(dist.select("id"), "id", "left_anti").select(
+            "id", F.lit(h).cast("int").alias("dist")
         )
-        dist = materialize(dist.unionByName(new))
+        # Only the per-hop FRONTIER needs a checkpoint (two consumers
+        # next round: the hop join and the anti-join), and the final
+        # hop's frontier has no next round at all — one lazy
+        # consumer, so it stays un-materialized. The visited set is
+        # a UNION of already-checkpointed hop frames — depth-1
+        # lineage by construction, so materializing the union per
+        # hop (the previous form) only added a checkpoint job per
+        # hop without cutting anything (round-17: 9 checkpoint jobs
+        # → 4 for the same traversal).
+        if h < 4:
+            new = materialize(new)
+        dist = dist.unionByName(new)
         frontier = new
     return dist.orderBy("id")
 
@@ -5975,15 +5986,22 @@ def q171_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
 
     def pair_stats(xcol: str, ycol: str, name: str) -> DataFrame:
+        # Margins as WINDOW sums over the ≤ 1200-row cells frame
+        # (round-17): the previous form materialized cells, built
+        # rt/ct/n as three broadcast subqueries and joined them back
+        # — 4 extra jobs and a checkpoint per pair for sums the
+        # window computes in the same stage. The single-partition
+        # total-sum window is CELL-grain (≤ 1200 rows at any data
+        # scale — the q130/q137 bounded-grain class, allowlisted).
+        # Identical values: exact long sums either way.
         cells = cube.groupBy(xcol, ycol).agg(F.sum("cnt").alias("o"))
-        cells = materialize(cells)
-        rt = cells.groupBy(xcol).agg(F.sum("o").alias("rt"))
-        ct = cells.groupBy(ycol).agg(F.sum("o").alias("ct"))
-        n = cells.agg(F.sum("o").alias("n"))
-        j = (
-            cells.join(F.broadcast(rt), xcol)
-            .join(F.broadcast(ct), ycol)
-            .crossJoin(F.broadcast(n))
+        j = cells.select(
+            xcol,
+            ycol,
+            "o",
+            F.sum("o").over(Window.partitionBy(xcol)).alias("rt"),
+            F.sum("o").over(Window.partitionBy(ycol)).alias("ct"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
         )
         num = F.col("o").cast(d38) * F.col("n").cast(d38) - F.col(
             "rt"

@@ -251,11 +251,11 @@ ALLOWED = {
     # same shape: the 1-row (tot_docs, tot_toks) aggregate broadcast-
     # crossJoined onto the 32-row shard grain
     "q168": {"bnlj", "single_part_exchange"},
-    # q143's contingency shape × 3 pairs: each pair's 1-row N
-    # aggregate (global final merge) broadcast-crossJoins onto its
-    # ≤ 240-row cell table; all cell tables are rollups of the one
-    # materialized 1200-row cube
-    "q171": {"bnlj", "single_part_exchange"},
+    # q143's contingency shape × 3 pairs: each pair's margins (rt,
+    # ct, N) are WINDOW sums over its ≤ 240-row cell table (rollups
+    # of the one materialized 1200-row cube) — the total-sum window
+    # is the declared bounded-grain single-partition class
+    "q171": {"single_part_exchange"},
     # day-ordered running-sum window over the CALENDAR-sized daily
     # aggregate — the declared q85/q143 tiny-global-window class
     "q174": {"single_part_exchange"},
