@@ -271,8 +271,7 @@ def ivf_probe(
 
     inv = spark.read.parquet(index.invfile_path)
     cand = inv.filter(F.col("cell").isin(cells))
-    vec = F.col(index.vec_col)
-    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    nrm = _vec_norm(index.vec_col)
     sim = F.round(
         _dot_probe(index.vec_col, qu)
         / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
@@ -307,6 +306,17 @@ def _dot_probe(vec: "Column | str", probe: "np.ndarray") -> Column:
         out = term if out is None else out + term
     assert out is not None
     return out
+
+
+def _vec_norm(vec_col: str) -> Column:
+    """L2 norm of a double-array column as ONE parsed expression
+    (round-17: the Column-built ``F.aggregate`` lambda fold costs
+    ~35 ms of py4j round-trips per build; the string parses once).
+    ``0.0D`` keeps the accumulator DOUBLE — bare ``0.0`` parses as
+    DECIMAL — so the fold is bit-identical to the F.lit(0.0) form."""
+    return F.expr(
+        f"sqrt(aggregate(`{vec_col}`, 0.0D, (a, v) -> a + v * v))"
+    )
 
 
 def ann_topk_ivf(
@@ -370,9 +380,7 @@ def ann_topk_ivf(
 
     inv = ivf_assign(emb, cents, id_col, vec_col)
     cand = inv.filter(F.col("cell").isin(cells))
-    nrm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v)
-    )
+    nrm = _vec_norm(vec_col)
     sim = F.round(
         _dot_probe(vec_col, qu)
         / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),

@@ -192,8 +192,9 @@ def pq_topk(
     )
     from .ann_ivf import _dot_probe
 
-    vec = F.col(vec_col)
-    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    from .ann_ivf import _vec_norm
+
+    nrm = _vec_norm(vec_col)
     exact = F.round(
         _dot_probe(vec_col, qu)
         / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
@@ -281,8 +282,9 @@ def ivfpq_topk(
         .orderBy(F.col("adc").desc(), F.col(id_col).asc())
         .limit(rerank)
     )
-    vec = F.col(vec_col)
-    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    from .ann_ivf import _vec_norm
+
+    nrm = _vec_norm(vec_col)
     exact = F.round(
         _dot_probe(vec_col, qu)
         / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),

@@ -451,7 +451,22 @@ def ann_topk_lsh(
         F.col(vec_col).alias("qe"),
     )
     cand = all_b.join(F.broadcast(probe), "bucket")
-    sim = F.round(_cosine(F.col(vec_col), F.col("qe")), 4)
+    # One parsed expression instead of three Column-built lambda
+    # folds (round-17 expression-build fix; 0.0D keeps the
+    # accumulators DOUBLE — identical IEEE op order to the F.lit
+    # form in _cosine).
+    dot_sql = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    sim = F.round(
+        F.expr(
+            f"({dot_sql.format(x=f'`{vec_col}`', y='qe')}) / "
+            f"(sqrt({dot_sql.format(x=f'`{vec_col}`', y=f'`{vec_col}`')}) * "
+            f"sqrt({dot_sql.format(x='qe', y='qe')}))"
+        ),
+        4,
+    )
     return (
         cand.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
