@@ -1730,3 +1730,57 @@ def test_prefix_match_join_rejects_colliding_names(spark):
     with pytest.raises(ValueError, match="output column"):
         prefix_match_join(lk, routes2, key_col="k", row_key="rid",
                           payload=["matched_prefix"])
+
+
+# ---- SQL-string expression builds ≡ Column builds (round-17) -------
+
+
+def test_vec_norm_and_cosine_sql_match_column_folds(spark):
+    """Round-17 pinned the driver-side expression-build fix: the
+    SQL-string forms of the L2 norm (`ops.ann_ivf._vec_norm`) and
+    the zip_with/aggregate dot fold (ann_topk_lsh's inlined cosine)
+    must stay BIT-identical to the Column-built higher-order forms
+    they replaced — same IEEE op order, DOUBLE accumulator (`0.0D`,
+    never the DECIMAL a bare `0.0` literal parses to)."""
+    import pyspark.sql.functions as F
+
+    from calaspark.ops.ann_ivf import _vec_norm
+
+    rows = [
+        (1, [0.1, -2.5, 3e-17, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1e150, 1e-150, -1e150, 7.0]),
+        (4, [0.1 + 0.2, -0.3, 1.7976931348623157e308, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, e array<double>")
+    old_norm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    assert (
+        df.select(old_norm.alias("o"), _vec_norm("e").alias("n"))
+        .filter("o IS DISTINCT FROM n")
+        .count()
+        == 0
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = df.alias("a").crossJoin(
+        df.select(F.col("e").alias("e2")).alias("b")
+    )
+    old_dot = dot(F.col("e"), F.col("e2"))
+    new_dot = F.expr(
+        "aggregate(zip_with(e, e2, (p, q) -> p * q), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    assert (
+        pairs.select(old_dot.alias("o"), new_dot.alias("n"))
+        .filter("o IS DISTINCT FROM n")
+        .count()
+        == 0
+    )
