@@ -250,14 +250,31 @@ def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14: HLL approx_count_distinct and percentile_approx next to
-    their exact counterparts (error visible in one row)."""
+    their exact counterparts (error visible in one row).
+
+    The exact distinct count runs in its OWN aggregation, glued to
+    the sketch branch by a 1-row broadcast cross join — the
+    sketch_error lesson: mixing COUNT(DISTINCT) with object-agg
+    functions in one .agg() plans the distinct as a re-aggregation
+    whose first two phases KEY ON o_custkey — every HLL register
+    set, exact-percentile buffer and KLL sketch is built once PER
+    DISTINCT KEY (15k object buffers for a 150k-row global agg;
+    plans/r17/approx_sketches_before.txt (2)/(4) `Keys [o_custkey]`
+    — measured 2.2 s vs 0.7 s split). The blowup scales with key
+    cardinality, not data size,
+    so at 100 TB the single-agg form is quadratically worse while
+    the split just adds one column-pruned scan. p50_approx's merge
+    tree moves with the plan (rows-only demo; its exact twin
+    p50_exact is bit-identical and the value stays far inside the
+    accuracy-1000 rank envelope)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.count_distinct("o_custkey").alias("nd_exact"),
+    exact = o.agg(F.count_distinct("o_custkey").alias("nd_exact"))
+    sketches = o.agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("nd_hll"),
         F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
     )
+    return exact.crossJoin(F.broadcast(sketches))  # 1-row scalar join
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

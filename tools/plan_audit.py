@@ -66,7 +66,10 @@ ALLOWED = {
     # a global final merge (q01/q53 class); per-check work is one
     # scan + map-side partials
     "q137": {"single_part_exchange"},
-    "approx_sketches": {"single_part_exchange"},  # global 1-row aggregate
+    # global 1-row aggregates; bnlj = the 1-row exact×sketch scalar
+    # cross join (the split that keeps object-agg sketches out of the
+    # count_distinct Expand re-aggregation)
+    "approx_sketches": {"single_part_exchange", "bnlj"},
     "q04": {"single_part_exchange"},  # global offset pagination
     "q03": {"single_part_exchange"},
     # token→bit dictionary window (≤512 rows), as in q33
