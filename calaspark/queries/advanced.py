@@ -5780,49 +5780,55 @@ def q169_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages are the spread and the partial agg; replicate count
     scales the MAP work linearly but never the shuffle width.
     """
+    # The LCG/CDF weight arithmetic is composed as parsed SQL strings
+    # (optimization round, guide §4.4/§5.3): the Column-tree form of
+    # the 5-branch CASE × 101-way explode cost ~1,000 py4j round
+    # trips of driver wall per build; one parse is ~1 ms. Exact
+    # integer ops through the identical IEEE/decimal pipeline —
+    # values proven bit-identical against the Column form.
     M = 2147483647
     o = (
         load_table(spark, sf_dir, "orders")
-        .select(
+        .selectExpr(
             "o_orderkey",
             "o_orderpriority",
-            dec("o_totalprice").alias("price"),
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS price",
         )
         # the 101x explode + weight arithmetic is CPU-per-row; a
         # small-file scan pins it to the scan's few input splits
         # (3 at bench SF) — spread it first (q146's idiom)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    e = o.select(
-        "o_orderpriority",
-        "price",
-        F.explode(F.sequence(F.lit(-1), F.lit(99))).alias("r"),
-        (F.col("o_orderkey") % M * 48271 % M).alias("s1"),
-    )
-    u = (F.col("s1") + F.col("r") * 40503) * 48271 % M
+    # u re-derives s1 inline per CASE branch; whole-stage codegen CSEs
+    # the shared subtree, and the arithmetic is exact integers either
+    # way (q168's envelope: every intermediate < 1.04e14).
+    u = f"((o_orderkey % {M} * 48271 % {M}) + r * 40503) * 48271 % {M}"
     w = (
-        F.when(F.col("r") == -1, 1)
-        .when(u < 790015083, 0)
-        .when(u < 1580030167, 1)
-        .when(u < 1975037709, 2)
-        .when(u < 2106706890, 3)
-        .otherwise(4)
-    ).cast("decimal(3,0)")
+        f"CAST(CASE WHEN r = -1 THEN 1 "
+        f"WHEN {u} < 790015083 THEN 0 "
+        f"WHEN {u} < 1580030167 THEN 1 "
+        f"WHEN {u} < 1975037709 THEN 2 "
+        f"WHEN {u} < 2106706890 THEN 3 "
+        f"ELSE 4 END AS DECIMAL(3,0)) AS w"
+    )
+    e = o.selectExpr(
+        "o_orderpriority",
+        "explode(sequence(-1, 99)) AS r",
+        "price",
+        "o_orderkey",
+    ).selectExpr("o_orderpriority", "r", w, "price")
     rep = (
-        e.select("o_orderpriority", "r", w.alias("w"), "price")
-        .groupBy("o_orderpriority", "r")
+        e.groupBy("o_orderpriority", "r")
         .agg(
-            F.sum(F.col("w") * F.col("price")).alias("ws"),
-            F.sum("w").alias("wn"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("SUM(w * price)").alias("ws"),
+            F.expr("SUM(w)").alias("wn"),
+            F.expr("CAST(COUNT(1) AS BIGINT)").alias("n_rows"),
         )
-        .select(
+        .selectExpr(
             "o_orderpriority",
             "r",
             "n_rows",
-            (F.col("ws").cast("double") / F.col("wn").cast("double")).alias(
-                "m"
-            ),
+            "CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m",
         )
     )
     # 505-row result feeding two branches whose pushed-down r filters
