@@ -1784,3 +1784,48 @@ def test_vec_norm_and_cosine_sql_match_column_folds(spark):
         .count()
         == 0
     )
+
+
+# ------------------------------------------------ table memo (S7)
+
+
+def test_load_table_memo_and_stat_invalidation(spark, tmp_path):
+    """The session plan memo returns the SAME resolved DataFrame for
+    repeat loads of an unchanged path, and drops the entry when the
+    file changes (optimization round: load_table memoizes relation
+    resolution; a stale schema/file-list would be a correctness bug,
+    so the stat key must invalidate)."""
+    import shutil
+    import time as _time
+
+    from calaspark.tables import load_table
+
+    src = tmp_path / "t.parquet"
+    spark.range(5).selectExpr("id AS a").write.parquet(str(src))
+    d1 = load_table(spark, str(tmp_path), "t")
+    d2 = load_table(spark, str(tmp_path), "t")
+    assert d1 is d2, "unchanged path must hit the session memo"
+    assert d1.count() == 5  # the memoized plan still scans parquet
+
+    # rewrite the file: same path, new content AND schema
+    shutil.rmtree(src)
+    _time.sleep(0.01)  # ensure a distinct dir mtime_ns
+    spark.range(3).selectExpr("id AS a", "id * 2 AS b").write.parquet(
+        str(src)
+    )
+    d3 = load_table(spark, str(tmp_path), "t")
+    assert d3 is not d1, "changed file stat must invalidate the memo"
+    assert d3.columns == ["a", "b"] and d3.count() == 3
+
+
+def test_prepare_idempotence_flag(spark):
+    """prepare() marks the session after one fully-successful conf
+    pass and skips JVM round trips on later calls; the applied confs
+    survive."""
+    from calaspark.session import RUNTIME_CONFS, prepare
+
+    prepare(spark)
+    assert getattr(spark, "_calaspark_prepared", False) is True
+    prepare(spark)  # second call: guarded no-op
+    for k, v in RUNTIME_CONFS.items():
+        assert spark.conf.get(k) == v
