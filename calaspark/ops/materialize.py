@@ -24,7 +24,20 @@ from pyspark.sql import DataFrame
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage: reliable ``checkpoint()`` when the session
-    has a checkpoint dir, else ``localCheckpoint()``."""
+    has a checkpoint dir, else ``localCheckpoint()``.
+
+    Eager by default, and measured to stay that way (round-18 A/B,
+    12 materialize-heavy ids via tools/floor_probe.py): deferring
+    every checkpoint to its first consumer (``eager=False``) read
+    42.2 s → 46.4 s build+exec — a plan whose SAME action consumes
+    the un-persisted RDD twice (LSH band self-joins: both sides of
+    the join scan the same to-be-checkpointed table, and their stages
+    run concurrently before either persists a block) recomputes the
+    upstream once per side, which costs far more than the dedicated
+    build-time job the eager form pays (lsh_minhash_pairs alone went
+    3.1 s → 6.0 s). The eager job is also what keeps multi-consumer
+    reuse deterministic on a cluster.
+    """
     try:
         has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
     except Exception:  # pragma: no cover - defensive vs API drift

@@ -4109,7 +4109,7 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = num / sigma
-    return m.select(
+    out = m.select(
         "n1",
         "n2",
         (u1_2.cast("double") / F.lit(2.0)).alias("u1"),
@@ -4117,6 +4117,93 @@ def q145_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.959963984540054)).cast("int").alias("reject_05"),
     )
+    _q145_divergence_dump(sf_dir, out)
+    return out
+
+
+def _q145_divergence_dump(sf_dir: str, df: DataFrame) -> None:
+    """Round-18 driver-red localization (round-17 verdict item 1).
+
+    q145 has failed the driver's value hash in rounds 16 and 17 while
+    being bit-identical locally in every configuration (four-cell
+    matrix, Arrow dumps incl. IEEE hex — DUMPS_r17/q145.json). The
+    remaining degrees of freedom are all at the DRIVER's hash
+    boundary (its DuckDB version, its normalization), which no local
+    re-fix can see. This hook makes a driver-red run carry its own
+    byte-level diff: at the CORRECTNESS scale factors only (sf0.001 /
+    sf0.01 — never the bench's sf0.1, so no timed run pays for it),
+    it prints one stderr JSON line per engine with the bit-exact
+    bytes of every output cell (IEEE-754 hex for doubles, digit
+    strings for decimals/ints) plus the DuckDB version executing the
+    oracle. Failures are swallowed: the hook may never turn a red
+    hash into a hard error, and ``CALASPARK_Q145_DEBUG=0`` disables
+    it outright.
+    """
+    import json as _json
+    import os as _os
+    import struct as _struct
+    import sys as _sys
+
+    if _os.environ.get("CALASPARK_Q145_DEBUG", "1") != "1":
+        return
+    if _os.path.basename(str(sf_dir).rstrip("/")) not in ("sf0.001", "sf0.01"):
+        return
+
+    def _cell(v):
+        if isinstance(v, float):
+            return [repr(v), _struct.pack(">d", v).hex()]
+        return str(v)
+
+    try:
+        rows = df.collect()
+        line = {
+            "engine": "spark",
+            "cols": list(df.columns),
+            "types": [t for _, t in df.dtypes],
+            "rows": [[_cell(v) for v in r] for r in rows],
+        }
+        print(
+            "CALASPARK-Q145-BYTES " + _json.dumps(line),
+            file=_sys.stderr,
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(
+            f"CALASPARK-Q145-BYTES spark-failed {type(e).__name__}: "
+            f"{str(e)[:200]}",
+            file=_sys.stderr,
+        )
+    try:
+        import duckdb
+
+        from ..oracles import ORACLES
+
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(ORACLES["q145"])
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        line = {
+            "engine": "duckdb",
+            "version": duckdb.__version__,
+            "cols": cols,
+            "rows": [[_cell(v) for v in r] for r in rows],
+        }
+        print(
+            "CALASPARK-Q145-BYTES " + _json.dumps(line),
+            file=_sys.stderr,
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(
+            f"CALASPARK-Q145-BYTES duckdb-failed {type(e).__name__}: "
+            f"{str(e)[:200]}",
+            file=_sys.stderr,
+        )
 
 
 # ---------------------------------------------------------------- Q146
