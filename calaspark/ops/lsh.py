@@ -93,11 +93,22 @@ def _cosine(a: Column, b: Column) -> Column:
 # ------------------------------------------------- bitmask encoding
 
 
+#: Memoized (applicationId, caller dictionary key) → (materialized
+#: token→bit dictionary | None, n_vocab, n_words). The dictionary is
+#: corpus-level MODEL state (the round-12 BPE-dictionary-memo
+#: precedent): a token→bit assignment, not query results. Memoizing
+#: it saves, per build after the first, the vocabulary-count job AND
+#: the explode+distinct+window recomputation inside the encode
+#: checkpoint (~0.5 s each measured for the word-token callers).
+_BITMASK_DICTS: dict[tuple, tuple] = {}
+
+
 def bitmask_encode(
     t: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "toks",
     max_vocab: int = 512,
+    dict_key: str | None = None,
 ) -> tuple[DataFrame, int] | None:
     """Dictionary-encode token sets to fixed-width bitmasks.
 
@@ -110,17 +121,42 @@ def bitmask_encode(
     Returns None when the vocabulary exceeds ``max_vocab`` — callers
     fall back to ``array_intersect``. The vocabulary count is one
     tiny Spark job at plan time.
-    """
-    terms = t.select(F.explode(tokens_col).alias("tok")).distinct()
-    n_vocab = terms.count()
-    if n_vocab > max_vocab:
-        return None
-    n_words = max(1, (n_vocab + 63) // 64)
-    from pyspark.sql import Window
 
-    dim = terms.withColumn(
-        "bit", F.row_number().over(Window.orderBy("tok")) - 1
-    )
+    ``dict_key``: session-memo key for the dictionary (pass a
+    corpus-identity string — path+mtime — when ``t``'s token
+    VOCABULARY is a deterministic function of a corpus snapshot).
+    Any consistent token→bit assignment yields identical
+    intersection counts, and a dictionary over a vocabulary superset
+    is exact too (absent tokens never set bits), so callers whose
+    inputs share a vocabulary may share a key.
+    """
+    memo_key = None
+    if dict_key is not None:
+        memo_key = (t.sparkSession.sparkContext.applicationId, dict_key)
+    hit = _BITMASK_DICTS.get(memo_key) if memo_key else None
+    if hit is not None:
+        dim, n_vocab, n_words = hit
+        if dim is None:  # remembered too-big verdict
+            return None
+    else:
+        terms = t.select(F.explode(tokens_col).alias("tok")).distinct()
+        n_vocab = terms.count()
+        if n_vocab > max_vocab:
+            if memo_key:
+                _BITMASK_DICTS[memo_key] = (None, n_vocab, 0)
+            return None
+        n_words = max(1, (n_vocab + 63) // 64)
+        from pyspark.sql import Window
+
+        dim = terms.withColumn(
+            "bit", F.row_number().over(Window.orderBy("tok")) - 1
+        )
+        if memo_key:
+            from .materialize import evict_dead_sessions
+
+            evict_dead_sessions(_BITMASK_DICTS, memo_key[0])
+            dim = materialize(dim)
+            _BITMASK_DICTS[memo_key] = (dim, n_vocab, n_words)
     enc = (
         # explode_outer + left join keeps empty-set ids (all-zero mask)
         t.select(
@@ -276,6 +312,7 @@ def neardup_pairs_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     use_bitmask: bool = True,
+    dict_key: str | None = None,
 ) -> DataFrame:
     """Banded-MinHash candidates, then EXACT Jaccard verification.
 
@@ -302,7 +339,11 @@ def neardup_pairs_lsh(
         # dedup size filter; exact, a necessary condition only).
         return j.filter(F.least(nt_a, nt_b) * den >= F.greatest(nt_a, nt_b) * num)
 
-    encoded = bitmask_encode(docs, id_col, tokens_col) if use_bitmask else None
+    encoded = (
+        bitmask_encode(docs, id_col, tokens_col, dict_key=dict_key)
+        if use_bitmask
+        else None
+    )
     if encoded is not None:  # small-vocab fast path for verification
         enc, n_words = encoded
         # Both verify sides broadcast this table — materialize so the

@@ -204,27 +204,27 @@ def grid_cosine_pairs(
     if block_dims is None:
         block_dims = auto_block_dims(n_rows if n_rows is not None else emb.count())
 
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     w = math.sqrt(2.0 - 2.0 * threshold) * (1.0 + slack)
     w2 = (2.0 - 2.0 * threshold) * (1.0 + slack)
-    nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-    pts = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"), nrm.alias("_n")
+    # Round-18 expression diet (guide §5.3; the semdedup_pairs twin):
+    # the loop-built projections, the 3^block_dims offset-struct
+    # array and the staged join condition all compose as parsed SQL
+    # strings — one py4j round trip + one analyzer pass each instead
+    # of ~300 Column/DataFrame ops at ~2–7 ms of measured driver wall
+    # apiece. Bit-identical: 0-based `_e[i]`, `0.0D` double
+    # accumulators, repr'd shortest-round-trip double literals,
+    # left-associated arithmetic, integer cell offsets.
+    dot_sql = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    w_sql = f"{float(w)!r}D"
+    w2_sql = f"{float(w2)!r}D"
+    pts = emb.selectExpr(
+        f"`{id_col}` AS _id",
+        f"`{vec_col}` AS _e",
+        f"sqrt({dot_sql.format(x=f'`{vec_col}`', y=f'`{vec_col}`')}) AS _n",
     ).filter(F.col("_n") > 0)
-    home = [
-        F.floor(F.col("_e")[i] / F.col("_n") / F.lit(w)).cast("int")
-        for i in range(block_dims)
-    ]
-    unit = [
-        (F.col("_e")[i] / F.col("_n")).alias(f"_u{i}")
-        for i in range(prefilter_dims)
-    ]
     # The candidate join runs on a NARROW projection only — ids,
     # cell keys, flat prefilter coordinates. Carrying the full
     # vectors through the join would materialize two dim-sized
@@ -232,20 +232,23 @@ def grid_cosine_pairs(
     # concentrated corpus — measured as the dominant cost, ~8 s of
     # pure row copying at sf0.1); the vectors are fetched by id for
     # the (tiny) survivor set afterwards instead.
-    narrow = pts.select(
+    narrow = pts.selectExpr(
         "_id",
-        *[h.alias(f"_c{i}") for i, h in enumerate(home)],
-        *unit,
+        *[
+            f"CAST(FLOOR(_e[{i}] / _n / {w_sql}) AS INT) AS _c{i}"
+            for i in range(block_dims)
+        ],
+        *[f"_e[{i}] / _n AS _u{i}" for i in range(prefilter_dims)],
     )
     # Left role: all 3^block_dims neighbor cells, one explode of a
     # literal offset grid. Right role: home cell only.
     from itertools import product as _product
 
-    offsets = F.array(
-        *[
-            F.struct(*[F.lit(d).alias(f"d{i}") for i, d in enumerate(deltas)])
-            for deltas in _product((-1, 0, 1), repeat=block_dims)
-        ]
+    offsets_sql = ",".join(
+        "struct("
+        + ",".join(f"{d} AS d{i}" for i, d in enumerate(deltas))
+        + ")"
+        for deltas in _product((-1, 0, 1), repeat=block_dims)
     )
     # ``n_salts`` splits each cell's join group so a corpus
     # concentrated in few cells (the near-uniform worst case puts
@@ -265,50 +268,53 @@ def grid_cosine_pairs(
     n_parts = 4 * emb.sparkSession.sparkContext.defaultParallelism
     grid_keys = ["_salt"] + [f"_g{i}" for i in range(block_dims)]
     a = (
-        narrow.withColumn("_off", F.explode(offsets))
-        .select(
-            F.col("_id").alias("id_a"),
-            F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_salt"),
-            *[
-                (F.col(f"_c{i}") + F.col("_off")[f"d{i}"]).alias(f"_g{i}")
-                for i in range(block_dims)
-            ],
-            *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
+        narrow.selectExpr(
+            "_id AS id_a",
+            f"CAST(pmod(xxhash64(_id), {n_salts}) AS INT) AS _salt",
+            *[f"_c{i}" for i in range(block_dims)],
+            *[f"_u{i} AS _ua{i}" for i in range(prefilter_dims)],
+            f"explode(array({offsets_sql})) AS _off",
+        )
+        .selectExpr(
+            "id_a",
+            "_salt",
+            *[f"_c{i} + _off.d{i} AS _g{i}" for i in range(block_dims)],
+            *[f"_ua{i}" for i in range(prefilter_dims)],
         )
         .repartition(n_parts, *grid_keys)
     )
     b = (
-        narrow.withColumn(
-            "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
-        )
-        .select(
-            F.col("_id").alias("id_b"),
-            "_salt",
-            *[F.col(f"_c{i}").alias(f"_g{i}") for i in range(block_dims)],
-            *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
+        narrow.selectExpr(
+            "_id AS id_b",
+            f"explode(array({','.join(str(s) for s in range(n_salts))})) "
+            "AS _salt",
+            *[f"_c{i} AS _g{i}" for i in range(block_dims)],
+            *[f"_u{i} AS _ub{i}" for i in range(prefilter_dims)],
         )
         .repartition(n_parts, *grid_keys)
     )
     # One explicit condition, cheap-to-expensive: equi cells (become
     # hash keys), id order, then the codegen partial-distance
     # prefilter — ALL on flat scalar columns inside one
-    # whole-stage-codegen span.
-    cond = F.col("a._salt") == F.col("b._salt")
-    for i in range(block_dims):
-        cond = cond & (F.col(f"a._g{i}") == F.col(f"b._g{i}"))
-    cond = cond & (F.col("a.id_a") < F.col("b.id_b"))
+    # whole-stage-codegen span. Staged partial distances: the first
+    # half is ALSO a necessary condition (omitted terms nonnegative)
+    # — And short-circuits, so ~all candidates die on half the ops.
+    conds = ["(a._salt = b._salt)"]
+    conds += [f"(a._g{i} = b._g{i})" for i in range(block_dims)]
+    conds.append("(a.id_a < b.id_b)")
     if prefilter_dims > 0:
-        # Staged: the partial distance over the first half is ALSO a
-        # necessary condition (omitted terms nonnegative) — And
-        # short-circuits, so ~all candidates die on half the ops.
         for k in (prefilter_dims // 2, prefilter_dims):
             if k == 0:
                 continue
-            pdist = F.lit(0.0)
-            for i in range(k):
-                d = F.col(f"a._ua{i}") - F.col(f"b._ub{i}")
-                pdist = pdist + d * d
-            cond = cond & (pdist <= F.lit(w2))
+            pdist = " + ".join(
+                ["0.0D"]
+                + [
+                    f"(a._ua{i} - b._ub{i}) * (a._ua{i} - b._ub{i})"
+                    for i in range(k)
+                ]
+            )
+            conds.append(f"({pdist} <= {w2_sql})")
+    cond = F.expr(" AND ".join(conds))
     surv = (
         a.alias("a")
         .join(b.alias("b"), cond)
@@ -318,13 +324,9 @@ def grid_cosine_pairs(
     # (two equi-joins on the id — AQE broadcasts the survivor side
     # when it is small) and run the SAME index-ordered fold the
     # oracle computes, so borderline sims are bit-identical.
-    va = pts.select(
-        F.col("_id").alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na")
-    )
-    vb = pts.select(
-        F.col("_id").alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb")
-    )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    va = pts.selectExpr("_id AS id_a", "_e AS ea", "_n AS na")
+    vb = pts.selectExpr("_id AS id_b", "_e AS eb", "_n AS nb")
+    sim = F.expr(f"({dot_sql.format(x='ea', y='eb')}) / (na * nb)")
     return (
         surv.join(va, "id_a")
         .join(vb, "id_b")

@@ -70,20 +70,30 @@ def semdedup_pairs(
     bound).
     """
     w2 = (2.0 - 2.0 * threshold) * (1.0 + slack)
-    nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-    pts = inv.select(
-        F.col(id_col).alias("_id"),
-        F.col(cell_col).alias("_cell"),
-        F.col(vec_col).alias("_e"),
-        nrm.alias("_n"),
+    # Round-18 expression diet (guide §5.3, the round-17 §4.4
+    # convention): every loop-built projection/condition below
+    # composes as ONE parsed SQL string (one py4j round trip +
+    # one analyzer pass) instead of ~150 Column/DataFrame ops at a
+    # measured ~2–7 ms of driver wall EACH. Semantics are
+    # bit-identical: `_e[i]` is the same 0-based GetArrayItem,
+    # `0.0D` keeps the fold accumulators DOUBLE, literals repr as
+    # shortest-round-trip doubles (the lsh._f64_sql rule), and every
+    # add/multiply keeps its left-associated order.
+    dot_sql = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    w2_sql = f"{float(w2)!r}D"
+    pts = inv.selectExpr(
+        f"`{id_col}` AS _id",
+        f"`{cell_col}` AS _cell",
+        f"`{vec_col}` AS _e",
+        f"sqrt({dot_sql.format(x=f'`{vec_col}`', y=f'`{vec_col}`')}) AS _n",
     ).filter(F.col("_n") > 0)
-    narrow = pts.select(
+    narrow = pts.selectExpr(
         "_id",
         "_cell",
-        *[
-            (F.col("_e")[i] / F.col("_n")).alias(f"_u{i}")
-            for i in range(prefilter_dims)
-        ],
+        *[f"_e[{i}] / _n AS _u{i}" for i in range(prefilter_dims)],
     )
     # NOTE (round-17): an explicit pinned repartition on the
     # (salt, cell) equi key — the grid_cosine_pairs fix — was tried
@@ -92,47 +102,38 @@ def semdedup_pairs(
     # that the compare join parallelizes, so the forced shuffle of
     # both prefilter-column sides plus the inflated downstream
     # partition counts only added cost. Reverted; left alone.
-    a = narrow.select(
-        F.col("_id").alias("id_a"),
-        F.col("_cell").alias("_ca"),
-        F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_salt"),
-        *[F.col(f"_u{i}").alias(f"_ua{i}") for i in range(prefilter_dims)],
+    a = narrow.selectExpr(
+        "_id AS id_a",
+        "_cell AS _ca",
+        f"CAST(pmod(xxhash64(_id), {n_salts}) AS INT) AS _salt",
+        *[f"_u{i} AS _ua{i}" for i in range(prefilter_dims)],
     )
-    b = narrow.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
-    ).select(
-        F.col("_id").alias("id_b"),
-        F.col("_cell").alias("_cb"),
-        "_salt",
-        *[F.col(f"_u{i}").alias(f"_ub{i}") for i in range(prefilter_dims)],
+    b = narrow.selectExpr(
+        "_id AS id_b",
+        "_cell AS _cb",
+        f"explode(array({','.join(str(s) for s in range(n_salts))})) "
+        "AS _salt",
+        *[f"_u{i} AS _ub{i}" for i in range(prefilter_dims)],
     )
-    cond = (
-        (F.col("a._salt") == F.col("b._salt"))
-        & (F.col("a._ca") == F.col("b._cb"))
-        & (F.col("a.id_a") < F.col("b.id_b"))
-    )
+    conds = ["(a._salt = b._salt)", "(a._ca = b._cb)", "(a.id_a < b.id_b)"]
     for k in (prefilter_dims // 2, prefilter_dims):
         if k == 0:
             continue
-        pdist = F.lit(0.0)
-        for i in range(k):
-            d = F.col(f"a._ua{i}") - F.col(f"b._ub{i}")
-            pdist = pdist + d * d
-        cond = cond & (pdist <= F.lit(w2))
+        pdist = " + ".join(
+            ["0.0D"]
+            + [
+                f"(a._ua{i} - b._ub{i}) * (a._ua{i} - b._ub{i})"
+                for i in range(k)
+            ]
+        )
+        conds.append(f"({pdist} <= {w2_sql})")
+    cond = F.expr(" AND ".join(conds))
     surv = a.alias("a").join(b.alias("b"), cond).select(
         "id_a", "id_b", F.col("a._ca").alias("cell")
     )
-    va = pts.select(
-        F.col("_id").alias("id_a"),
-        F.col("_e").alias("ea"),
-        F.col("_n").alias("na"),
-    )
-    vb = pts.select(
-        F.col("_id").alias("id_b"),
-        F.col("_e").alias("eb"),
-        F.col("_n").alias("nb"),
-    )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    va = pts.selectExpr("_id AS id_a", "_e AS ea", "_n AS na")
+    vb = pts.selectExpr("_id AS id_b", "_e AS eb", "_n AS nb")
+    sim = F.expr(f"({dot_sql.format(x='ea', y='eb')}) / (na * nb)")
     return (
         surv.join(va, "id_a")
         .join(vb, "id_b")
@@ -177,13 +178,18 @@ def semdedup(
     from .ann_ivf import ivf_assign, train_ivf_centroids
     from .materialize import materialize
 
-    # Assignment feeds BOTH join roles and the survivor re-fetch —
-    # materialize so the upstream (and quantizer assignment matmul)
-    # computes once (the q94/q95 shared-table rule).
-    e = materialize(emb.select(id_col, vec_col))
+    e = emb.select(id_col, vec_col)
     if centroids is not None:
+        # Round-18 consumer-count audit (the q147/q171 barrier-diet
+        # rule): with a pre-trained quantizer, ``e`` has exactly ONE
+        # consumer — ``ivf_assign`` — and everything downstream reads
+        # the materialized ``inv``, so checkpointing ``e`` was a pure
+        # extra pass over the corpus per call. Only the training path
+        # (centroids=None), where ``e`` feeds BOTH the Lloyd
+        # iterations and the assignment, still needs the barrier.
         cents = centroids
     else:
+        e = materialize(e)
         train = (
             e.filter(
                 F.pmod(

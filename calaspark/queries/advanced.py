@@ -2740,9 +2740,16 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("w")
         )
     )
-    med = exact_quantile_bucketed(
-        g, "l_returnflag", "price", "w", num=1, den=2
-    ).withColumnRenamed("q", "med")
+    # Round-18 consumer-count audit: ``med`` (3 rows) feeds TWO
+    # separate actions — the deviation grain's checkpoint below and
+    # the final outlier aggregate — and each used to re-run the whole
+    # bucket-grain median search from ``g``. One ~0.1 s checkpoint of
+    # the 3-row result replaces the second search.
+    med = materialize(
+        exact_quantile_bucketed(
+            g, "l_returnflag", "price", "w", num=1, den=2
+        ).withColumnRenamed("q", "med")
+    )
     dev = (
         g.join(F.broadcast(med), "l_returnflag")
         .select(

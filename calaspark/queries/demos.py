@@ -30,7 +30,13 @@ def lsh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", F.array_distinct(tokens("text", " ")).alias("toks")
     )
-    return neardup_pairs_lsh(docs, threshold=0.5)
+    # dict_key: the verify bitmask's token→bit dictionary is a
+    # deterministic function of the corpus snapshot — memoized per
+    # session (ops/lsh._BITMASK_DICTS), it saves the vocab-count job
+    # + the dictionary recomputation on every rebuild.
+    return neardup_pairs_lsh(
+        docs, threshold=0.5, dict_key=f"wordtok|{_doc_corpus_key(sf_dir)}"
+    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,6 +98,12 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Same lifecycle as ops/ann_pq._PQ_HANDLES: per session, corpus
 #: mtime self-invalidates via the key.
 _E_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+#: Memoized (applicationId, corpus-key, probes) → {vec_id: [floats]}
+#: probe vectors for the ANN recall harness — session-scoped harness
+#: state with the _E_HANDLES lifecycle (round-18; saves one collect
+#: job over the checkpointed corpus per ann_recall build).
+_PROBE_HANDLES: dict[tuple, dict] = {}
 
 
 def _corpus_e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,8 +402,14 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_toks", F.size("toks"))
         .drop("_ht")
     )
-    groups = hdocs.groupBy("fp", "fpx", "n_toks").agg(
-        F.min("doc_id").alias("rep_id")
+    # Round-18 consumer-count audit: ``groups`` feeds TWO separate
+    # actions (rep_docs' checkpoint below and the final rep_map
+    # action), each re-running the groupBy over checkpointed hdocs —
+    # one checkpoint of the set-grain aggregate replaces the second.
+    groups = materialize(
+        hdocs.groupBy("fp", "fpx", "n_toks").agg(
+            F.min("doc_id").alias("rep_id")
+        )
     )
     # rep_docs feeds TWO consumers in neardup_pairs_lsh (signatures
     # + verification) — materialize so the semi-join runs once.
@@ -409,7 +427,18 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0.8) collision probability stays ~90% for true dups while
     # candidate volume drops sharply — band geometry follows the
     # threshold, the standard LSH tuning move.
-    pairs = neardup_pairs_lsh(rep_docs, threshold=0.8, num_hashes=32, bands=4)
+    # dict_key: rep_docs' vocabulary EQUALS the full corpus word
+    # vocabulary (every doc's token set equals its representative's),
+    # so the bitmask dictionary is shared with lsh_minhash_pairs —
+    # a superset/equal-vocabulary dictionary is exact (see
+    # ops/lsh.bitmask_encode).
+    pairs = neardup_pairs_lsh(
+        rep_docs,
+        threshold=0.8,
+        num_hashes=32,
+        bands=4,
+        dict_key=f"wordtok|{_doc_corpus_key(sf_dir)}",
+    )
 
     # Stage 3 — connected components on the representative graph,
     # then broadcast labels back through the doc→rep map. Cluster id
@@ -633,10 +662,27 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact top-10 (per-probe literal dots ranked in a single scan
     # via a probe-tagged union — each branch is its own TakeOrdered
     # over the shared materialized table, still one Spark job).
-    qrows = {
-        r["vec_id"]: list(r["e"])
-        for r in e.filter(F.col("vec_id").isin(list(probes))).collect()
-    }
+    # Round-18: the probe-vector fetch is memoized per (session,
+    # corpus) exactly like the corpus handle itself (_E_HANDLES
+    # lifecycle — applicationId-scoped, corpus-mtime-keyed, dies with
+    # the session): two fixed probe vectors are model-sized harness
+    # state, and re-collecting them cost one full job over the
+    # checkpointed corpus per build (~0.3–0.5 s measured).
+    pkey = (
+        spark.sparkContext.applicationId,
+        _pq_corpus_key(sf_dir),
+        probes,
+    )
+    qrows = _PROBE_HANDLES.get(pkey)
+    if qrows is None:
+        from ..ops.materialize import evict_dead_sessions
+
+        evict_dead_sessions(_PROBE_HANDLES, pkey[0])
+        qrows = {
+            r["vec_id"]: list(r["e"])
+            for r in e.filter(F.col("vec_id").isin(list(probes))).collect()
+        }
+        _PROBE_HANDLES[pkey] = qrows
     # probes absent from the corpus (tiny/filtered tables) are skipped
     # rather than KeyError-ing the whole harness
     probes = tuple(p for p in probes if p in qrows)
@@ -734,19 +780,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent branches by construction, so a tagged union computes
     # them all in a single Spark job with identical per-branch plans.
     def _tag(kind: str, meth: str | None, probe: int, df, with_cells=False):
-        return df.select(
-            F.lit(kind).alias("k"),
-            (F.lit(meth) if meth is not None else F.lit(None)).cast(
-                "string"
-            ).alias("m"),
-            F.lit(probe).alias("p"),
-            F.col("vec_id"),
-            (F.col("cell") if with_cells else F.lit(None).cast("int")).alias(
-                "cell"
-            ),
-            (F.col("sim") if with_cells else F.lit(None).cast("double")).alias(
-                "sim"
-            ),
+        # one parsed selectExpr per branch (round-18 expression diet)
+        return df.selectExpr(
+            f"'{kind}' AS k",
+            ("CAST(NULL AS STRING) AS m" if meth is None else f"'{meth}' AS m"),
+            f"{int(probe)} AS p",
+            "vec_id",
+            ("cell" if with_cells else "CAST(NULL AS INT) AS cell"),
+            ("sim" if with_cells else "CAST(NULL AS DOUBLE) AS sim"),
         )
 
     all_branches = [
